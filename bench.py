@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized with a noop-format write — the whole
+plan executes on the executors (all columns, all rows) without paying
+driver-side collect/serialization, which is what a sink-bound pipeline
+looks like in production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hls_stac_parquet_spark.session import get_spark  # noqa: E402
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    spark = get_spark("hls-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hls_stac_parquet_spark.queries import REGISTRY
+
+    names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
+
+    # JVM/codegen warmup on the flagship query (not timed)
+    run_query(REGISTRY["q_hash_agg"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        run_query(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

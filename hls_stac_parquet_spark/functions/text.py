@@ -1,0 +1,106 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All pure built-in expressions (JVM codegen, no Python in the hot
+path): tokenization, token counting, language ID heuristic, quality
+scoring, fingerprinting. Each has an ANSI-SQL-expressible form used by
+the DuckDB oracle (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punct splitter (portable across Java regex & RE2)
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: small English stopword list for the n-gram/stopword language heuristic
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Space tokens (array<string>). Single-space split (not ``\\s+``)
+    so the semantics are bit-identical to the oracle's non-regex
+    ``string_split`` — the corpora here are single-spaced."""
+    return F.split(_col(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count via regexp extraction (A14-style regex op)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = tokens(F.lower(_col(text)))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = _col(text)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def language_id(text: Column | str, threshold: float = 0.08) -> Column:
+    """Heuristic language ID: stopword density → 'en' else 'unknown'.
+
+    A real deployment swaps in a fastText/CLD3 pandas UDF; the Spark
+    plumbing (expression shape, nullable string out) is identical.
+    """
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document quality in [0,1]: length + stopwords - punct.
+
+    Deterministic arithmetic (oracle-checkable); the shape mirrors
+    C4/Gopher-style quality filters.
+    """
+    c = _col(text)
+    length_part = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_part
+        + F.lit(0.4) * F.least(stopword_ratio(c) * 4, F.lit(1.0))
+        - F.lit(0.3) * F.least(punct_ratio(c) * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    Normalization = lowercase + collapse whitespace; identical logical
+    content → identical fingerprint, so exact dedup is a groupBy on
+    this column (no full-text shuffle — 32-hex-char keys).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (array<string>) for MinHash/Jaccard dedup.
+
+    Built from built-ins only: tokenize, then slide a window with
+    ``transform`` over index positions and join k consecutive tokens.
+    """
+    toks = tokens(F.lower(_col(text)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))

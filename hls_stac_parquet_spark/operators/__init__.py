@@ -1,0 +1,29 @@
+"""Composable DataFrame→DataFrame operators.
+
+Each module is a family the reference motivates (completeness gate,
+manifest fan-in, failure split) or the 100-TB training-data extension
+demands (dedup, similarity search, text quality, multimodal).
+"""
+
+from hls_stac_parquet_spark.operators.completeness import (  # noqa: F401
+    completeness_check,
+    expected_days,
+)
+from hls_stac_parquet_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from hls_stac_parquet_spark.operators.manifests import (  # noqa: F401
+    anti_join_existing,
+    fan_in_manifests,
+    split_failures,
+)
+from hls_stac_parquet_spark.operators.similarity import (  # noqa: F401
+    cosine_pairs_above,
+    cosine_topk,
+    lsh_cosine_candidates,
+)

@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the scale playbook:
+
+- brute force (:func:`cosine_topk`, :func:`cosine_pairs_above`): the
+  query side streams through ``mapInPandas`` while the reference
+  matrix rides along as a broadcast — one numpy GEMM per Arrow batch,
+  no shuffle at all. Right answer up to ~10^6 reference vectors
+  (the broadcast must fit an executor).
+- LSH (:func:`lsh_cosine_candidates`): random-hyperplane signatures,
+  banded bucket join, exact re-rank inside buckets — the 100 TB path
+  where neither side fits anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+        StructField("rnk", IntegerType()),
+    ]
+)
+
+_PAIRS_SCHEMA = StructType(
+    [
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Materialize the reference side as (ids, row-normalized float64
+    matrix). This is the broadcast-dim pattern: the collected side is
+    the *small* one by construction; the streaming side never leaves
+    the executors."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat, norms
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (self excluded).
+
+    Ranking is by (rounded cosine DESC, neighbor_id ASC) so the result
+    set is deterministic and engine-portable despite float summation
+    order.
+    """
+    spark = df.sparkSession
+    ids, mat, norms = _collect_matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_ids, r_mat, r_norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_norms = np.linalg.norm(q_mat, axis=1)
+            q_norms[q_norms == 0] = 1.0
+            sims = (q_mat @ r_mat.T) / np.outer(q_norms, r_norms)
+            simr = np.round(sims, round_digits)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for row_i in range(len(q_ids)):
+                mask = r_ids != q_ids[row_i]
+                cand_ids = r_ids[mask]
+                cand_s = simr[row_i][mask]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([q_ids[row_i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_s, dtype=np.float64),
+                    "rnk": np.asarray(out_r, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, _TOPK_SCHEMA)
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
+    detection. Same broadcast-GEMM plan as cosine_topk."""
+    spark = df.sparkSession
+    ids, mat, norms = _collect_matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_ids, r_mat, r_norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_norms = np.linalg.norm(q_mat, axis=1)
+            q_norms[q_norms == 0] = 1.0
+            sims = np.round(
+                (q_mat @ r_mat.T) / np.outer(q_norms, r_norms), round_digits
+            )
+            # keep a<b so each pair appears once globally
+            qi, ri = np.nonzero(sims >= threshold)
+            keep = q_ids[qi] < r_ids[ri]
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi[keep]],
+                    "vec_b": r_ids[ri[keep]],
+                    "cosine": sims[qi[keep], ri[keep]],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, _PAIRS_SCHEMA)
+
+
+def lsh_cosine_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs for cosine similarity.
+
+    sign(X·H) gives an ``n_planes``-bit signature whose Hamming
+    distance estimates the angle; banded equality buckets turn the
+    all-pairs problem into a shuffle on (band, 8-bit bucket). This is
+    the IVF/LSH "scale path": no broadcast, no GEMM against the full
+    corpus, cost ∝ Σ bucket².
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    width = n_planes // bands
+
+    sig_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("sig", LongType())]
+    )
+
+    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ H) > 0
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(H.shape[1]):
+                sig |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "sig": sig}
+            )
+
+    sigs = df.select(id_col, vec_col).mapInPandas(sig_gen, sig_schema)
+    banded = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", b * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

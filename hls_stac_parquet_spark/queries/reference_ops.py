@@ -1,0 +1,120 @@
+"""Reference-specific operator queries (SURVEY.md §2.B, phase 2).
+
+The operators the reference actually ships — space-filling-curve
+clustering keys (write.py:58-88), gap sessionization (the streaming
+analog of its per-day batching), and tumbling-window aggregation —
+re-expressed as single Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hls_stac_parquet_spark.functions.spatial import (
+    HILBERT_P,
+    hilbert_index_udf,
+    morton_key,
+    morton_key_sql,
+)
+from hls_stac_parquet_spark.queries.registry import query, t
+
+
+@query(
+    "q_hilbert_key",
+    oracle=(
+        "SELECT event_id, "
+        # explicit floor: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+        # while Spark's cast truncates — floor() first on both sides
+        + morton_key_sql("user_id % 256", "CAST(floor(value * 10) AS BIGINT) % 256",
+                         dialect="duckdb")
+        + " AS curve_key FROM events"
+    ),
+)
+def q_hilbert_key(spark, sf_dir):
+    """Space-filling-curve key as pure SQL bit-interleave (A16).
+
+    Morton (Z-order) is the oracle-expressible curve; same locality
+    class as the reference's Hilbert key. Stays fully inside
+    whole-stage codegen — no UDF.
+    """
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        morton_key(
+            F.col("user_id") % 256,
+            F.floor(F.col("value") * 10) % 256,
+        ).alias("curve_key"),
+    )
+
+
+@query("q_hilbert_curve_exact", oracle=None, bench=False)
+def q_hilbert_curve_exact(spark, sf_dir):
+    """Exact Hilbert distance (write.py:58-88 parity), p=14 grid.
+
+    Vectorized pandas UDF (numpy xy→d); rows-only driver check —
+    bijectivity and locality are property-tested in
+    tests/test_spatial.py.
+    """
+    e = t(spark, sf_dir, "events")
+    lon = (F.col("user_id") % 360).cast("double") - 180.0
+    lat = (F.col("value") % 180).cast("double") - 90.0
+    return e.select(
+        "event_id",
+        hilbert_index_udf(lon, lat).alias("hilbert_idx"),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=(
+        "SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM ("
+        "SELECT event_id, user_id, sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM ("
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
+        "THEN 1 ELSE 0 END AS is_new FROM events))"
+    ),
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle gap → new session).
+
+    Batch-expressible stateful operator: lag + cumulative sum over a
+    per-user ordered window — one shuffle on user_id, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    e = e.withColumn("is_new", F.when(gap > 1800.0, 1).otherwise(0))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(w).cast("bigint").alias("session_id"),
+    )
+
+
+@query(
+    "q_tumbling_window_agg",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS win_start, "
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+        "round(avg(value), 6) AS avg_value "
+        "FROM events GROUP BY win_start"
+    ),
+)
+def q_tumbling_window_agg(spark, sf_dir):
+    """Tumbling-window aggregate via Spark's window() — the same
+    expression runs unchanged under Structured Streaming with a
+    watermark (streaming/incremental.py)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value",
+                "avg_value")
+    )

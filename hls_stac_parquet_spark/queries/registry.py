@@ -1,0 +1,48 @@
+"""Registry plumbing for named correctness/bench queries."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
+    bench: bool = True  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, bench: bool = True):
+    """Decorator: register a named query with its DuckDB oracle SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (lazy parquet scan — pruning/pushdown
+    happen at the scan, so per-query loads cost nothing extra).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with ``nanosAsLong`` it scans as int64 and we
+    floor-divide to micros right at the scan (matching DuckDB's
+    ns→µs truncation), keeping everything downstream a plain
+    TimestampType column.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

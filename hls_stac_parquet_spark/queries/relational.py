@@ -1,0 +1,670 @@
+"""Relational core operators (SURVEY.md §2.B, phase 1).
+
+Pure built-in DataFrame expressions — every query here compiles to a
+single Catalyst plan with pushed-down filters, pruned columns, and
+whole-stage codegen; no Python executes per row. Each has an exact
+DuckDB oracle.
+
+Oracle-parity discipline (SURVEY.md §7 traps):
+- every computed column aliased identically on both sides
+- nondeterministic picks (first/arbitrary) replaced by ordered
+  window / min_by with explicit tiebreakers
+- double aggregates rounded identically on both sides (summation
+  order differs between engines)
+- arrays built by collect_list sorted before compare
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hls_stac_parquet_spark.queries.registry import query, t
+
+
+# --- scans / filters / scalar functions -------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def q_scan_project(spark, sf_dir):
+    """Scan + projection (A1/A6): column pruning reaches the parquet
+    reader — ReadSchema carries only the 3 columns."""
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@query(
+    "q_filter_eq",
+    oracle=(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ),
+)
+def q_filter_eq(spark, sf_dir):
+    """Equality predicate (A2) — pushed to the parquet scan."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "q_filter_range_numeric",
+    oracle=(
+        "SELECT p_partkey, p_size, p_retailprice FROM part "
+        "WHERE p_size BETWEEN 10 AND 20 "
+        "AND p_retailprice BETWEEN 500.0 AND 1500.0"
+    ),
+)
+def q_filter_range_numeric(spark, sf_dir):
+    """2-D numeric range predicate — the bbox filter shape (A3)."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_retailprice").between(500.0, 1500.0)
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "q_filter_ts_range",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01'"
+    ),
+)
+def q_filter_ts_range(spark, sf_dir):
+    """Temporal range predicate (A4/A5) — the reference's day-window
+    filter generalized; pushed down as parquet min/max pruning."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@query(
+    "q_regexp_extract",
+    oracle=(
+        "SELECT p_partkey, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word "
+        "FROM part"
+    ),
+)
+def q_regexp_extract(spark, sf_dir):
+    """Regex group extraction (A14 — MGRS-from-URL analog)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word")
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle=(
+        "SELECT doc_id, lower(source) AS src_lower, "
+        "substring(text, 1, 10) AS prefix10, "
+        "starts_with(text, 'key') AS starts_key, "
+        "ends_with(source, '0') AS ends_zero, "
+        "concat(lang, '/', source) AS lang_source "
+        "FROM documents"
+    ),
+)
+def q_string_funcs(spark, sf_dir):
+    """String scalar functions (A6 link-filter building blocks)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("source").alias("src_lower"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.col("text").startswith("key").alias("starts_key"),
+        F.col("source").endswith("0").alias("ends_zero"),
+        F.concat(F.col("lang"), F.lit("/"), F.col("source")).alias("lang_source"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(month(o_orderdate) AS INT) AS o_month, "
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
+        "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) "
+        "AS days_since FROM orders"
+    ),
+)
+def q_date_funcs(spark, sf_dir):
+    """Date/time scalar functions (A5 day-window, A22 date-range)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, "
+        "least(l_quantity, 25.0) AS qty_capped, "
+        "greatest(l_discount, l_tax) AS max_rate, "
+        "abs(l_discount - l_tax) AS rate_gap, "
+        # round to 4: price(2dp) × discount-complement(2dp) is exactly
+        # 4-decimal, so 4dp rounding never sits on a half boundary
+        # (2dp does, and Spark HALF_UP vs DuckDB diverge there)
+        "round(l_extendedprice * (1 - l_discount), 4) AS disc_price "
+        "FROM lineitem"
+    ),
+)
+def q_math_funcs(spark, sf_dir):
+    """Math scalar functions — the grid-clamp arithmetic shape (A16)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("rate_gap"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "disc_price"
+        ),
+    )
+
+
+# --- arrays / JSON ------------------------------------------------------
+
+@query(
+    "q_explode_array",
+    oracle="SELECT vec_id, unnest(embedding) AS component FROM embeddings",
+)
+def q_explode_array(spark, sf_dir):
+    """Array explode / manifest fan-in shape (A12)."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.explode("embedding").alias("component")
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=(
+        "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+        "embedding[1] AS first_component, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive "
+        "FROM embeddings"
+    ),
+)
+def q_array_funcs(spark, sf_dir):
+    """Array scalar + higher-order functions (A6 link-array scan)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
+        "FROM events"
+    ),
+)
+def q_json_funcs(spark, sf_dir):
+    """JSON scalar extraction over events.props (D1/D3 analog)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# --- aggregation ---------------------------------------------------------
+
+@query(
+    "q_hash_agg",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "round(avg(l_extendedprice), 6) AS avg_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def q_hash_agg(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregate — the flagship query.
+
+    Partial (map-side) aggregation + 6-group final: the cheapest
+    possible shuffle shape; survives any scale-up because group
+    cardinality is constant.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark, sf_dir):
+    """DISTINCT (A13 set-semantics building block)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query("q_count_distinct_approx", oracle=None)  # HLL sketches differ per engine
+def q_count_distinct_approx(spark, sf_dir):
+    """approx_count_distinct — sketch-based distinct at scale.
+
+    rows-only check: HyperLogLog estimates are engine-specific.
+    """
+    return t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(month(o_orderdate) AS INT) AS o_month, "
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price "
+        "FROM orders GROUP BY ROLLUP (o_year, o_month)"
+    ),
+)
+def q_grouping_sets(spark, sf_dir):
+    """ROLLUP aggregate — partition-stats shape for the D4 sink."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+    )
+    return o.rollup("o_year", "o_month").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_collect_list_group",
+    oracle=(
+        "SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers "
+        "FROM lineitem GROUP BY l_orderkey"
+    ),
+)
+def q_collect_list_group(spark, sf_dir):
+    """Group → array (A10 manifest build). Arrays sorted for the
+    order-insensitive manifest semantics the reference tests use
+    (tests/test_workflow.py:49-51)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"))
+    )
+
+
+@query(
+    "q_first_match_per_group",
+    oracle=(
+        "SELECT o_custkey, o_orderkey AS first_orderkey, "
+        "o_orderdate AS first_orderdate FROM orders "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1"
+    ),
+)
+def q_first_match_per_group(spark, sf_dir):
+    """Per-group first match (A6 first-stac-link), made deterministic
+    with an explicit (date, key) order — `first()` without order is a
+    correctness bug at any scale."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) FILTER (WHERE event_type = 'click') AS click, "
+        "count(*) FILTER (WHERE event_type = 'view') AS view, "
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "count(*) FILTER (WHERE event_type = 'error') AS error "
+        "FROM events GROUP BY day"
+    ),
+)
+def q_pivot(spark, sf_dir):
+    """Pivot — reporting extension; explicit value list avoids the
+    extra distinct-values job Spark otherwise runs."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    e = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    p = e.groupBy("day").pivot("event_type", kinds).count()
+    # pivot-count yields NULL for empty cells; oracle FILTER yields 0
+    return p.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+@query(
+    "q_join_inner_hash",
+    oracle=(
+        "SELECT n_name, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+)
+def q_join_inner_hash(spark, sf_dir):
+    """Equi inner join chain with broadcast dims.
+
+    nation (25 rows) is explicitly broadcast; customer is small enough
+    for AQE/broadcast threshold at test scale but shuffle-joins at
+    100 TB — exactly the right behavior switch, left to Catalyst.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_left_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate < TIMESTAMP '1996-01-01')"
+    ),
+)
+def q_join_left_anti(spark, sf_dir):
+    """Anti join ≡ the reference's skip-existing guard (A9): work
+    units minus already-done outputs. The date filter keeps the
+    result non-trivial (every customer has *some* order)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_left_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O')"
+    ),
+)
+def q_join_left_semi(spark, sf_dir):
+    """Semi join — A9's dual (keep only work units with inputs)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle=(
+        "SELECT c_custkey, n_orders FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS n_orders "
+        "FROM customer FULL OUTER JOIN "
+        "(SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01') o "
+        "ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) WHERE n_orders = 0 OR c_custkey IS NULL"
+    ),
+)
+def q_join_outer(spark, sf_dir):
+    """Full outer join + null probe — the completeness check shape
+    (A13): entities on either side with no partner."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .filter((F.col("n_orders") == 0) | F.col("c_custkey").isNull())
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=(
+        "WITH windows AS ("
+        "SELECT unnest(generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-31', INTERVAL 6 HOUR)) AS win_start) "
+        "SELECT win_start, count(*) AS n_events, "
+        "round(sum(value), 2) AS sum_value "
+        "FROM windows JOIN events ON ts >= win_start "
+        "AND ts < win_start + INTERVAL 6 HOUR "
+        "GROUP BY win_start"
+    ),
+)
+def q_join_range(spark, sf_dir):
+    """Non-equi (range) join — events × time windows (A3 spatial-range
+    analog). Window side is tiny → broadcast nested-loop, which is the
+    right physical plan; at scale you'd bucketize ts to make it equi.
+    """
+    e = t(spark, sf_dir, "events")
+    windows = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01', "
+        "timestamp'2024-01-31', interval 6 hours)) AS win_start"
+    )
+    return (
+        F.broadcast(windows)
+        .join(
+            e,
+            (e.ts >= windows.win_start)
+            & (e.ts < windows.win_start + F.expr("interval 6 hours")),
+        )
+        .groupBy("win_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+@query(
+    "q_set_except",
+    oracle=(
+        "SELECT CAST(unnest(generate_series(DATE '2024-01-01', "
+        "DATE '2024-02-14', INTERVAL 1 DAY)) AS DATE) AS day "
+        "EXCEPT SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day "
+        "FROM events"
+    ),
+)
+def q_set_except(spark, sf_dir):
+    """EXCEPT — the completeness gate's expected-minus-actual set
+    (A13, write.py:172-202): generated day range minus observed days."""
+    expected = spark.sql(
+        "SELECT explode(sequence(date'2024-01-01', date'2024-02-14', "
+        "interval 1 day)) AS day"
+    )
+    actual = (
+        t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    return expected.exceptAll(actual)
+
+
+@query(
+    "q_set_union_intersect",
+    oracle=(
+        "(SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer "
+        "UNION SELECT CAST(s_nationkey AS INT) FROM supplier) "
+        "INTERSECT SELECT n_nationkey FROM nation"
+    ),
+)
+def q_set_union_intersect(spark, sf_dir):
+    """UNION + INTERSECT — manifest fan-in set semantics (A12)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    return c.union(s).distinct().intersect(n)
+
+
+# --- sort / top-k / windows ---------------------------------------------
+
+@query(
+    "q_topk",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+    ),
+)
+def q_topk(spark, sf_dir):
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition heap + driver merge, no global sort. Tiebreak on key
+    keeps the row SET deterministic across engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_sort_global",
+    oracle=None,  # set below (built from the shared Morton generator)
+)
+def q_sort_global(spark, sf_dir):
+    """Global total order by a derived space-filling-curve key
+    (A16/A17): rank materializes the order so the oracle can verify
+    it value-wise despite order-insensitive hashing."""
+    from hls_stac_parquet_spark.functions.spatial import morton_key
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        morton_key(F.col("user_id") % 256, F.col("event_id") % 256).alias("z_key"),
+    )
+    w = Window.orderBy("z_key", "event_id")
+    return e.withColumn("z_rank", F.row_number().over(w))
+
+
+def _sort_global_oracle() -> str:
+    from hls_stac_parquet_spark.functions.spatial import morton_key_sql
+
+    z = morton_key_sql("user_id % 256", "event_id % 256", dialect="duckdb")
+    return (
+        f"SELECT event_id, {z} AS z_key, "
+        "CAST(row_number() OVER (ORDER BY z_key, event_id) AS INT) AS z_rank "
+        "FROM events"
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+        "FROM orders) WHERE rnk <= 3"
+    ),
+)
+def q_window_rank(spark, sf_dir):
+    """Ranking window — dedup-keep-best shape."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "round(value - coalesce(lag(value) OVER w, value), 6) AS delta_value, "
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+)
+def q_window_analytic(spark, sf_dir):
+    """Analytic window (lag + running sum) — time-series extension."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 6
+        ).alias("delta_value"),
+        F.round(F.sum("value").over(frame), 6).alias("running_value"),
+    )
+
+
+# late-bind the generated oracle (keeps the generator single-sourced)
+from hls_stac_parquet_spark.queries.registry import REGISTRY as _R  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_R["q_sort_global"] = _dc.replace(_R["q_sort_global"], oracle=_sort_global_oracle())

@@ -1,0 +1,79 @@
+"""Dedup operator tests on small corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hls_stac_parquet_spark.operators.dedup import (
+    dedup_exact,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("today", "tonight")  # 1-token edit → near-dup
+    far = "completely different content about spark query engines and parquet files"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [BASE, BASE.upper(), near, far, BASE],  # 1,2,5 exact after norm
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_dedup_exact_groups(docs):
+    out = {r.keep_id: r.n_copies for r in dedup_exact(docs).collect()}
+    assert out[1] == 3  # 1, 2 (case), 5 (identical)
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signatures(docs, num_hashes=32).collect()
+    assert all(len(r.signature) == 32 for r in sig)
+    by_id = {r.doc_id: r.signature for r in sig}
+    assert by_id[1] == by_id[5]  # identical docs → identical signatures
+    common_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    common_14 = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert common_13 > common_14  # near-dup shares more minhashes
+
+
+def test_minhash_candidates_find_near_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs, min_est_jaccard=0.4).collect()
+    }
+    assert (1, 5) in pairs and (1, 2) in pairs
+    assert (1, 3) in pairs  # near-dup caught by at least one band
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming(docs, spark):
+    by_id = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert by_id[1] == by_id[5]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(by_id[1], by_id[3]) < ham(by_id[1], by_id[4])
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(docs, max_hamming=8).collect()
+    }
+    assert (1, 5) in cand
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=2, min_jaccard=0.2).collect()
+    }
+    assert pairs[(1, 5)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one edited token kills 2 bigrams
+    assert (1, 4) not in pairs

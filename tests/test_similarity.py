@@ -1,0 +1,74 @@
+"""Similarity-search tests: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hls_stac_parquet_spark.operators.similarity import (
+    cosine_pairs_above,
+    cosine_topk,
+    lsh_cosine_candidates,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, DIM))
+    # plant near-duplicates: vec 100+i ≈ vec i for i in 0..4
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(40)]
+    for i in range(5):
+        noisy = base[i] + rng.standard_normal(DIM) * 0.01
+        rows.append((100 + i, noisy.astype(np.float32).tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
+def _numpy_topk(pdf, k):
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    out = {}
+    for i, vid in enumerate(ids):
+        order = np.lexsort((ids, -np.round(sims[i], 6)))
+        out[vid] = [ids[j] for j in order if ids[j] != vid][:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    expected = _numpy_topk(emb.toPandas(), 3)
+    got = {}
+    for r in cosine_topk(emb, k=3).collect():
+        got.setdefault(r.vec_id, []).append((r.rnk, r.neighbor_id))
+    for vid, lst in got.items():
+        assert [n for _, n in sorted(lst)] == expected[vid]
+
+
+def test_cosine_topk_finds_planted_neighbors(emb):
+    top1 = {
+        r.vec_id: r.neighbor_id for r in cosine_topk(emb, k=1).collect()
+    }
+    for i in range(5):
+        assert top1[i] == 100 + i
+        assert top1[100 + i] == i
+
+
+def test_cosine_pairs_threshold(emb):
+    pairs = {(r.vec_a, r.vec_b) for r in cosine_pairs_above(emb, 0.99).collect()}
+    assert pairs == {(i, 100 + i) for i in range(5)}
+
+
+def test_lsh_recall_on_planted_dups(emb):
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_cosine_candidates(emb, n_planes=16, bands=4, dim=DIM).collect()
+    }
+    planted = {(i, 100 + i) for i in range(5)}
+    recall = len(cand & planted) / len(planted)
+    assert recall >= 0.8  # random hyperplanes: near-identical vectors collide
