@@ -51,6 +51,8 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet (events.ts) is illegal for Spark's
         # reader; read as long and convert at the scan (registry.t)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # let Catalyst push filters into Python data sources (cmr)
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Pyspark-only niceties
         "spark.sql.execution.pythonUDF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

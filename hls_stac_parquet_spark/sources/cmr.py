@@ -1,0 +1,220 @@
+"""CMR granule-search DataSource (PySpark 4 Python Data Source API).
+
+The reference's catalog scan (A1, cmr_api.py:43-71) is an async
+generator that builds a query URL with collection/bbox/temporal
+parameters (the predicates are *compiled into the source request* —
+textbook pushdown, cmr_api.py:28-40) and pages through results with
+the ``cmr-search-after`` cursor.
+
+Here the same capability is a first-class Spark source:
+
+- ``spark.read.format("cmr")`` with options, or plain
+  ``.filter(...)`` calls — :meth:`CmrReader.pushFilters` accepts
+  EqualTo(collection_concept_id) and time_start/time_end range
+  filters and folds them into the request, so Catalyst's pushdown
+  reaches the REST catalog exactly like the hand-built query did.
+- partitions = one per UTC day in the temporal range: each Spark
+  task pages through its own day with its own cursor. The
+  reference's SNS/SQS/Lambda fan-out (A22/A24) collapses into source
+  partitioning; retries become ``spark.task.maxFailures``.
+- offline mode (``fixture_dir``): reads cassette-style JSON fixtures
+  (one ``{"feed": {"entry": [...]}}`` file per day) — the unit-test
+  path, mirroring the reference's VCR cassettes.
+
+Network access uses stdlib urllib only, and only when ``endpoint``
+is explicitly configured — no implicit egress.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from hls_stac_parquet_spark.model import CMR_GRANULE_SCHEMA
+
+DEFAULT_PAGE_SIZE = 2000  # CMR hard cap (cmr_api.py:44,55)
+
+
+class _DayPartition(InputPartition):
+    def __init__(self, day: str):
+        self.day = day
+
+
+class CmrReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.collection = options.get("collection_concept_id")
+        self.temporal_start = options.get("temporal_start")
+        self.temporal_end = options.get("temporal_end")
+        self.bbox = options.get("bbox")  # "w,s,e,n"
+        self.page_size = min(
+            max(1, int(options.get("page_size", DEFAULT_PAGE_SIZE))),
+            DEFAULT_PAGE_SIZE,
+        )
+        self.fixture_dir = options.get("fixture_dir")
+        self.endpoint = options.get("endpoint")
+
+    # --- Catalyst filter pushdown (A2/A4) -------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
+        """Fold supported predicates into the catalog request; return
+        the rest for Spark to evaluate post-scan."""
+        unsupported = []
+        for f in filters:
+            col = f.attribute[-1] if hasattr(f, "attribute") else None
+            if isinstance(f, EqualTo) and col == "collection_concept_id":
+                self.collection = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == "time_start":
+                self.temporal_start = str(f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and col == "time_end":
+                self.temporal_end = str(f.value)
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    # --- partition planning: one task per day (A22) ----------------------
+    def partitions(self) -> list[InputPartition]:
+        if self.temporal_start and self.temporal_end:
+            start = dt.date.fromisoformat(self.temporal_start[:10])
+            end = dt.date.fromisoformat(self.temporal_end[:10])
+            days = [
+                (start + dt.timedelta(days=i)).isoformat()
+                for i in range((end - start).days + 1)
+            ]
+            return [_DayPartition(d) for d in days]
+        if self.fixture_dir:
+            days = sorted(
+                f[:-5]
+                for f in os.listdir(self.fixture_dir)
+                if f.endswith(".json")
+            )
+            return [_DayPartition(d) for d in days]
+        return [_DayPartition("all")]
+
+    # --- scan ----------------------------------------------------------------
+    def read(self, partition: _DayPartition) -> Iterator[tuple]:
+        if self.fixture_dir:
+            yield from self._read_fixture(partition.day)
+        elif self.endpoint:
+            yield from self._read_http(partition.day)
+        else:
+            raise ValueError(
+                "cmr source needs either fixture_dir (offline) or endpoint"
+            )
+
+    def _entry_to_row(self, entry: dict) -> tuple:
+        links = entry.get("links") or None
+        if links is not None:
+            links = [
+                (
+                    (l or {}).get("rel"),
+                    (l or {}).get("title"),
+                    (l or {}).get("hreflang"),
+                    (l or {}).get("href"),
+                )
+                for l in links
+            ]
+        return tuple(
+            links
+            if f.name == "links"
+            else None
+            if f.name == "_corrupt_record"
+            else entry.get(f.name)
+            for f in self.schema.fields
+        )
+
+    def _matches(self, entry: dict, day: str) -> bool:
+        """Residual source-side filtering for fixtures: mimic what the
+        real catalog applies server-side for the pushed predicates."""
+        if self.collection and entry.get("collection_concept_id") != self.collection:
+            return False
+        if day != "all" and entry.get("time_start", "")[:10] not in ("", day):
+            return False
+        return True
+
+    def _read_fixture(self, day: str) -> Iterator[tuple]:
+        if day == "all":
+            paths = [
+                os.path.join(self.fixture_dir, f)
+                for f in sorted(os.listdir(self.fixture_dir))
+                if f.endswith(".json")
+            ]
+        else:
+            p = os.path.join(self.fixture_dir, f"{day}.json")
+            paths = [p] if os.path.exists(p) else []
+        for path in paths:
+            with open(path) as fh:
+                data = json.load(fh)
+            for entry in data.get("feed", {}).get("entry", []):
+                if self._matches(entry, day):
+                    yield self._entry_to_row(entry)
+
+    def _read_http(self, day: str) -> Iterator[tuple]:
+        """Cursor-paginated scan of one day window (cmr_api.py:55-71):
+        page_size-capped GETs following the ``cmr-search-after``
+        header until exhausted. stdlib urllib; per-task, so total
+        concurrency = number of day partitions running."""
+        import urllib.parse
+        import urllib.request
+
+        params = {
+            "page_size": str(self.page_size),
+        }
+        if self.collection:
+            params["collection_concept_id[]"] = self.collection
+        if day != "all":
+            params["temporal[]"] = f"{day}T00:00:00Z,{day}T23:59:59Z"
+        elif self.temporal_start and self.temporal_end:
+            params["temporal[]"] = f"{self.temporal_start},{self.temporal_end}"
+        if self.bbox:
+            params["bounding_box"] = self.bbox
+
+        search_after = None
+        while True:
+            url = f"{self.endpoint}?{urllib.parse.urlencode(params)}"
+            req = urllib.request.Request(
+                url, headers={"client-id": "hls_stac_parquet_spark"}
+            )
+            if search_after:
+                req.add_header("cmr-search-after", search_after)
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                search_after = resp.headers.get("cmr-search-after")
+                data = json.loads(resp.read().decode())
+            entries = data.get("feed", {}).get("entry", [])
+            for entry in entries:
+                yield self._entry_to_row(entry)
+            if not search_after or not entries:
+                return
+
+
+class CmrDataSource(DataSource):
+    """``spark.read.format("cmr")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cmr"
+
+    def schema(self) -> StructType:
+        return CMR_GRANULE_SCHEMA
+
+    def reader(self, schema: StructType) -> CmrReader:
+        return CmrReader(schema, self.options)
+
+
+def register_cmr_source(spark) -> None:
+    spark.dataSource.register(CmrDataSource)
