@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The engine treats media exactly like a training-data pipeline at
+100 TB must: bytes stay an opaque ``binary`` column until the last
+possible moment, all decode/transform work runs inside
+``mapInPandas`` (Arrow batches, no per-row Python), and the *shape*
+of every stage — schema in, schema out, batch-wise numpy — is real
+and tested even where the actual codec is stubbed (the image/audio
+libraries are not in this container; see ``_decode_image_real``).
+
+Real deployments drop in PIL/torchaudio/ffmpeg inside the same
+generator functions; nothing about the Spark plan changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("content", BinaryType()),  # opaque media payload
+    ]
+)
+
+FEATURE_DIM = 32
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """The real decode seam. PIL/opencv are not available in this
+    environment — a deployment implements this and deletes the
+    raise; everything around it (batching, schema, partitioning) is
+    already exercised by the deterministic fake."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use deterministic_feature() (test path) or plug in PIL here"
+    )
+
+
+def deterministic_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in feature extractor: stretch the sha256
+    of the payload into ``dim`` floats in [0,1). Stable across runs,
+    machines, and partitionings — exactly what a test oracle needs."""
+    h = hashlib.sha256(payload)
+    raw = b""
+    while len(raw) < dim * 4:
+        h = hashlib.sha256(h.digest())
+        raw += h.digest()
+    ints = np.frombuffer(raw[: dim * 4], dtype=np.uint32)
+    return (ints / np.float64(2**32)).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """media(bytes) → fixed-dim feature vectors, Arrow-batched.
+
+    One generator invocation per Arrow batch (10^3-10^4 rows), numpy
+    inner work — the plan scales by adding partitions, never by
+    driver-side loops.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                for p in pdf[bytes_col]
+            ]
+            feats = [deterministic_feature(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "media_type": pdf[type_col].to_numpy(),
+                    "n_bytes": np.array([len(p) for p in payloads], dtype=np.int32),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, _FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Video-style frame sampling: one feature row per sampled frame.
+
+    The fake 'codec' treats each ``every_n_bytes`` slice as a frame;
+    a real one swaps in ffmpeg keyframe extraction with the same
+    fan-out shape (explode-like 1→N row growth inside the UDF, which
+    is the part that matters for the plan)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = (
+                    payload if isinstance(payload, (bytes, bytearray))
+                    else bytes(payload)
+                )
+                n_frames = min(max(len(payload) // every_n_bytes, 1), max_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    feats.append(deterministic_feature(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame_feature": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, _FRAMES_SCHEMA)

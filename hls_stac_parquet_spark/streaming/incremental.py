@@ -1,0 +1,168 @@
+"""Incremental (Structured Streaming) mode — SURVEY.md §7 phase 5.
+
+The reference's incrementality is a hand-rolled HEAD-before-work
+guard plus a months-later batch compaction (links.py:100-103,
+write.py:146-149). Structured Streaming replaces that bookkeeping
+wholesale: checkpoints remember what was processed, watermarks bound
+state for late re-publishes, and ``Trigger.AvailableNow`` gives the
+same "drain everything new, then stop" semantics the daily cron job
+has — with exactly-once file-sink output.
+
+These helpers return streaming DataFrames/queries; they share the
+batch operators' expressions (the tumbling agg is literally the same
+``window()`` expression as q_tumbling_window_agg).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_manifest_links(
+    spark: SparkSession, links_src: str, collection_id: str
+) -> DataFrame:
+    """Incremental manifest ingest: every *new* daily manifest file
+    under the links prefix becomes (day, url) rows exactly once.
+
+    File-source + checkpoint = the reference's skip-existing guard
+    without the per-key HEAD probes.
+    """
+    raw = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("recursiveFileLookup", "true")
+        .load(f"{links_src}/links/{collection_id}")
+    )
+    day = F.regexp_extract(
+        F.input_file_name(), r"(\d{4}-\d{2}-\d{2})\.json$", 1
+    ).cast("date")
+    return raw.select(
+        F.lit(collection_id).alias("collection_id"),
+        day.alias("day"),
+        F.explode(F.from_json("value", "array<string>")).alias("url"),
+    )
+
+
+def dedup_urls_within_watermark(
+    links: DataFrame, event_time_col: str = "seen_at", delay: str = "1 day"
+) -> DataFrame:
+    """Late re-publish protection: URL dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only while the
+    watermark can still admit a duplicate — state stays O(recent
+    URLs) instead of O(all URLs ever), the difference between a
+    streaming job that survives a year and one that OOMs in a week.
+    """
+    return links.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    q_tumbling_window_agg (same window() expression, plus the
+    watermark that lets Spark emit+drop finalized windows)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Custom stateful operator (applyInPandasWithState): gap-based
+    sessions with a processing-time timeout flush. State is one
+    (start, last, count) triple per user — constant per key."""
+    gap_us = 30 * 60 * 1_000_000
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_us = (
+        pd.concat([pdf["ts"] for pdf in pdfs]).sort_values().astype("int64") // 1000
+    )
+    closed = []
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = int(ts_us.iloc[0])
+        n = 0
+    for t in ts_us:
+        t = int(t)
+        if t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = t
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(60_000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming
+    operator — the capability q_sessionize expresses in batch,
+    carried over with per-user GroupState."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

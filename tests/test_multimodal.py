@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, and
+the 1→N frame fan-out — everything except the codec itself."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hls_stac_parquet_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    _decode_image_real,
+    deterministic_feature,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytes(range(256)) * 8),   # 2 KiB
+        (2, "image", b"\x00" * 100),
+        (3, "video", bytes(range(256)) * 20),  # 5 KiB → 5 frames
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_shape(media):
+    out = extract_features(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(len(r.feature) == FEATURE_DIM for r in rows.values())
+    assert rows[1].n_bytes == 2048
+    assert all(0.0 <= v < 1.0 for v in rows[1].feature)
+
+
+def test_features_deterministic_across_partitionings(media):
+    one = {r.media_id: r.feature for r in extract_features(media).collect()}
+    many = {
+        r.media_id: r.feature
+        for r in extract_features(media.repartition(3)).collect()
+    }
+    assert one == many
+
+
+def test_deterministic_feature_is_content_addressed():
+    a = deterministic_feature(b"hello")
+    b = deterministic_feature(b"hello")
+    c = deterministic_feature(b"hello!")
+    assert np.array_equal(a, b) and not np.array_equal(a, c)
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, every_n_bytes=1024, max_frames=8).collect()
+    per_id = {}
+    for r in frames:
+        per_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert sorted(per_id[3]) == [0, 1, 2, 3, 4]  # 5 KiB / 1 KiB
+    assert per_id[2] == [0]  # short payload still yields one frame
+
+
+def test_real_codec_seam_is_explicit():
+    with pytest.raises(NotImplementedError, match="image codec"):
+        _decode_image_real(b"payload")
