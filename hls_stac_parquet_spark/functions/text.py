@@ -89,6 +89,40 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def token_hashes(text: Column | str) -> Column:
+    """xxhash64 per lowercase token (array<bigint>) — the one pass
+    that touches strings; everything downstream is fixed-width."""
+    return F.transform(tokens(F.lower(_col(text))), lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from(tok_hash_col: Column | str, k: int = 3,
+                        mask_bits: int = 31) -> Column:
+    """Word k-shingle *hashes* from a MATERIALIZED token-hash column:
+    combine each window of k token hashes with one fixed-width
+    xxhash64 call — no shingle-string construction (concat of k
+    tokens allocates ~k× the corpus in transient strings; hashing
+    longs is ALU-bound instead of string-throughput-bound).
+
+    ``tok_hash_col`` must be a real column (project
+    :func:`token_hashes` first), NOT an inline expression: Spark
+    inlines repeated non-column subexpressions inside HOF lambdas,
+    which would re-hash every token k× per window.
+
+    Documents shorter than k tokens yield one window padded with
+    NULL-hash (deterministic). Result masked to ``mask_bits`` bits
+    (non-negative, multiply-safe for universal hashing).
+    """
+    tok_h = _col(tok_hash_col)
+    n = F.size(tok_h)
+    windows = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        windows,
+        lambda i: F.xxhash64(
+            *[F.element_at(tok_h, (i + j).cast("int")) for j in range(k)]
+        ).bitwiseAND(F.lit((1 << mask_bits) - 1)),
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles (array<string>) for MinHash/Jaccard dedup.
 

@@ -1,0 +1,123 @@
+"""Physical-plan shape assertions — the 100-TB audit as tests.
+
+Correct results with a wrong plan (full scans, cartesian joins,
+global single-partition sorts) pass value checks at sf0.01 and fall
+over at scale; these tests pin the plan properties that matter.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hls_stac_parquet_spark.queries import REGISTRY
+from tests.conftest import SF0001
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF0001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF0001)
+    return df._jdf.queryExecution().toString()
+
+
+def test_filters_push_to_parquet_scan(spark):
+    """Predicates must reach the scan (PushedFilters), and projection
+    must prune the read schema."""
+    for name, col in [
+        ("q_filter_eq", "c_mktsegment"),
+        ("q_filter_range_numeric", "p_size"),
+        ("q_filter_ts_range", "l_shipdate"),
+    ]:
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan and col in plan.split("PushedFilters:")[1][:300], name
+
+
+def test_scan_project_prunes_columns(spark):
+    plan = _plan(spark, "q_scan_project")
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_hash_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate nodes around the shuffle."""
+    plan = _plan(spark, "q_hash_agg")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_join_inner_broadcasts_dims(spark):
+    plan = _plan(spark, "q_join_inner_hash")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_semi_join_types(spark):
+    assert "LeftAnti" in _plan(spark, "q_join_left_anti")
+    assert "LeftSemi" in _plan(spark, "q_join_left_semi")
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    """Non-equi join against the tiny window dim must broadcast, not
+    shuffle or go cartesian."""
+    plan = _plan(spark, "q_join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-
+    partition heaps), not a global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, "q_topk")
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark):
+    """The relational core must run inside WholeStageCodegen spans.
+    (AQE finalizes the plan only on execution, so run the query first.)"""
+    for name in ("q_hash_agg", "q_math_funcs", "q_string_funcs", "q_hilbert_key"):
+        df = REGISTRY[name].fn(spark, SF0001)
+        df.collect()  # a write clones the QueryExecution; collect finalizes df's own
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+        assert "*(" in plan, name
+
+
+def test_no_python_udfs_in_relational_core(spark):
+    """Python only where declared (similarity/spatial/sketch hybrid
+    paths); the relational core stays JVM-side."""
+    for name in (
+        "q_hash_agg", "q_join_inner_hash", "q_window_rank", "q_sessionize",
+        "q_text_stats", "q_hilbert_key", "q_dedup_exact", "q_ngram_jaccard",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_cosine_topk_has_no_shuffle(spark):
+    """Broadcast-GEMM similarity: one mapInPandas, zero Exchange."""
+    plan = _plan(spark, "q_cosine_topk")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_sort_global_range_partitions(spark):
+    """Total sort must range-partition (sample-based), not single-
+    partition the data before ordering."""
+    from hls_stac_parquet_spark.functions.spatial import morton_key
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF0001}/events.parquet")
+        .select(F.col("user_id") % 256, (F.col("event_id") % 256))
+    )
+    # the building block used by cluster_by_hilbert
+    plan = (
+        spark.read.parquet(f"{SF0001}/lineitem.parquet")
+        .repartitionByRange(F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower()
