@@ -15,3 +15,4 @@ from hls_stac_parquet_spark.queries.registry import REGISTRY, QuerySpec, query  
 from hls_stac_parquet_spark.queries import relational  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import reference_ops  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import llmdata  # noqa: F401,E402
+from hls_stac_parquet_spark.queries import extras  # noqa: F401,E402
