@@ -41,8 +41,18 @@ def main() -> None:
 
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
 
-    # JVM/codegen warmup on the flagship query (not timed)
+    # warmup (not timed): JVM/codegen via the flagship query, plus one
+    # trivial pandas UDF to spin up the Arrow Python workers the
+    # similarity/sketch queries use
     run_query(REGISTRY["q_hash_agg"].fn(spark, sf_dir))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _noop(x):
+        return x
+
+    run_query(spark.range(0, 1000).select(_noop("id")))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -136,15 +136,18 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH-banded MinHash near-duplicate candidate pairs.
 
-    signature → ``bands`` band-hashes → explode → self-join on
-    (band, hash) → distinct pairs → estimate Jaccard as the matching
-    fraction of the two signatures (zip_with, JVM-side).
+    signature → ``bands`` band-hashes → explode → bucket groupBy →
+    in-bucket pair expansion (operators/lsh.bucket_pairs: ONE shuffle,
+    no self-join) → estimate Jaccard as the matching fraction of the
+    two signatures (zip_with, JVM-side, via broadcast signature dim).
 
     ``max_bucket`` drops degenerate buckets (e.g. the empty-document
     bucket) whose quadratic blow-up would dominate at scale — the
     standard guard; dropped buckets are all-identical docs anyway,
     which exact dedup already catches.
     """
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     # branch point: banded view + two verification joins reuse it
@@ -160,32 +163,12 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    # only (id, band, hash) shuffles — signatures stay out of the join
+    # only (id, band, hash) shuffles — signatures stay out of the pairing
     banded = sig.select(
         F.col(id_col), F.posexplode(band_cols).alias("band", "band_hash")
     )
-
-    bucket_sizes = banded.groupBy("band", "band_hash").count()
-    banded = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
-        ["band", "band_hash"],
-        "left_semi",
-    )
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    pairs = bucket_pairs(banded, ["band", "band_hash"], id_col, max_bucket).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
     # verify candidates against full signatures via broadcast joins
@@ -275,14 +258,16 @@ def simhash_candidate_pairs(
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit SimHash band → bucket join →
-    exact Hamming distance filter (popcount via bit_count)."""
-    # sketch feeds both sides of the self-join — compute once
+    """Near-dup candidates: equal ~16-bit SimHash band → bucket pair
+    expansion (one shuffle, operators/lsh.bucket_pairs) → exact
+    Hamming distance filter (popcount) via broadcast sketch dim."""
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
+    # sketch feeds the pairing AND both Hamming lookups — compute once
     sh = simhash(df, text_col, id_col).persist()
     band_width = 63 // bands + 1
     banded = sh.select(
         id_col,
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -294,24 +279,20 @@ def simhash_candidate_pairs(
             )
         ).alias("band", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    pairs = bucket_pairs(banded, ["band", "band_val"], id_col).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sh_b"))
+    return (
+        pairs.join(F.broadcast(sh_a), "doc_a")
+        .join(F.broadcast(sh_b), "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

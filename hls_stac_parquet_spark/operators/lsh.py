@@ -1,0 +1,51 @@
+"""Shared LSH bucket-pair generation.
+
+The naive shape is a self-join on (band, bucket) — which costs a
+bucket-size pre-aggregation, a semi-join guard, the join itself, and
+a distinct. One groupBy does the same work: collect each bucket's ids
+once, drop degenerate buckets by size, and expand ordered pairs
+*inside* the row with nested higher-order functions. One shuffle
+total, and the max_bucket guard is a WHERE clause instead of an extra
+aggregation + semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(bucket_cols..., id) rows → distinct (id_a < id_b) pairs that
+    co-occur in at least one bucket of size in [2, max_bucket]."""
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    ids = F.col("_ids")
+    n = F.size(ids)
+    # ordered index pairs (i < j), expanded row-side: the bucket is
+    # already local, so the quadratic work happens without any join
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids, i.cast("int")).alias("id_a"),
+                    F.element_at(ids, j.cast("int")).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

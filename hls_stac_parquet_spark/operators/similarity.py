@@ -183,6 +183,8 @@ def lsh_cosine_candidates(
                 {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "sig": sig}
             )
 
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
     sigs = df.select(id_col, vec_col).mapInPandas(sig_gen, sig_schema)
     banded = sigs.select(
         "vec_id",
@@ -195,16 +197,6 @@ def lsh_cosine_candidates(
             )
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+    return bucket_pairs(banded, ["band", "bucket"], "vec_id").select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
     )
