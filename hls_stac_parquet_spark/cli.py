@@ -1,0 +1,109 @@
+"""CLI mirroring the reference's commands (cli.py:14-26) so a user of
+``hls-stac-parquet`` can switch 1:1:
+
+    python -m hls_stac_parquet_spark.cli cache-daily-stac-json-links \\
+        HLSL30 2025-10-01 /dest --end-date 2025-10-31
+    python -m hls_stac_parquet_spark.cli write-monthly-stac-geoparquet \\
+        HLSL30 2025-10 /links /dest
+
+Differences by design: a DATE RANGE is one Spark job (the reference
+dispatches one Lambda per day, A22/A24 — here days are source
+partitions), and ``backfill`` replaces the batch_publisher's
+origin-to-yesterday fan-out (batch_publisher.py:62-88).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+from hls_stac_parquet_spark.constants import COLLECTIONS
+from hls_stac_parquet_spark.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("collection", choices=sorted(COLLECTIONS))
+    p.add_argument("--fixture-dir", help="offline CMR fixtures (tests)")
+    p.add_argument("--endpoint", help="CMR granule search endpoint")
+    p.add_argument("--protocol", default="https")
+    p.add_argument("--bbox", help="w,s,e,n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hls-stac-parquet-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("cache-daily-stac-json-links")
+    _add_common(p1)
+    p1.add_argument("date", type=dt.date.fromisoformat)
+    p1.add_argument("dest")
+    p1.add_argument("--end-date", type=dt.date.fromisoformat)
+
+    p2 = sub.add_parser("write-monthly-stac-geoparquet")
+    p2.add_argument("collection", choices=sorted(COLLECTIONS))
+    p2.add_argument("month", help="YYYY-MM")
+    p2.add_argument("links_src")
+    p2.add_argument("dest")
+    p2.add_argument("--no-require-complete", action="store_true")
+
+    p3 = sub.add_parser("backfill")
+    _add_common(p3)
+    p3.add_argument("dest")
+    p3.add_argument("--start-date", type=dt.date.fromisoformat,
+                    help="default: collection origin")
+    p3.add_argument("--end-date", type=dt.date.fromisoformat,
+                    help="default: yesterday (UTC)")
+
+    args = ap.parse_args(argv)
+    coll = COLLECTIONS[args.collection]
+    spark = get_spark(f"hls-{args.cmd}")
+
+    if args.cmd == "cache-daily-stac-json-links":
+        from hls_stac_parquet_spark.plans.daily_ingest import (
+            cache_daily_stac_json_links,
+        )
+
+        written = cache_daily_stac_json_links(
+            spark, coll.concept_id, coll.collection_id, args.date, args.dest,
+            end_date=args.end_date,
+            bbox=tuple(map(float, args.bbox.split(","))) if args.bbox else None,
+            protocol=args.protocol, fixture_dir=args.fixture_dir,
+            endpoint=args.endpoint,
+        )
+        print(f"wrote {len(written)} manifests")
+    elif args.cmd == "write-monthly-stac-geoparquet":
+        from hls_stac_parquet_spark.plans.monthly_compact import (
+            write_monthly_stac_geoparquet,
+        )
+
+        year, month = map(int, args.month.split("-"))
+        res = write_monthly_stac_geoparquet(
+            spark, coll.collection_id, year, month, args.links_src, args.dest,
+            origin_date=coll.origin_date,
+            require_complete_links=not args.no_require_complete,
+        )
+        print(f"wrote {res['written']} items to {len(res['files'])} files "
+              f"({res['failed']} dead-lettered, skipped={res['skipped']})")
+    elif args.cmd == "backfill":
+        from hls_stac_parquet_spark.plans.daily_ingest import (
+            cache_daily_stac_json_links,
+        )
+
+        start = args.start_date or coll.origin_date
+        end = args.end_date or (
+            dt.datetime.now(dt.timezone.utc).date() - dt.timedelta(days=1)
+        )
+        written = cache_daily_stac_json_links(
+            spark, coll.concept_id, coll.collection_id, start, args.dest,
+            end_date=end,
+            bbox=tuple(map(float, args.bbox.split(","))) if args.bbox else None,
+            protocol=args.protocol, fixture_dir=args.fixture_dir,
+            endpoint=args.endpoint,
+        )
+        print(f"backfilled {len(written)} manifests ({start}..{end})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,10 +11,22 @@ import os
 
 TILES = ["15TWN", "15TWM", "31UDQ", "33KXQ", "56JKT", "04QFJ"]
 
+#: approximate 100km-square centers (matches functions/mgrs decode) so
+#: item geometry is geographically consistent with the tile id
+TILE_CENTERS = {
+    "15TWN": (-92.34, 47.40),
+    "15TWM": (-92.35, 46.50),
+    "31UDQ": (2.31, 49.20),
+    "33KXQ": (16.46, -23.05),
+    "56JKT": (150.53, -24.84),
+    "04QFJ": (-157.55, 21.25),
+}
+
 
 def _stac_item(title: str, tile: str, day: dt.date, idx: int) -> dict:
-    lon0 = -93.0 + idx
-    lat0 = 46.0 + (idx % 3)
+    clon, clat = TILE_CENTERS[tile]
+    lon0 = clon - 0.5
+    lat0 = clat - 0.5
     ring = [
         [lon0, lat0],
         [lon0 + 1, lat0],
