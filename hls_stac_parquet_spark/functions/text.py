@@ -123,6 +123,36 @@ def shingle_hashes_from(tok_hash_col: Column | str, k: int = 3,
     )
 
 
+def winnow_fingerprints(
+    tok_hash_col: Column | str,
+    k: int = 3,
+    window: int = 4,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): the
+    distinct minima of every ``window`` consecutive k-gram hashes,
+    sorted. Guarantees: any shared substring of length ≥ k + window - 1
+    tokens produces at least one shared fingerprint, and the selected
+    set is position-independent — the standard rolling-hash local-
+    fingerprinting scheme for plagiarism/near-dup detection.
+
+    Pure built-in HOFs over a materialized token-hash column (project
+    :func:`token_hashes` first — same inlining caveat as
+    :func:`shingle_hashes_from`): k-gram hashes via fixed-width hash
+    combining, window minima via ``array_min`` over ``slice``. Zero
+    Python, zero shuffle — a per-row map that keeps ~2/(window+1) of
+    the k-gram hashes, so the downstream (fingerprint → doc) inverted
+    index shuffles a constant fraction of the corpus hash volume.
+    """
+    grams = shingle_hashes_from(tok_hash_col, k)
+    n = F.size(grams)
+    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(grams, i, window)))
+        )
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles (array<string>) for MinHash/Jaccard dedup.
 

@@ -5,6 +5,7 @@ manifest fan-in, failure split) or the 100-TB training-data extension
 demands (dedup, similarity search, text quality, multimodal).
 """
 
+from hls_stac_parquet_spark.operators.asof import asof_join  # noqa: F401
 from hls_stac_parquet_spark.operators.completeness import (  # noqa: F401
     completeness_check,
     expected_days,
@@ -25,5 +26,6 @@ from hls_stac_parquet_spark.operators.manifests import (  # noqa: F401
 from hls_stac_parquet_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_above,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_candidates,
 )

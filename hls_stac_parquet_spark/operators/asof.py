@@ -1,0 +1,110 @@
+"""As-of (temporal point-in-time) join.
+
+The reference pipeline never needs one, but any event-attribution or
+time-series enrichment workload does ("for each purchase, the latest
+preceding click of the same user"). Spark has no built-in ASOF JOIN
+(DuckDB/Pandas do), and the naive formulations both fail at 100 TB:
+
+- range join (``l.ts >= r.ts`` theta join + keep-latest): builds the
+  full cross product per key before pruning — quadratic in key
+  cardinality's hot spots;
+- broadcast lookup: caps the right side at executor memory.
+
+The scalable formulation is the *merge* one: tag both sides, union,
+hash-partition by key, sort each partition by (ts, side), and carry
+the most recent right-side payload forward with ``last(...,
+ignorenulls=True)`` over a running window. One shuffle on the key,
+one partition-local sort, zero row amplification — the same plan a
+native ASOF merge join would pick. (Pattern: union-sort-carry-forward,
+as used for point-in-time joins in feature-store pipelines.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    matched_ts_alias: str = "matched_ts",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the payload of the
+    latest right row of the same ``by`` key with ``right.ts <= left.ts``
+    (``<`` when ``inclusive=False``); left rows with no prior right row
+    keep NULL payloads (ASOF LEFT semantics).
+
+    Every non-key, non-ts right column becomes a payload column carried
+    onto the matched left rows; the matched right timestamp itself is
+    exposed as ``matched_ts_alias``. Payload/left column names must not
+    collide (rename before joining — keeps the result schema explicit).
+
+    If the right side has several rows per (key, ts) the winner among
+    them is unspecified — pre-aggregate the right side to one row per
+    (key, ts) for a deterministic result (cheap: it's the same shuffle
+    key this join uses, so the aggregation pipelines into the sort).
+
+    Skew note: a single hot key lands in one partition (windows cannot
+    split a key). For planet-scale hot keys, bucket ``ts`` into coarse
+    epochs, run the join per (key, epoch) with the previous epoch's
+    tail row appended, then union — same semantics, bounded partitions.
+    """
+    by = list(by)
+    rts = right_ts_col or ts_col
+    payload = [c for c in right.columns if c not in by and c != rts]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    # side ordering makes ties resolve to "matched" (inclusive) or
+    # "not matched" (exclusive): the side that must win at equal ts
+    # sorts first so last() has (inclusive) / hasn't (exclusive) seen it
+    right_side, left_side = (0, 1) if inclusive else (1, 0)
+
+    l_tagged = left.select(
+        *by,
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(left_side).alias("_asof_side"),
+        *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+        F.lit(None).cast(right.schema[rts].dataType).alias(matched_ts_alias),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(rts).alias("_asof_ts"),
+        F.lit(right_side).alias("_asof_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by and c != ts_col
+        ],
+        F.col(rts).alias(matched_ts_alias),
+        *[F.col(c) for c in payload],
+    )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *by,
+        "_asof_ts",
+        "_asof_side",
+        *[c for c in left.columns if c not in by and c != ts_col],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [matched_ts_alias, *payload]],
+    )
+    return carried.filter(F.col("_asof_side") == left_side).select(
+        *by,
+        F.col("_asof_ts").alias(ts_col),
+        *[c for c in left.columns if c not in by and c != ts_col],
+        matched_ts_alias,
+        *payload,
+    )

@@ -144,6 +144,145 @@ def cosine_pairs_above(
     return df.select(id_col, vec_col).mapInPandas(gen, _PAIRS_SCHEMA)
 
 
+def ivf_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    index — the other 100 TB ANN path, complementary to
+    :func:`lsh_cosine_candidates`:
+
+    1. **train**: spherical-ish coarse quantizer = MLlib KMeans (fixed
+       seed) over unit-normalized vectors; ``n_clusters`` centroids,
+       distributed fit, tiny result → broadcast.
+    2. **index**: every vector assigned to its nearest centroid (one
+       argmax per Arrow batch, map-side only).
+    3. **probe**: every query vector fans out to its ``n_probe``
+       nearest centroids (recall/cost dial).
+    4. **search**: corpus and probes cogrouped per cluster — one
+       numpy GEMM per (cluster) group, local top-k, then a global
+       top-k window per query.
+
+    Shuffle profile: corpus shuffles ONCE on cluster id (the inverted
+    list build), probes shuffle at ``n_probe×`` their row count —
+    both narrow rows. No all-pairs product anywhere; cost ∝
+    Σ_cluster |corpus_c| × |probes_c|. Recall is tested against
+    :func:`cosine_topk` ground truth (tests/test_similarity.py).
+    """
+    spark = df.sparkSession
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        base = df.select(id_col, vec_col)
+        unit = base.select(
+            array_to_vector(
+                (lambda norm: F.transform(vec_col, lambda x: x / norm))(
+                    F.sqrt(
+                        F.aggregate(
+                            vec_col,
+                            F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                        )
+                    )
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(unit)
+        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    except Exception:  # pragma: no cover — MLlib unavailable/degenerate fit
+        # deterministic sample fallback: evenly-spaced corpus vectors
+        pdf = df.select(id_col, vec_col).orderBy(id_col).limit(10000).toPandas()
+        step = max(1, len(pdf) // n_clusters)
+        centers = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][::step][:n_clusters]]
+        )
+    cnorm = np.linalg.norm(centers, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    centers = centers / cnorm[:, None]
+    bc_centers = spark.sparkContext.broadcast(centers)
+
+    from pyspark.sql.types import ArrayType
+
+    def _unit_rows(pdf_col) -> "np.ndarray":
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    @F.pandas_udf(IntegerType())
+    def assign(col: pd.Series) -> pd.Series:
+        sims = _unit_rows(col) @ bc_centers.value.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(col: pd.Series) -> pd.Series:
+        sims = _unit_rows(col) @ bc_centers.value.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
+    probes = df.select(
+        id_col, vec_col, F.explode(probe(vec_col)).alias("cluster")
+    )
+
+    def search(key, corpus_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(corpus_pdf) == 0 or len(probe_pdf) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"vec_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64})
+        r_ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
+        q_ids = probe_pdf[id_col].to_numpy(dtype=np.int64)
+        sims = np.round(
+            _unit_rows(probe_pdf[vec_col]) @ _unit_rows(corpus_pdf[vec_col]).T,
+            round_digits,
+        )
+        out_q, out_n, out_s = [], [], []
+        for row_i in range(len(q_ids)):
+            mask = r_ids != q_ids[row_i]
+            cand_ids, cand_s = r_ids[mask], sims[row_i][mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([q_ids[row_i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_s[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cosine": np.asarray(out_s, dtype=np.float64),
+            }
+        )
+
+    local = (
+        corpus.groupBy("cluster")
+        .cogroup(probes.groupBy("cluster"))
+        .applyInPandas(
+            search,
+            StructType(
+                [
+                    StructField("vec_id", LongType()),
+                    StructField("neighbor_id", LongType()),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def lsh_cosine_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

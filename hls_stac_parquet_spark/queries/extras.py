@@ -1,11 +1,13 @@
 """Additional operator-class queries beyond the core §2.B table:
-exact percentiles, statistical aggregates, skew-salted join.
+exact percentiles, statistical aggregates, skew-salted join, as-of
+join.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hls_stac_parquet_spark.operators.asof import asof_join
 from hls_stac_parquet_spark.operators.skew import salted_inner_join
 from hls_stac_parquet_spark.queries.registry import query, t
 
@@ -69,3 +71,39 @@ def q_join_skew_salted(spark, sf_dir):
     n = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nationkey")
     joined = salted_inner_join(c, n, "nationkey", salt=8, salt_source="c_custkey")
     return joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q_asof_join",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "     r AS (SELECT user_id, ts, max(event_id) AS prior_click_id "
+        "           FROM events WHERE event_type = 'click' "
+        "           GROUP BY user_id, ts) "
+        "SELECT l.user_id, l.ts, l.event_id, l.value, "
+        "       r.ts AS prior_click_ts, r.prior_click_id "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+)
+def q_asof_join(spark, sf_dir):
+    """Point-in-time attribution: each purchase joined to the latest
+    preceding click of the same user (DuckDB `ASOF LEFT JOIN` is the
+    oracle). Spark side is operators/asof.py's union-sort-carry-forward
+    merge formulation: ONE shuffle on user_id, no range cross-product.
+    Right side pre-aggregated to one row per (user_id, ts) so the
+    tie-winner is deterministic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_click_id"))
+    )
+    return asof_join(
+        purchases, clicks, by=["user_id"], ts_col="ts",
+        matched_ts_alias="prior_click_ts",
+    )

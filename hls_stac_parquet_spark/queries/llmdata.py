@@ -17,7 +17,9 @@ from hls_stac_parquet_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    token_hashes,
     tokens,
+    winnow_fingerprints,
 )
 from hls_stac_parquet_spark.operators.dedup import (
     dedup_exact,
@@ -28,6 +30,7 @@ from hls_stac_parquet_spark.operators.dedup import (
 from hls_stac_parquet_spark.operators.similarity import (
     cosine_pairs_above,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_candidates,
 )
 from hls_stac_parquet_spark.queries.registry import query, t
@@ -124,6 +127,23 @@ def q_fingerprint(spark, sf_dir):
     """Deterministic md5 content fingerprint (normalized text)."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", doc_fingerprint("text").alias("fp")
+    )
+
+
+@query("q_winnow_fingerprint", oracle=None)  # xxhash64 k-grams — rows-only
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling local-minimum) fingerprints per document —
+    the MOSS scheme: any shared run of ≥ k+window-1 tokens between two
+    documents yields a shared fingerprint. Pure JVM HOFs, no shuffle;
+    guarantee property-tested in tests/test_text_functions.py."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", token_hashes("text").alias("_th"))
+        .select(
+            "doc_id",
+            winnow_fingerprints("_th").alias("fingerprints"),
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints"))
     )
 
 
@@ -227,3 +247,13 @@ def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH candidate pairs — the no-broadcast scale
     path; recall vs brute force is asserted in tests/test_similarity."""
     return lsh_cosine_candidates(t(spark, sf_dir, "embeddings"))
+
+
+@query("q_ann_ivf", oracle=None)  # KMeans quantizer — rows-only
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: MLlib-KMeans coarse quantizer, per-
+    cluster cogrouped GEMM, n_probe fan-out. Recall vs the exact
+    brute-force top-k is asserted in tests/test_similarity."""
+    return ivf_cosine_topk(
+        t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, n_probe=3
+    )

@@ -1,0 +1,76 @@
+"""As-of join semantics on a hand-checkable fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from hls_stac_parquet_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "ts": [_ts(5), _ts(10), _ts(20), _ts(7), _ts(1)],
+                "l_val": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2, 2],
+                "ts": [_ts(4), _ts(10), _ts(7), _ts(9)],
+                "r_val": [40, 100, 70, 90],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(sides):
+    left, right = sides
+    out = {
+        (r.k, r.ts): (r.r_val, r.matched_ts)
+        for r in asof_join(left, right, by=["k"]).collect()
+    }
+    assert len(out) == 5  # every left row survives (left-outer)
+    assert out[(1, _ts(5))] == (40, _ts(4))  # latest ts<=5 is 4
+    assert out[(1, _ts(10))] == (100, _ts(10))  # inclusive: equal ts matches
+    assert out[(1, _ts(20))] == (100, _ts(10))
+    assert out[(2, _ts(7))] == (70, _ts(7))  # not the later ts=9 row
+    assert out[(3, _ts(1))] == (None, None)  # key with no right rows
+
+
+def test_asof_backward_exclusive(sides):
+    left, right = sides
+    out = {
+        (r.k, r.ts): r.r_val
+        for r in asof_join(left, right, by=["k"], inclusive=False).collect()
+    }
+    assert out[(1, _ts(10))] == 40  # equal ts excluded → falls back to ts=4
+    assert out[(2, _ts(7))] is None  # only right rows are at ts>=7
+
+
+def test_asof_column_collision_raises(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("r_val", "l_val"), by=["k"])
+
+
+def test_asof_one_shuffle_plan(sides):
+    """The plan must contain exactly one exchange (hash by key) feeding
+    the window sort — the merge formulation's scale guarantee."""
+    left, right = sides
+    plan = asof_join(left, right, by=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -72,3 +72,27 @@ def test_lsh_recall_on_planted_dups(emb):
     planted = {(i, 100 + i) for i in range(5)}
     recall = len(cand & planted) / len(planted)
     assert recall >= 0.8  # random hyperplanes: near-identical vectors collide
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    """IVF with n_probe covering half the clusters must recover most
+    of the exact top-k set; with n_probe == n_clusters it IS exact
+    (every cluster scanned)."""
+    from hls_stac_parquet_spark.operators.similarity import ivf_cosine_topk
+
+    k = 3
+    exact = _numpy_topk(emb.toPandas(), k)
+    approx = {}
+    out = ivf_cosine_topk(emb, k=k, n_clusters=4, n_probe=2, seed=1).collect()
+    for r in out:
+        approx.setdefault(r.vec_id, []).append(r.neighbor_id)
+    hits = sum(len(set(approx.get(v, [])) & set(exact[v])) for v in exact)
+    recall = hits / sum(len(exact[v]) for v in exact)
+    assert recall >= 0.5  # half the inverted lists probed
+
+    full = ivf_cosine_topk(emb, k=k, n_clusters=4, n_probe=4, seed=1)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.vec_id, []).append((r.rnk, r.neighbor_id))
+    for vid, exp in exact.items():
+        assert [n for _, n in sorted(got[vid])] == exp

@@ -72,3 +72,65 @@ def test_url_parts(one):
     df = one(HLS_URL)
     assert _val(df, url_scheme("text")) == "https"
     assert _val(df, url_host("text")) == "data.lpdaac.earthdatacloud.nasa.gov"
+
+
+class TestWinnowing:
+    """Winnowing guarantee: shared token runs of length >= k+window-1
+    produce shared fingerprints, position-independently."""
+
+    def _fps(self, spark, texts):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from hls_stac_parquet_spark.functions.text import (
+            token_hashes,
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        rows = (
+            df.select("doc_id", token_hashes("text").alias("th"))
+            .select("doc_id", winnow_fingerprints("th").alias("fp"))
+            .collect()
+        )
+        return {r.doc_id: set(r.fp) for r in rows}
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 3+4-1
+        fps = self._fps(
+            spark,
+            [f"start one two {run} x y z", f"{run} completely other tail words here"],
+        )
+        assert fps[0] & fps[1]
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        fps = self._fps(
+            spark,
+            ["aa bb cc dd ee ff gg hh ii", "jj kk ll mm nn oo pp qq rr"],
+        )
+        assert not (fps[0] & fps[1])
+
+    def test_position_independent_selection(self, spark):
+        doc = "one two three four five six seven eight nine ten"
+        fps = self._fps(spark, [doc, f"prefix tokens here {doc}"])
+        # every fingerprint of the embedded copy that comes from the
+        # shared run must appear in the superstring's set
+        assert len(fps[0] & fps[1]) >= len(fps[0]) - 2
+
+    def test_sorted_distinct(self, spark):
+        import pandas as pd
+
+        from hls_stac_parquet_spark.functions.text import (
+            token_hashes,
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["w w w w w w w w w w"]})
+        )
+        row = df.select(
+            winnow_fingerprints(token_hashes("text")).alias("fp")
+        ).collect()[0]
+        assert row.fp == sorted(set(row.fp))
