@@ -142,15 +142,25 @@ def winnow_fingerprints(
     Python, zero shuffle — a per-row map that keeps ~2/(window+1) of
     the k-gram hashes, so the downstream (fingerprint → doc) inverted
     index shuffles a constant fraction of the corpus hash volume.
+
+    The k-gram array is let-bound via ``transform(array(grams), g ->
+    ...)`` so it is evaluated ONCE per row; referencing the ``grams``
+    expression directly inside the sliding-window lambda would re-hash
+    the whole document at every window position (O(n²·k) per doc).
     """
     grams = shingle_hashes_from(tok_hash_col, k)
-    n = F.size(grams)
-    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
-    return F.array_sort(
-        F.array_distinct(
-            F.transform(starts, lambda i: F.array_min(F.slice(grams, i, window)))
+
+    def _select_minima(g: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(g) - (window - 1), F.lit(1))
         )
-    )
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.array_min(F.slice(g, i, window)))
+            )
+        )
+
+    return F.element_at(F.transform(F.array(grams), _select_minima), 1)
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:

@@ -153,14 +153,19 @@ def ivf_cosine_topk(
     n_probe: int = 3,
     seed: int = 42,
     round_digits: int = 6,
+    train_sample: int = 10000,
+    lloyd_iters: int = 8,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF (inverted-file)
     index — the other 100 TB ANN path, complementary to
     :func:`lsh_cosine_candidates`:
 
-    1. **train**: spherical-ish coarse quantizer = MLlib KMeans (fixed
-       seed) over unit-normalized vectors; ``n_clusters`` centroids,
-       distributed fit, tiny result → broadcast.
+    1. **train**: spherical k-means quantizer fit on a bounded,
+       deterministic corpus sample (takeOrdered by ``xxhash64(id)`` —
+       no full shuffle) with seeded numpy Lloyd iterations; the
+       centroid matrix is tiny → broadcast. Sample-trained quantizers
+       are the standard IVF recipe at scale: training cost stays
+       constant as the corpus grows.
     2. **index**: every vector assigned to its nearest centroid (one
        argmax per Arrow batch, map-side only).
     3. **probe**: every query vector fans out to its ``n_probe``
@@ -176,33 +181,27 @@ def ivf_cosine_topk(
     :func:`cosine_topk` ground truth (tests/test_similarity.py).
     """
     spark = df.sparkSession
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        base = df.select(id_col, vec_col)
-        unit = base.select(
-            array_to_vector(
-                (lambda norm: F.transform(vec_col, lambda x: x / norm))(
-                    F.sqrt(
-                        F.aggregate(
-                            vec_col,
-                            F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                        )
-                    )
-                )
-            ).alias("features")
-        )
-        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(unit)
-        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    except Exception:  # pragma: no cover — MLlib unavailable/degenerate fit
-        # deterministic sample fallback: evenly-spaced corpus vectors
-        pdf = df.select(id_col, vec_col).orderBy(id_col).limit(10000).toPandas()
-        step = max(1, len(pdf) // n_clusters)
-        centers = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][::step][:n_clusters]]
-        )
+    # Deterministic bounded training sample: top-N by hash of id is a
+    # takeOrdered (per-partition heap + merge), not a global sort.
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    X = X / xn[:, None]
+    n_clusters = min(n_clusters, len(X))
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    for _ in range(lloyd_iters):
+        owner = np.argmax(X @ centers.T, axis=1)
+        for j in range(n_clusters):
+            members = X[owner == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
     cnorm = np.linalg.norm(centers, axis=1)
     cnorm[cnorm == 0] = 1.0
     centers = centers / cnorm[:, None]
