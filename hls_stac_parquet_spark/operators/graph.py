@@ -1,0 +1,86 @@
+"""Iterative graph operators: connected components for dedup
+clustering.
+
+The missing last stage of a production dedup pipeline: candidate
+*pairs* (MinHash/SimHash/Jaccard — operators/dedup.py) must become
+duplicate *clusters* with one canonical survivor each. Pairs form an
+undirected graph; a cluster is a connected component; the canonical
+doc is the component's minimum id.
+
+The reference repo has no graph ops (its only set op is the
+completeness check, ``/root/reference`` ``src/hls_stac_parquet/
+write.py:172-202``); this enters via the north-star LLM-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label-propagation connected components.
+
+    Returns ``(node, component)`` where ``component`` is the smallest
+    node id reachable from ``node`` — deterministic, independent of
+    partitioning. Nodes are the distinct endpoints of ``edges``
+    (isolated nodes never enter a dedup graph).
+
+    Algorithm: alternating-direction min propagation — each round every
+    node adopts ``min(label, min(neighbor labels))`` via a join on the
+    symmetrized edge list, until a round changes nothing (driver-side
+    convergence check on a single aggregate). Converges in O(diameter)
+    rounds; near-dup graphs are unions of small cliques, so 2-3 rounds
+    in practice.
+
+    Scale posture: each round is one shuffle join on node id plus a
+    groupBy min — the Hash-to-Min pattern (Rastogi et al., "Finding
+    Connected Components in MapReduce"). Labels are single longs; the
+    edge list is never widened. ``persist``/``unpersist`` bound the
+    lineage so round N doesn't recompute rounds 1..N-1.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).persist()
+    sym.count()  # materialize once; reused every round
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -249,11 +249,177 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_cosine_candidates(t(spark, sf_dir, "embeddings"))
 
 
-@query("q_ann_ivf", oracle=None)  # KMeans quantizer — rows-only
+@query("q_ann_ivf", oracle=None)  # seeded sample-trained quantizer — rows-only
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k: MLlib-KMeans coarse quantizer, per-
-    cluster cogrouped GEMM, n_probe fan-out. Recall vs the exact
-    brute-force top-k is asserted in tests/test_similarity."""
+    """IVF approximate top-k: sample-trained spherical-kmeans coarse
+    quantizer, per-cluster cogrouped GEMM, n_probe fan-out. Recall vs
+    the exact brute-force top-k is asserted in tests/test_similarity."""
     return ivf_cosine_topk(
         t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, n_probe=3
+    )
+
+
+# --- relevance scoring ------------------------------------------------------
+
+#: shared tokenization CTE (lowercase single-space split, empty-safe)
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' "
+    "GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents)"
+)
+
+
+@query(
+    "q_tfidf",
+    oracle=(
+        "WITH " + _TOK_CTE + " "
+        "SELECT doc_id, term, tf, score, CAST(rnk AS INT) AS rnk FROM ("
+        "SELECT tf.doc_id, tf.term, tf.tf, "
+        "round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score, "
+        "row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+        "round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) DESC, "
+        "tf.tf DESC, tf.term) AS rnk "
+        "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) WHERE rnk <= 3"
+    ),
+)
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic corpus-relevance
+    pipeline: term counts (one explode + groupBy), document frequency
+    (second groupBy on the term-level aggregate, NOT on raw tokens —
+    the big shuffle carries (doc,term,tf) rows once), idf joined back
+    via broadcast (|vocab| rows = dim-table sized at any corpus scale;
+    n_docs rides in as a literal-free cross join of a 1-row aggregate).
+    Ranking on the rounded score with (tf, term) tiebreak keeps the
+    row set engine-portable despite float ln()."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", score.alias("score"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=(
+        "WITH " + _TOK_CTE + ", "
+        "dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl "
+        "FROM documents), "
+        "avgdl AS (SELECT avg(dl) AS avgdl FROM dl) "
+        "SELECT tf.doc_id AS doc_id, round(sum("
+        "ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+        "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))"
+        "), 6) AS bm25 "
+        "FROM tf JOIN df ON tf.term = df.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN n CROSS JOIN avgdl "
+        "WHERE tf.term IN ('spark', 'join', 'merge') "
+        "GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
+    ),
+)
+def q_bm25(spark, sf_dir):
+    """BM25(k1=1.2, b=0.75) relevance of every document against a
+    3-term query, top-10. Same tf/df skeleton as :func:`q_tfidf` plus
+    two 1-row broadcast aggregates (corpus size, average doc length).
+    The term filter lands BEFORE the join (Catalyst pushes it through),
+    so only posting lists of the 3 query terms shuffle — exactly an
+    inverted-index probe."""
+    docs = t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "merge"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("term").isin(terms))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dl = docs.select("doc_id", F.size(tokens(F.lower(F.col("text")))).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+# --- dedup clustering -------------------------------------------------------
+
+_JACCARD_PAIRS_CTE = (
+    "base AS (SELECT doc_id, string_split(lower(text), ' ') AS ts "
+    "FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), "
+    "grams AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) "
+    "AS shingle FROM base)), "
+    "counts AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+    "FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT doc_a, doc_b FROM common "
+    "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
+    "WHERE n_common / (ca.n_shingles + cb.n_shingles - n_common) >= 0.5)"
+)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=(
+        "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + ", "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lbl) AS ("
+        "SELECT DISTINCT a, a FROM edges "
+        "UNION "
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node) "
+        "SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node"
+    ),
+    bench=False,  # built on the quadratic ground-truth pair path
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS — the stage every production dedup needs
+    after candidate pairs: exact bigram-Jaccard pairs (same edge set as
+    q_ngram_jaccard) fed into min-label-propagation connected
+    components (operators/graph.py); cluster_id = smallest doc_id
+    reachable, i.e. the canonical survivor. Oracle = DuckDB recursive
+    CTE transitive closure over the same edges."""
+    from hls_stac_parquet_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=2, min_jaccard=0.5
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -668,3 +668,182 @@ from hls_stac_parquet_spark.queries.registry import REGISTRY as _R  # noqa: E402
 import dataclasses as _dc  # noqa: E402
 
 _R["q_sort_global"] = _dc.replace(_R["q_sort_global"], oracle=_sort_global_oracle())
+
+
+# --- unpivot / distribution windows / subqueries / sampling -----------
+
+@query(
+    "q_unpivot",
+    oracle=(
+        "WITH a AS (SELECT l_returnflag, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_price, "
+        "round(sum(l_discount), 4) AS sum_disc "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a "
+        "UNION ALL "
+        "SELECT l_returnflag, 'sum_price', sum_price FROM a "
+        "UNION ALL "
+        "SELECT l_returnflag, 'sum_disc', sum_disc FROM a"
+    ),
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt) of per-group measures — the inverse of
+    q_pivot. Spark's UNPIVOT compiles to Expand (one pass, no join/
+    union re-scan — at scale this beats the UNION ALL formulation the
+    oracle uses by a factor of n_measures in scan volume)."""
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+@query(
+    "q_ntile",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, "
+        "CAST(ntile(4) OVER w AS INT) AS quartile, "
+        "round(percent_rank() OVER w, 6) AS pct_rank, "
+        "round(cume_dist() OVER w, 6) AS cum_dist "
+        "FROM customer WINDOW w AS "
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+    ),
+)
+def q_ntile(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist) —
+    quantile bucketing per segment; unique (acctbal, custkey) ordering
+    keeps every rank engine-portable."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)"
+    ),
+)
+def q_subquery_in(spark, sf_dir):
+    """Uncorrelated IN subquery — Catalyst rewrites it to a left-semi
+    join (RewritePredicateSubquery), same physical plan as
+    q_join_left_semi; exercises the SQL-surface path via spark.sql."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        "SELECT p_partkey, p_name FROM v_part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM v_lineitem WHERE l_quantity >= 49)"
+    )
+
+
+@query(
+    "q_subquery_exists",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) "
+        "AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer)"
+    ),
+)
+def q_subquery_exists(spark, sf_dir):
+    """Correlated EXISTS + scalar subquery in one predicate — the two
+    remaining subquery rewrites (semi-join pullout + scalar broadcast).
+    The scalar avg is rounded identically on both engines before the
+    comparison so boundary rows can't diverge."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM v_customer c "
+        "WHERE EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) "
+        "AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM v_customer)"
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')"
+    ),
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~12.5% sample (2/16 of the md5-hex keyspace) —
+    reproducible sampling for eval splits and data audits; unlike
+    TABLESAMPLE it is partition-layout-independent, so the same rows
+    are selected on any cluster at any parallelism."""
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    )
+
+
+@query(
+    "q_mode",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM ("
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY count(*) DESC, o_orderpriority) AS rn "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1"
+    ),
+)
+def q_mode(spark, sf_dir):
+    """Deterministic per-group mode: count + ranked pick with a value
+    tiebreak (built-in mode() is tie-nondeterministic across engines).
+    Two-level aggregate: the count groupBy shrinks the data to
+    |groups × values| before the window ranks it."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt"
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle=(
+        "SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket, "
+        "count(*) AS n, round(min(o_totalprice), 2) AS lo, "
+        "round(max(o_totalprice), 2) AS hi "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram (width_bucket analog) via floor-division
+    bucketing — a single partial-aggregated groupBy; bucket count is
+    data-range-bound, so the shuffle is O(buckets) regardless of
+    table size."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

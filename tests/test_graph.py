@@ -1,0 +1,33 @@
+"""Connected components (operators/graph.py) — dedup clustering."""
+
+import pandas as pd
+
+from hls_stac_parquet_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = connected_components(df).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_to_min(spark):
+    # a path graph needs multiple propagation rounds (diameter > 1)
+    got = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_self_loop_and_duplicate_edges(spark):
+    got = _cc(spark, [(7, 7), (8, 9), (9, 8), (8, 9)])
+    assert got == {7: 7, 8: 8, 9: 8}
+
+
+def test_clique_one_round(spark):
+    edges = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {20}
