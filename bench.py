@@ -41,28 +41,32 @@ def main() -> None:
 
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
 
-    # warmup (not timed): run the FULL query set once at the smallest
-    # available scale factor. This pays whole-stage-codegen compilation,
-    # JIT, and Arrow Python-worker spin-up outside the timed section, so
-    # the timings below measure steady-state throughput at the target sf
-    # — the quantity that extrapolates to a long-running cluster — not
-    # one-time JVM compile latency (which is amortized over a job's
-    # lifetime in production).
-    parent = os.path.dirname(sf_dir.rstrip("/"))
-    warm_dir = os.path.join(parent, "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # warmup (not timed): run the FULL query set once at the TARGET sf.
+    # This pays whole-stage-codegen/Janino compilation, JIT, AQE
+    # replanning, and Arrow Python-worker spin-up outside the timed
+    # section, so the timings below measure steady-state throughput at
+    # the target sf — the quantity that extrapolates to a long-running
+    # cluster — not one-time JVM compile latency (amortized over a
+    # job's lifetime in production). Measured: warming at a smaller sf
+    # does NOT warm the target-sf plans (AQE produces scale-specific
+    # physical plans whose generated code recompiles).
     for name in names:
         try:
-            run_query(REGISTRY[name].fn(spark, warm_dir))
+            run_query(REGISTRY[name].fn(spark, sf_dir))
         except Exception:
             pass  # a warmup failure just means a colder first timed run
+
+    # drop every cached/persisted intermediate the warmup left behind:
+    # timed runs must recompute all data from the parquet scans —
+    # steady-state compute, not cache-hit replay.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
         run_query(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
