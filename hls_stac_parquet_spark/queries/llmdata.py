@@ -423,3 +423,121 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# --- corpus statistics / decontamination / embedding stats ------------
+
+@query(
+    "q_top_terms",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term "
+        "FROM documents) "
+        "SELECT term, count(*) AS n FROM tok WHERE term <> '' "
+        "GROUP BY term ORDER BY n DESC, term LIMIT 20"
+    ),
+)
+def q_top_terms(spark, sf_dir):
+    """Corpus-wide top-20 terms — the vocabulary head every corpus
+    audit starts with. Explode → groupBy count is fully partial-
+    aggregated (the shuffle carries |vocab| partial counts, not
+    tokens); the final top-k is a TakeOrdered, not a global sort.
+    Tie-broken by term for engine portability."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=(
+        "WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), "
+        "train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0), "
+        "bgrams AS (SELECT DISTINCT shingle FROM (SELECT "
+        "unnest(list_transform(range(1, len(string_split(lower(text), ' '))), "
+        "i -> string_split(lower(text), ' ')[i] || ' ' || "
+        "string_split(lower(text), ' ')[i+1])) AS shingle FROM bench)), "
+        "tgrams AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(string_split(lower(text), ' '))), "
+        "i -> string_split(lower(text), ' ')[i] || ' ' || "
+        "string_split(lower(text), ' ')[i+1])) AS shingle FROM train)) "
+        "SELECT t.doc_id, count(*) AS n_shared "
+        "FROM tgrams t JOIN bgrams b ON t.shingle = b.shingle "
+        "GROUP BY t.doc_id"
+    ),
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination probe: which training documents share
+    n-grams with a held-out eval set (docs with id % 100 == 0 stand in
+    for the benchmark). The eval side's distinct shingle set is
+    dim-table sized at any corpus scale (eval sets are small), so it
+    BROADCASTS — the training corpus is scanned once, no shuffle of
+    train-side shingles; output is per-train-doc shared-shingle counts
+    (report/drop threshold downstream)."""
+    # let-bind the token array as a projected column BEFORE the
+    # bigram lambda: an inlined split(...) expression re-evaluates per
+    # lambda invocation (O(tokens²) splits per doc — measured 2.5×
+    # slower end-to-end)
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "_ts", tokens(F.lower(F.col("text")))
+    )
+    ts = F.col("_ts")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ts, i.cast("int")),
+                F.element_at(ts, (i + 1).cast("int")),
+            ),
+        )
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    # grams is array_distinct per doc, so the exploded (doc_id,
+    # shingle) pairs are already unique — no global distinct shuffle
+    train = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.explode(grams).alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "q_embedding_dim_stats",
+    oracle=(
+        "SELECT dim, round(avg(v), 4) AS mean, "
+        "round(stddev_samp(v), 4) AS std FROM ("
+        "SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, "
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) "
+        "GROUP BY dim"
+    ),
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std over the embedding corpus — the
+    normalization-statistics pass every vector pipeline needs (and a
+    collapsed-dimension detector: std≈0). posexplode keys the single
+    shuffle by dimension index (64 groups regardless of corpus size —
+    fully partial-aggregated). Rounded at 4 decimals: float32 values
+    summed as doubles in engine-specific order agree well past that."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .select("dim", F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean"),
+            F.round(F.stddev_samp("v"), 4).alias("std"),
+        )
+    )

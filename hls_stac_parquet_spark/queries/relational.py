@@ -847,3 +847,166 @@ def q_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# --- ordered string agg / conditional agg / cube / range frames -------
+
+@query(
+    "q_string_agg",
+    oracle=(
+        "SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg): per-nation supplier roster.
+    collect_list is order-nondeterministic after a shuffle, so the
+    array is sorted before concat — same discipline as the oracle's
+    ORDER BY inside string_agg. Nation side broadcasts (25 rows)."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            )
+        )
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "count(*) FILTER (WHERE o_totalprice > 200000) AS n_big, "
+        "round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) "
+        "AS urgent_total, "
+        "round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997), 6) "
+        "AS avg_1997 "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregates (SQL FILTER clause ≡ count_if/sum(when)):
+    three differently-filtered measures in ONE pass over orders — the
+    idiom that replaces three separate filtered scans; partial
+    aggregation keeps the shuffle at |groups| rows."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+            2,
+        ).alias("urgent_total"),
+        F.round(
+            F.avg(F.when(F.year("o_orderdate") == 1997, F.col("o_totalprice"))), 6
+        ).alias("avg_1997"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+)
+def q_cube(spark, sf_dir):
+    """CUBE aggregate with grouping_id — all 2^2 grouping-set
+    combinations in one Expand pass (the q_grouping_sets rollup's
+    full-lattice sibling); gid disambiguates which NULLs are
+    subtotal markers vs data."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
+        "AS rolling_1h "
+        "FROM events"
+    ),
+)
+def q_window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: per-user rolling 1-hour sum —
+    the time-series primitive row-based frames can't express when
+    events are irregularly spaced. Spark's rangeBetween needs a
+    numeric ordering key, so ts is projected to epoch seconds; the
+    frame [-3600, 0] is closed on both ends, matching the oracle's
+    INTERVAL RANGE semantics (ties at the boundary included)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_1h"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < "
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN '80' ELSE '1a' END"
+    ),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: ~50% of the BUILDING segment,
+    ~10% of every other stratum, selected by an md5 keyspace slice —
+    per-stratum rates without a shuffle (pure filter, pushable), and
+    partition-layout-independent unlike TABLESAMPLE, so eval splits
+    are reproducible on any cluster. ('80'/256 ≈ 50%, '1a'/256 ≈ 10%
+    of the first-byte hex space.)"""
+    c = t(spark, sf_dir, "customer")
+    threshold = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit("80")
+    ).otherwise(F.lit("1a"))
+    return c.select("c_custkey", "c_mktsegment").filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < threshold
+    )
+
+
+@query(
+    "q_shuffle_order",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), "
+        "o_orderkey) AS INT) AS shuffle_pos "
+        "FROM orders"
+    ),
+)
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic pseudo-random global ordering (training-data
+    shuffle): position = rank in md5-hash order. Reproducible across
+    engines/cluster layouts, unlike rand()-based shuffles. The global
+    row_number here is a single-partition window at test scale; the
+    scale path is the same hash as a sort KEY into
+    repartitionByRange + sortWithinPartitions (total order without a
+    global window) with positions assigned per-range-partition from
+    the partition row-count prefix sums."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+    return o.select(
+        "o_orderkey", F.row_number().over(w).cast("int").alias("shuffle_pos")
+    )

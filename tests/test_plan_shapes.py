@@ -121,3 +121,45 @@ def test_sort_global_range_partitions(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower()
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The eval-shingle side is dim-sized and must broadcast; the
+    training corpus never shuffles its shingles."""
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocab_dim(spark):
+    """df (document frequency) is |vocab|-sized — a broadcast dim; the
+    big (doc,term,tf) side must not sort-merge against it."""
+    plan = _plan(spark, "q_tfidf")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_terms_is_partial_agg_plus_takeordered(spark):
+    """Shuffle carries |vocab| partial counts; the top-k is a
+    per-partition heap, not a global sort."""
+    plan = _plan(spark, "q_top_terms")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_percentile_avoids_value_map_aggregate(spark):
+    """The sort-based exact quantile must not use the builtin
+    Percentile agg whose buffer carries every value as one map."""
+    plan = _plan(spark, "q_percentile")
+    assert "percentile" not in plan.lower()
+
+
+def test_embedding_dim_stats_partial_aggregates(spark):
+    """64 dimension groups regardless of corpus size — the explode
+    must partial-aggregate before the exchange."""
+    plan = _plan(spark, "q_embedding_dim_stats")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """No shuffle: per-stratum rates are a row-local predicate."""
+    plan = _plan(spark, "q_stratified_sample")
+    assert "Exchange" not in plan
