@@ -118,3 +118,38 @@ def q_tumbling_window_agg(spark, sf_dir):
         .select(F.col("win.start").alias("win_start"), "n_events", "sum_value",
                 "avg_value")
     )
+
+
+@query(
+    "q_session_window_agg",
+    oracle=(
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "count(*) AS n_events FROM ("
+        "SELECT user_id, ts, sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM ("
+        "SELECT event_id, user_id, ts, "
+        "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) >= 1800.0 "
+        "THEN 1 ELSE 0 END AS is_new FROM events)) "
+        "GROUP BY user_id, session_id"
+    ),
+)
+def q_session_window_agg(spark, sf_dir):
+    """Per-session aggregates via Spark's NATIVE session_window — the
+    merging-interval operator q_sessionize hand-builds with lag+cumsum
+    becomes one groupBy; the same expression runs under Structured
+    Streaming with a watermark (state-store-backed session merging).
+    Boundary semantics: an event exactly `gap` after the previous one
+    opens a NEW session (windows touch but don't overlap), hence the
+    oracle's >=. session_end is max(ts), not window.end (which is
+    last-event + gap)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

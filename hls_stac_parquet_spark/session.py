@@ -53,6 +53,10 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # let Catalyst push filters into Python data sources (cmr)
         "spark.sql.python.filterPushdown.enabled": "true",
+        # runtime bloom-filter join pruning: big-join probe sides get
+        # a semi-join filter built from the build side at runtime —
+        # the 100 TB join-pruning path (no-op on tiny inputs)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Pyspark-only niceties
         "spark.sql.execution.pythonUDF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
