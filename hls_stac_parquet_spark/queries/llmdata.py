@@ -9,6 +9,7 @@ are rows-only for the driver but property-tested in tests/.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hls_stac_parquet_spark.functions.text import (
     EN_STOPWORDS,
@@ -540,4 +541,169 @@ def q_embedding_dim_stats(spark, sf_dir):
             F.round(F.avg("v"), 4).alias("mean"),
             F.round(F.stddev_samp("v"), 4).alias("std"),
         )
+    )
+
+
+# --- corpus packing / chunking / mixture / health -----------------------
+
+@query(
+    "q_pack_sequences",
+    oracle=(
+        "SELECT doc_id, n_tok, CAST(floor((run - n_tok) / 512) AS BIGINT) AS bin "
+        "FROM (SELECT doc_id, n_tok, sum(n_tok) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS run FROM (SELECT doc_id, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) "
+        "AS n_tok FROM documents))"
+    ),
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: documents in doc_id
+    order are laid head-to-tail on a token tape; bin = which
+    512-token context window the document STARTS in (offset
+    prefix-sum // capacity). One running-sum window + arithmetic — no
+    per-bin iteration. The global window is single-partition at test
+    scale; the scale path range-partitions by doc_id and seeds each
+    partition with the per-partition token-count prefix sums (two
+    tiny jobs), keeping assignment deterministic and distributed."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.lower(F.col("text"))), lambda x: x != "")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    d = docs.select("doc_id", F.size(toks).cast("bigint").alias("n_tok"))
+    return d.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("bin"),
+    )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=(
+        "SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id, "
+        "substr(text, start, 200) AS chunk "
+        "FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1, 150)) "
+        "AS start FROM documents)"
+    ),
+)
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style overlapping chunking: width 200 chars, stride 150
+    (50-char overlap). Chunk starts are a generated sequence exploded
+    row-side — no shuffle at all; at corpus scale this is a pure map
+    whose output is write-partitioned downstream."""
+    docs = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    d = docs.select("doc_id", "text", F.explode(starts).alias("start"))
+    return d.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / 150).alias("chunk_id"),
+        F.substring(F.col("text"), F.col("start"), F.lit(200)).alias("chunk"),
+    )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle=(
+        "SELECT source, count(*) AS n_docs, "
+        f"count(DISTINCT {_FP_SQL}) AS n_unique, "
+        f"round(1.0 - count(DISTINCT {_FP_SQL}) / count(*), 6) AS dup_rate "
+        "FROM documents GROUP BY source"
+    ),
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    """Corpus-health report: exact-duplicate rate per source — the
+    metric that decides which crawl snapshots need dedup before
+    mixing. count(distinct fp) shuffles 32-char digests, never text;
+    partial aggregation collapses each partition's fingerprints
+    first."""
+    docs = t(spark, sf_dir, "documents")
+    fp = doc_fingerprint("text")
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.round(1.0 - F.count_distinct("fp") / F.count("*"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "q_mix_sources",
+    oracle=(
+        "WITH wt AS (SELECT source, CASE WHEN CAST(substr(source, 4) AS INT) "
+        "% 2 = 0 THEN '80' ELSE '1a' END AS thresh "
+        "FROM (SELECT DISTINCT source FROM documents)) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN wt USING (source) "
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < wt.thresh"
+    ),
+)
+def q_mix_sources(spark, sf_dir):
+    """Training-mixture sampling: per-source inclusion rates come from
+    a WEIGHTS DIM TABLE (~50% for even-numbered sources, ~10% for
+    odd), applied as a deterministic md5 keyspace slice. The dim is
+    |sources|-sized — broadcast — so the corpus scan stays
+    shuffle-free; swapping mixture weights re-runs only the filter,
+    not any shuffle. (In production the dim is a config table; here
+    it is derived from the distinct sources so the oracle can build
+    the identical one.)"""
+    docs = t(spark, sf_dir, "documents")
+    wt = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("80")
+            )
+            .otherwise(F.lit("1a"))
+            .alias("thresh"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(wt), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < F.col("thresh")
+        )
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_vector_normalize",
+    oracle=(
+        "SELECT vec_id, round(nrm, 4) AS l2_norm, "
+        "round(embedding[1] / nullif(nrm, 0.0), 4) AS dim0_unit FROM ("
+        "SELECT vec_id, embedding, sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * x))) AS nrm FROM embeddings)"
+    ),
+)
+def q_vector_normalize(spark, sf_dir):
+    """L2 normalization pass over the embedding corpus (plus the norm
+    itself — a degenerate-vector detector). Pure higher-order-function
+    arithmetic, JVM-side, zero shuffle; the full normalized vector at
+    scale is the same transform(x / norm) kept as an array column."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    d = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    return d.select(
+        "vec_id",
+        F.round("nrm", 4).alias("l2_norm"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            / F.nullif(F.col("nrm"), F.lit(0.0)),
+            4,
+        ).alias("dim0_unit"),
     )

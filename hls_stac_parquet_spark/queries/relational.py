@@ -1010,3 +1010,52 @@ def q_shuffle_order(spark, sf_dir):
     return o.select(
         "o_orderkey", F.row_number().over(w).cast("int").alias("shuffle_pos")
     )
+
+
+@query(
+    "q_upsert_merge",
+    oracle=(
+        "WITH updates AS (SELECT o_orderkey, o_orderstatus, "
+        "round(o_totalprice + 10.0, 2) AS o_totalprice FROM orders "
+        "WHERE o_orderkey % 10 = 0), "
+        "base AS (SELECT o_orderkey, o_orderstatus, "
+        "round(o_totalprice, 2) AS o_totalprice FROM orders "
+        "WHERE o_orderkey % 7 <> 0) "
+        "SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey, "
+        "coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus, "
+        "coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice, "
+        "CASE WHEN b.o_orderkey IS NULL THEN 'insert' "
+        "WHEN u.o_orderkey IS NULL THEN 'keep' ELSE 'update' END AS action "
+        "FROM base b FULL OUTER JOIN updates u USING (o_orderkey)"
+    ),
+)
+def q_upsert_merge(spark, sf_dir):
+    """MERGE/upsert semantics as a pure DataFrame plan: base ∪ updates
+    with update-wins conflict resolution and a per-row action tag —
+    the row-level generalization of the reference's file-level
+    skip-existing guard (A9, links.py:100-103). One full-outer
+    shuffle join on the key; in a lakehouse deployment the same plan
+    IS what Delta/Iceberg MERGE compiles to (plus file rewrite
+    planning). The synthetic split: updates = keys %10==0 (10%,
+    price bumped by a flat 10.0 — additive so no new decimal places
+    appear and rounding stays engine-portable), base = keys %7!=0 — so all three actions occur."""
+    o = t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    u, b = updates.alias("u"), base.alias("b")
+    joined = b.join(u, ["o_orderkey"], "full_outer")
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.when(F.col("b.o_orderstatus").isNull(), "insert")
+        .when(F.col("u.o_orderstatus").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
