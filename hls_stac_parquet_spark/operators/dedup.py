@@ -139,7 +139,7 @@ def minhash_candidate_pairs(
     signature → ``bands`` band-hashes → explode → bucket groupBy →
     in-bucket pair expansion (operators/lsh.bucket_pairs: ONE shuffle,
     no self-join) → estimate Jaccard as the matching fraction of the
-    two signatures (zip_with, JVM-side, via broadcast signature dim).
+    two signatures (zip_with, JVM-side, AQE-adaptive signature join).
 
     ``max_bucket`` drops degenerate buckets (e.g. the empty-document
     bucket) whose quadratic blow-up would dominate at scale — the
@@ -170,13 +170,16 @@ def minhash_candidate_pairs(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
-    # verify candidates against full signatures via broadcast joins
-    # (signature table = |docs| × num_hashes longs — dim-table sized)
+    # verify candidates against full signatures. Plain equi-joins on
+    # purpose: AQE broadcasts the signature side while it fits (test
+    # scale) and falls back to a shuffle join keyed on doc id when the
+    # corpus outgrows any broadcast (1B docs × 64 longs ≈ 0.5 TB of
+    # signatures — the candidate-pair side is the sparse one there)
     sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
     est = (
-        pairs.join(F.broadcast(sig_a), "doc_a")
-        .join(F.broadcast(sig_b), "doc_b")
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
         .withColumn(
             "est_jaccard",
             F.aggregate(
@@ -259,7 +262,10 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidates: equal ~16-bit SimHash band → bucket pair
     expansion (one shuffle, operators/lsh.bucket_pairs) → exact
-    Hamming distance filter (popcount) via broadcast sketch dim."""
+    Hamming distance filter (popcount) against the sketch table.
+    Verification joins are plain equi-joins: AQE broadcasts the
+    sketch side while it fits and shuffle-joins the sparse pair list
+    against it beyond broadcast scale."""
     from hls_stac_parquet_spark.operators.lsh import bucket_pairs
 
     # sketch feeds the pairing AND both Hamming lookups — compute once
@@ -284,8 +290,8 @@ def simhash_candidate_pairs(
     sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sh_a"))
     sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sh_b"))
     return (
-        pairs.join(F.broadcast(sh_a), "doc_a")
-        .join(F.broadcast(sh_b), "doc_b")
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .withColumn(
             "hamming", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
         )

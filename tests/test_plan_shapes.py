@@ -163,3 +163,25 @@ def test_stratified_sample_is_pure_filter(spark):
     """No shuffle: per-stratum rates are a row-local predicate."""
     plan = _plan(spark, "q_stratified_sample")
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a pure map: generated-sequence explode, no
+    Exchange anywhere."""
+    plan = _plan(spark, "q_chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_mix_sources_broadcasts_weights_dim(spark):
+    """The mixture-weights dim is |sources|-sized and must broadcast;
+    the corpus side stays shuffle-free."""
+    plan = _plan(spark, "q_mix_sources")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vector_normalize_no_python(spark):
+    """Norms are HOF arithmetic — JVM-side, no Python eval nodes."""
+    plan = _plan(spark, "q_vector_normalize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
