@@ -291,8 +291,11 @@ def q_tfidf(spark, sf_dir):
     pipeline: term counts (one explode + groupBy), document frequency
     (second groupBy on the term-level aggregate, NOT on raw tokens —
     the big shuffle carries (doc,term,tf) rows once), idf joined back
-    via broadcast (|vocab| rows = dim-table sized at any corpus scale;
-    n_docs rides in as a literal-free cross join of a 1-row aggregate).
+    AQE-adaptively (|vocab| broadcasts while it fits; a web-scale
+    vocabulary falls back to a shuffle join already keyed on term —
+    tf is term-partitioned coming out of the df aggregate, so the
+    fallback reuses that partitioning). n_docs rides in as a
+    literal-free cross join of a 1-row aggregate.
     Ranking on the rounded score with (tf, term) tiebreak keeps the
     row set engine-portable despite float ln()."""
     from pyspark.sql.window import Window
@@ -313,7 +316,7 @@ def q_tfidf(spark, sf_dir):
         score.desc(), F.col("tf").desc(), F.col("term")
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "term", "tf", score.alias("score"),

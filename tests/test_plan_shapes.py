@@ -130,10 +130,15 @@ def test_contamination_broadcasts_eval_set(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_tfidf_broadcasts_vocab_dim(spark):
-    """df (document frequency) is |vocab|-sized — a broadcast dim; the
-    big (doc,term,tf) side must not sort-merge against it."""
-    plan = _plan(spark, "q_tfidf")
+def test_tfidf_vocab_join_adapts_to_broadcast(spark):
+    """The vocab (document-frequency) join carries no broadcast hint —
+    at web scale the vocabulary outgrows any broadcast — but AQE must
+    convert it to a broadcast join at runtime while it fits."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+
+    df = REGISTRY["q_tfidf"].fn(spark, SF0001)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
