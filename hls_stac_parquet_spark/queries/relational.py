@@ -1059,3 +1059,163 @@ def q_upsert_merge(spark, sf_dir):
         .otherwise("update")
         .alias("action"),
     )
+
+
+# --- CDC keep-latest / star joins / funnel ----------------------------
+
+@query(
+    "q_keep_latest",
+    oracle=(
+        "SELECT o_custkey, o_orderkey AS latest_orderkey, "
+        "o_orderdate AS latest_date FROM ("
+        "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC"
+        ") AS rn FROM orders) WHERE rn = 1"
+    ),
+)
+def q_keep_latest(spark, sf_dir):
+    """CDC compaction idiom: keep the most recent record per key
+    (latest order per customer). Window rank-1 with a (date, key)
+    DESC tiebreak — deterministic where dropDuplicates is not; at
+    scale this is the standard change-log → snapshot collapse, one
+    shuffle on the key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_date"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-15' "
+        "AND l_shipdate > TIMESTAMP '1997-06-15' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    ),
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): the canonical 3-way selective
+    star join. Both filters reach their parquet scans (PushedFilters);
+    the filtered customer side is small enough that AQE broadcasts it
+    into orders, and the final top-10 is a TakeOrdered — no global
+    sort of the aggregate."""
+    cutoff = "1997-06-15"
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=(
+        "SELECT n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
+    ),
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): six-table star join with a
+    correlated customer-supplier nation constraint. region/nation are
+    broadcast dims; Catalyst reorders the join tree and pushes the
+    region and date filters to the scans — the query that shows join
+    planning working end to end."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_funnel",
+    oracle=(
+        "WITH first_view AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "first_purchase AS (SELECT user_id, min(ts) AS t_buy FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id) "
+        "SELECT v.user_id, v.t_view, p.t_buy, "
+        "CASE WHEN p.t_buy > v.t_view THEN 1 ELSE 0 END AS converted "
+        "FROM first_view v LEFT JOIN first_purchase p USING (user_id)"
+    ),
+)
+def q_funnel(spark, sf_dir):
+    """Two-step conversion funnel (view → later purchase) — the event-
+    analytics staple. Two filtered min-aggregates (each fully partial,
+    shuffling one row per user) and one left join on user_id; no
+    window over raw events, so the plan scales with |users|, not
+    |events|."""
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return fv.join(fp, "user_id", "left").select(
+        "user_id",
+        "t_view",
+        "t_buy",
+        F.when(F.col("t_buy") > F.col("t_view"), 1).otherwise(0).alias("converted"),
+    )
