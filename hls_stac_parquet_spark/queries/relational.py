@@ -1219,3 +1219,100 @@ def q_funnel(spark, sf_dir):
         "t_buy",
         F.when(F.col("t_buy") > F.col("t_view"), 1).otherwise(0).alias("converted"),
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle=(
+        "WITH cohort AS (SELECT user_id, min(date_trunc('day', ts)) AS c0 "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(c.c0 AS TIMESTAMP) AS cohort_day, "
+        "CAST(datediff('day', c.c0, date_trunc('day', e.ts)) AS BIGINT) "
+        "AS day_offset, count(DISTINCT e.user_id) AS n_active "
+        "FROM events e JOIN cohort c USING (user_id) "
+        "GROUP BY 1, 2"
+    ),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, then
+    distinct-active counts per (cohort, day-offset) cell. The cohort
+    dim is one row per user (first groupBy shuffles user ids only)
+    and joins back user-keyed; the matrix aggregate shuffles one row
+    per (cohort, offset, user) — partial-deduped map-side."""
+    e = t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("c0")
+    )
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("c0"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle=(
+        "SELECT event_id, user_id, event_type, round(z, 4) AS zscore FROM ("
+        "SELECT event_id, user_id, event_type, "
+        "(value - avg(value) OVER (PARTITION BY event_type)) / "
+        "nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0.0) AS z "
+        "FROM events) WHERE abs(z) > 3.0"
+    ),
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group z-score anomaly filter: events whose value sits more
+    than 3σ from their type's mean. Unbounded analytic windows over
+    |event_type| groups — Spark computes the two moments in one pass
+    per partition; the scale form pre-aggregates (type → mean, std)
+    into a 5-row broadcast dim instead of a window, same result."""
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "user_id", "event_type", F.round("z", 4).alias("zscore"))
+    )
+
+
+@query(
+    "q_missing_days",
+    oracle=(
+        "WITH purch AS (SELECT ts FROM events WHERE event_type = 'purchase'), "
+        "bounds AS (SELECT min(date_trunc('hour', ts)) AS lo, "
+        "max(date_trunc('hour', ts)) AS hi FROM purch), "
+        "expected AS (SELECT unnest(generate_series(lo, hi, "
+        "INTERVAL 1 HOUR)) AS hr FROM bounds), "
+        "actual AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM purch) "
+        "SELECT CAST(e.hr AS TIMESTAMP) AS missing_hour FROM expected e "
+        "LEFT JOIN actual a USING (hr) WHERE a.hr IS NULL"
+    ),
+)
+def q_missing_days(spark, sf_dir):
+    """Completeness gap detection — the reference's expected-vs-actual
+    manifest gate (A13, write.py:172-202) generalized to any time
+    series: hours in the observed range with zero purchase events.
+    Expected hours are generated from the bounds aggregate, actual
+    hours anti-joined away. Both anti-join sides are hour-grained
+    (tiny at any scale); only the distinct-hour aggregate touches the
+    raw table, fully partial, behind a pushed event_type filter."""
+    purch = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = purch.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    expected = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    actual = purch.select(F.date_trunc("hour", F.col("ts")).alias("hr")).distinct()
+    return expected.join(actual, "hr", "left_anti").select(
+        F.col("hr").alias("missing_hour")
+    )

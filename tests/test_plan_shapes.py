@@ -190,3 +190,26 @@ def test_vector_normalize_no_python(spark):
     plan = _plan(spark, "q_vector_normalize")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tpch_q3_takeordered_and_pushed_filters(spark):
+    """Q3's top-10 must be a per-partition heap and both predicates
+    must reach their scans."""
+    plan = _plan(spark, "q_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_missing_days_is_anti_join_with_pushed_filter(spark):
+    """The completeness gap check is an anti-join; the event_type
+    filter reaches the scan."""
+    plan = _plan(spark, "q_missing_days")
+    assert "LeftAnti" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_funnel_partial_aggregates(spark):
+    """Per-user min-aggregates must map-side combine (shuffle one row
+    per user per side)."""
+    plan = _plan(spark, "q_funnel")
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
