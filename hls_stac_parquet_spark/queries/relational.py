@@ -1316,3 +1316,28 @@ def q_missing_days(spark, sf_dir):
     return expected.join(actual, "hr", "left_anti").select(
         F.col("hr").alias("missing_hour")
     )
+
+
+@query(
+    "q_lateral_topn",
+    oracle=(
+        "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+        "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o"
+    ),
+)
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 orders per customer via the
+    SQL-standard lateral form. Catalyst decorrelates the per-row
+    subquery into a window-ranked join (DecorrelateInnerQuery), so
+    what reads as a nested loop executes as ONE ranked shuffle — the
+    rewrite that makes lateral usable at scale."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+        "FROM v_customer c, LATERAL (SELECT o_orderkey, o_totalprice "
+        "FROM v_orders WHERE o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o"
+    )

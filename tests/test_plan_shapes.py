@@ -213,3 +213,19 @@ def test_funnel_partial_aggregates(spark):
     per user per side)."""
     plan = _plan(spark, "q_funnel")
     assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """Q5's region/nation dims broadcast; the six-table join tree must
+    contain no cartesian product."""
+    plan = _plan(spark, "q_tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates_to_ranked_join(spark):
+    """The correlated LATERAL top-N must decorrelate into a window-
+    ranked join — never a per-row nested loop / cartesian."""
+    plan = _plan(spark, "q_lateral_topn")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
