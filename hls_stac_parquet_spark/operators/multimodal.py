@@ -153,3 +153,58 @@ def sample_frames(
             )
 
     return media.mapInPandas(gen, _FRAMES_SCHEMA)
+
+
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Batch image resize to (width, height), Arrow-batched.
+
+    The pixel work is stubbed deterministically (no image codec in
+    this environment): the 'resized' payload is the sha256 stream of
+    the original bytes cut to exactly width*height bytes — stable
+    across runs and partitionings, with the real operator's schema
+    and 1:1 row shape. A deployment swaps the body for
+    PIL ``Image.resize`` inside the same generator; the Spark plan
+    (one mapInPandas, no shuffle, output partitioning inherited) is
+    unchanged."""
+    n_out = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                payload = (
+                    payload if isinstance(payload, (bytes, bytearray))
+                    else bytes(payload)
+                )
+                h = hashlib.sha256(payload)
+                raw = b""
+                while len(raw) < n_out:
+                    h = hashlib.sha256(h.digest())
+                    raw += h.digest()
+                out.append(raw[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(gen, _RESIZED_SCHEMA)

@@ -63,3 +63,19 @@ def test_sample_frames_fanout(media):
 def test_real_codec_seam_is_explicit():
     with pytest.raises(NotImplementedError, match="image codec"):
         _decode_image_real(b"payload")
+
+
+def test_resize_images_shape_and_determinism(media):
+    from hls_stac_parquet_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=8, height=4).collect()
+    assert len(out) == 3  # 1:1 row shape
+    by_id = {r.media_id: r for r in out}
+    assert all(len(r.content) == 8 * 4 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # content-addressed: same input bytes -> same resized bytes
+    again = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    assert all(bytes(by_id[i].content) == bytes(again[i].content) for i in by_id)
+    # no shuffle in the plan
+    plan = resize_images(media, 8, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
