@@ -1341,3 +1341,52 @@ def q_lateral_topn(spark, sf_dir):
         "FROM v_orders WHERE o_custkey = c.c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o"
     )
+
+
+@query(
+    "q_set_ops_all",
+    oracle=(
+        "SELECT l_partkey FROM lineitem "
+        "EXCEPT ALL "
+        "SELECT l_partkey FROM lineitem WHERE l_quantity > 10"
+    ),
+)
+def q_set_ops_all(spark, sf_dir):
+    """Bag-semantics set difference (EXCEPT ALL): multiplicity-aware,
+    unlike the distinct-ing EXCEPT of q_set_except. Spark plans it as
+    one hash aggregate computing per-key count deltas — a single
+    shuffle keyed on the value, no join."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select("l_partkey").exceptAll(
+        li.filter(F.col("l_quantity") > 10).select("l_partkey")
+    )
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle=(
+        "SELECT event_id, user_id, last_value(v IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled "
+        "FROM (SELECT event_id, user_id, ts, "
+        "CASE WHEN value < 50 THEN NULL ELSE value END AS v FROM events)"
+    ),
+)
+def q_gap_fill_locf(spark, sf_dir):
+    """Last-observation-carried-forward gap filling — the time-series
+    imputation staple: null readings (here: values < 50 masked as
+    missing) inherit the most recent non-null per user. IGNORE NULLS
+    last() over an unbounded-preceding frame; one shuffle on user_id,
+    leading nulls stay null by design."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.when(F.col("value") < 50, None).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
