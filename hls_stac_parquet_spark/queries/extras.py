@@ -131,3 +131,19 @@ def q_asof_join(spark, sf_dir):
         purchases, clicks, by=["user_id"], ts_col="ts",
         matched_ts_alias="prior_click_ts",
     )
+
+
+@query("q_approx_percentile", oracle=None)  # sketch-based — engine-specific
+def q_approx_percentile(spark, sf_dir):
+    """Approximate percentiles (the declared scale path for
+    q_percentile): percentile_approx's positional sketch keeps the
+    aggregate buffer bounded regardless of group cardinality — the
+    form to use when groups hold billions of values. Rows-only for
+    the driver (sketches are engine-specific); the error bound vs the
+    exact sort-based result is property-tested in
+    tests/test_oracle_parity.py::test_approx_percentile_error_bound."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )

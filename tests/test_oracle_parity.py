@@ -29,3 +29,31 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx(accuracy=10000) must land within 1% relative
+    error of the exact sort-based quantiles."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in REGISTRY["q_percentile"].fn(spark, SF0001).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in REGISTRY["q_approx_percentile"].fn(spark, SF0001).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.01, (k, e, a)
+
+
+def test_register_sql_functions(spark):
+    """The pandas-UDF library is reachable from plain SQL."""
+    from hls_stac_parquet_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql("SELECT hilbert_index(0.0D, 0.0D) AS h").collect()[0]
+    assert isinstance(row.h, int)
