@@ -710,3 +710,51 @@ def q_vector_normalize(spark, sf_dir):
             4,
         ).alias("dim0_unit"),
     )
+
+
+@query(
+    "q_dedup_survivors",
+    oracle=(
+        "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + ", "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lbl) AS ("
+        "SELECT DISTINCT a, a FROM edges "
+        "UNION "
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node), "
+        "clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
+        "FROM reach GROUP BY node) "
+        "SELECT d.doc_id, "
+        "CASE WHEN c.doc_id IS NULL THEN d.doc_id ELSE c.cluster_id END "
+        "AS canonical_id, "
+        "CASE WHEN c.doc_id IS NULL OR c.cluster_id = d.doc_id "
+        "THEN 1 ELSE 0 END AS keep "
+        "FROM documents d LEFT JOIN clusters c USING (doc_id)"
+    ),
+    bench=False,  # built on the quadratic ground-truth pair path
+)
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline's LAST stage: every document mapped to its
+    canonical survivor (cluster minimum, or itself when un-clustered)
+    with a keep/drop flag — the frame you anti-join the corpus
+    against before training. Cluster labels come from
+    q_dedup_clusters' connected components; the corpus-wide left join
+    is keyed on doc_id (clusters table ≪ corpus, AQE broadcasts it
+    while it fits)."""
+    from hls_stac_parquet_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.5).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("canonical_id"),
+        F.when(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

@@ -1390,3 +1390,39 @@ def q_gap_fill_locf(spark, sf_dir):
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query(
+    "q_tpch_q18",
+    oracle=(
+        "SELECT c_custkey, o_orderkey, round(total_qty, 2) AS total_qty "
+        "FROM (SELECT o_custkey, l_orderkey AS o_orderkey, "
+        "sum(l_quantity) AS total_qty FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_custkey, l_orderkey HAVING sum(l_quantity) > 250) big "
+        "JOIN customer ON c_custkey = o_custkey"
+    ),
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-filter
+    (HAVING) followed by a join against the surviving groups. The
+    HAVING filter collapses the order population before the customer
+    join ever happens — the aggregate's output, not the fact table,
+    is what joins; AQE broadcasts the filtered survivors."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(c, big.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
