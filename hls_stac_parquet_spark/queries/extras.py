@@ -147,3 +147,79 @@ def q_approx_percentile(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
     )
+
+
+def _exact_median(df, group_col, val_col, out_name):
+    """Per-group exact interpolated median via the same sort-based
+    window scheme as q_percentile (no value-map aggregate buffer)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    n = Window.partitionBy(group_col)
+    d = (
+        df.select(group_col, val_col)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_cnt", F.count("*").over(n))
+    )
+    pos = (F.col("_cnt") - 1) * 0.5
+    lo = F.floor(pos)
+    frac = pos - lo
+    contrib = F.when(F.col("_rn") == lo, F.col(val_col) * (1 - frac)).when(
+        F.col("_rn") == lo + 1, F.col(val_col) * frac
+    )
+    return d.groupBy(group_col).agg(F.sum(contrib).alias(out_name))
+
+
+@query(
+    "q_mad",
+    oracle=(
+        "WITH med AS (SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.5) AS m FROM lineitem "
+        "GROUP BY l_returnflag) "
+        "SELECT l.l_returnflag, "
+        "round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 6) AS mad "
+        "FROM lineitem l JOIN med USING (l_returnflag) GROUP BY l.l_returnflag"
+    ),
+)
+def q_mad(spark, sf_dir):
+    """Median absolute deviation per group — the robust spread measure
+    outlier-heavy data needs where stddev misleads. Two exact-median
+    passes (sort-based, q_percentile's scheme); the per-group medians
+    are a |groups|-row dim joined back broadcast, so the second pass
+    costs the same single sort-shuffle as the first."""
+    li = t(spark, sf_dir, "lineitem")
+    med = _exact_median(li, "l_returnflag", "l_extendedprice", "m")
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("m")).alias("adev"),
+    )
+    mad = _exact_median(dev, "l_returnflag", "adev", "mad_raw")
+    return mad.select("l_returnflag", F.round("mad_raw", 6).alias("mad"))
+
+
+@query(
+    "q_autocorr_lag1",
+    oracle=(
+        "WITH s AS (SELECT user_id, value, lag(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS pv FROM events) "
+        "SELECT user_id, round(corr(value, pv), 6) AS autocorr "
+        "FROM s WHERE pv IS NOT NULL GROUP BY user_id"
+    ),
+)
+def q_autocorr_lag1(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values — the
+    time-series feature that separates trending signals from noise.
+    One user-keyed sort-window for the lag, then a partial-aggregable
+    corr; the groupBy reuses the window's partitioning (no second
+    shuffle)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "user_id", "value", F.lag("value").over(w).alias("pv")
+    )
+    return (
+        s.filter(F.col("pv").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.corr("value", "pv"), 6).alias("autocorr"))
+    )

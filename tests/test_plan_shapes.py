@@ -229,3 +229,10 @@ def test_lateral_decorrelates_to_ranked_join(spark):
     plan = _plan(spark, "q_lateral_topn")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_autocorr_reuses_window_partitioning(spark):
+    """The corr groupBy must reuse the lag window's user_id hash
+    partitioning — exactly one Exchange in the plan."""
+    plan = _plan(spark, "q_autocorr_lag1")
+    assert plan.count("Exchange hashpartitioning") == 1
