@@ -758,3 +758,40 @@ def q_dedup_survivors(spark, sf_dir):
         .otherwise(0)
         .alias("keep"),
     )
+
+
+@query(
+    "q_entropy",
+    oracle=(
+        "WITH tc AS (SELECT source, term, count(*) AS c FROM ("
+        "SELECT source, unnest(string_split(lower(text), ' ')) AS term "
+        "FROM documents) WHERE term <> '' GROUP BY source, term), "
+        "tot AS (SELECT source, sum(c) AS n FROM tc GROUP BY source) "
+        "SELECT tc.source, "
+        "round(-sum((c / n) * ln(c / n)), 6) AS token_entropy "
+        "FROM tc JOIN tot USING (source) GROUP BY tc.source"
+    ),
+)
+def q_entropy(spark, sf_dir):
+    """Shannon token entropy per source — the corpus-diversity metric
+    data curation ranks sources by (low entropy = templated/spammy
+    text). Two-level aggregate: the big shuffle carries (source, term)
+    partial counts once; totals are a |sources|-row broadcast dim.
+    All arithmetic happens on the aggregated counts, never raw
+    tokens."""
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
+    )

@@ -1426,3 +1426,51 @@ def q_tpch_q18(spark, sf_dir):
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_share_of_total",
+    oracle=(
+        "WITH rev AS (SELECT n_name, r_name, "
+        "sum(o_totalprice) AS nation_rev "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY n_name, r_name) "
+        "SELECT n_name, r_name, round(nation_rev, 2) AS nation_rev, "
+        "round(nation_rev / sum(nation_rev) OVER (PARTITION BY r_name), 6) "
+        "AS region_share, "
+        "round(nation_rev / sum(nation_rev) OVER (), 6) AS global_share "
+        "FROM rev"
+    ),
+)
+def q_share_of_total(spark, sf_dir):
+    """Share-of-total (ratio-to-report) windows: each nation's revenue
+    as a fraction of its region and of the world. The windows run
+    over the 25-row aggregate, not the fact table — the two-phase
+    shape (aggregate first, normalize the aggregate) that keeps
+    ratio-to-report O(groups) at any scale."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(wr), 6).alias(
+            "region_share"
+        ),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(wg), 6).alias(
+            "global_share"
+        ),
+    )
