@@ -1474,3 +1474,28 @@ def q_share_of_total(spark, sf_dir):
             "global_share"
         ),
     )
+
+
+@query(
+    "q_rank_dense",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "CAST(rank() OVER w AS INT) AS rnk, "
+        "CAST(dense_rank() OVER w AS INT) AS drnk "
+        "FROM lineitem WINDOW w AS "
+        "(PARTITION BY l_returnflag ORDER BY l_quantity)"
+    ),
+)
+def q_rank_dense(spark, sf_dir):
+    """rank() vs dense_rank() under ties (l_quantity repeats heavily):
+    gap-ranking and gapless-ranking in one window pass — both are
+    tie-deterministic (equal values share a rank), unlike row_number,
+    so no tiebreak column is needed for parity."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
