@@ -795,3 +795,81 @@ def q_entropy(spark, sf_dir):
         .groupBy("source")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle=(
+        "WITH s AS (SELECT n_chars AS v, CASE WHEN "
+        "CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS is_a "
+        "FROM documents), "
+        "n AS (SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM s), "
+        "c AS (SELECT v, sum(is_a) OVER w * 1.0 AS ca, "
+        "sum(1 - is_a) OVER w * 1.0 AS cb FROM s WINDOW w AS "
+        "(ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT round(max(abs(ca / n.na - cb / n.nb)), 6) AS ks_stat "
+        "FROM c CROSS JOIN n"
+    ),
+)
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic — distribution
+    drift between document populations (even- vs odd-numbered
+    sources, over length): the monitoring gate that catches a corpus
+    shift before it poisons a training run. One sorted cumulative
+    window over the union (the default RANGE frame includes ties
+    identically on both engines), then a max-abs-difference
+    aggregate. The global sort is a range-partitioned window at test
+    scale; sample counts ride in as a broadcast 1-row dim."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, 1
+        ).otherwise(0).alias("is_a"),
+    )
+    n = s.agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        (F.sum("is_a").over(w) * 1.0).alias("ca"),
+        (F.sum(1 - F.col("is_a")).over(w) * 1.0).alias("cb"),
+    )
+    return c.crossJoin(F.broadcast(n)).agg(
+        F.round(
+            F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))), 6
+        ).alias("ks_stat")
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=(
+        "WITH counts AS (SELECT l_partkey, count(*) AS n FROM lineitem "
+        "GROUP BY l_partkey), tot AS (SELECT sum(n) AS t, "
+        "avg(n) AS mean_n FROM counts) "
+        "SELECT l_partkey, n, round(n / tot.t, 6) AS pct, "
+        "round(n / tot.mean_n, 4) AS x_mean "
+        "FROM counts CROSS JOIN tot ORDER BY n DESC, l_partkey LIMIT 20"
+    ),
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Join-key skew report: the 20 heaviest keys with their share of
+    all rows and their multiple of the mean key frequency — the
+    diagnostic that decides whether a join needs salting
+    (operators/skew.py) or AQE skew-split. Partial-aggregated counts,
+    a 1-row broadcast totals dim, TakeOrdered top-k."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"), F.avg("n").alias("mean_n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("pct"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(20)
+    )
