@@ -1499,3 +1499,124 @@ def q_rank_dense(spark, sf_dir):
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
     )
+
+
+@query(
+    "q_null_safe_join",
+    oracle=(
+        "WITH c AS (SELECT c_custkey, CASE WHEN c_custkey % 50 = 0 "
+        "THEN NULL ELSE c_nationkey END AS k FROM customer), "
+        "dim AS (SELECT n_nationkey AS k, n_name FROM nation "
+        "UNION ALL SELECT NULL, 'UNKNOWN') "
+        "SELECT c.c_custkey, dim.n_name "
+        "FROM c LEFT JOIN dim ON c.k IS NOT DISTINCT FROM dim.k"
+    ),
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL is a
+    real join category here — customers with an unknown nation match
+    the dim's sentinel NULL row instead of dropping out. The dim stays
+    broadcastable (|nations|+1 rows); a plain equi-join would need a
+    coalesce-to-sentinel rewrite to do the same."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("k"),
+    )
+    n = t(spark, sf_dir, "nation")
+    dim = n.select(F.col("n_nationkey").alias("k"), "n_name").unionAll(
+        spark.createDataFrame([(None, "UNKNOWN")], "k int, n_name string")
+    )
+    return c.join(
+        F.broadcast(dim), c.k.eqNullSafe(dim.k), "left"
+    ).select("c_custkey", "n_name")
+
+
+@query(
+    "q_union_by_name",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "round(coalesce(o_totalprice, -1.0), 2) AS o_totalprice FROM ("
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0 "
+        "UNION ALL BY NAME "
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey % 2 = 1)"
+    ),
+)
+def q_union_by_name(spark, sf_dir):
+    """Schema-evolution-tolerant union: sources with reordered AND
+    missing columns combine by NAME (missing → NULL), the everyday
+    reality of unioning parquet snapshots written by different
+    pipeline versions. Spark's unionByName(allowMissingColumns) ≡
+    DuckDB's UNION ALL BY NAME."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.coalesce("o_totalprice", F.lit(-1.0)), 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_try_cast",
+    oracle=(
+        "SELECT p_partkey, "
+        "TRY_CAST(p_name AS INT) AS bad_int, "
+        "TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS good_int, "
+        "TRY_CAST(substr(p_type, 1, 5) AS DOUBLE) AS bad_double "
+        "FROM part"
+    ),
+)
+def q_try_cast(spark, sf_dir):
+    """Error-safe casting (try_cast): malformed values become NULL
+    instead of failing the job — the difference between one bad row
+    poisoning a 100 TB ingest and a countable dead-letter column.
+    Identical NULL-on-failure semantics on both engines."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("int").alias("bad_int"),
+        F.col("p_partkey").cast("string").try_cast("int").alias("good_int"),
+        F.substring("p_type", 1, 5).try_cast("double").alias("bad_double"),
+    )
+
+
+@query(
+    "q_islands",
+    oracle=(
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+        "r AS (SELECT user_id, day, CAST(row_number() OVER ("
+        "PARTITION BY user_id ORDER BY day) AS INT) AS rn FROM d) "
+        "SELECT user_id, min(day) AS island_start, max(day) AS island_end, "
+        "CAST(count(*) AS BIGINT) AS n_days "
+        "FROM r GROUP BY user_id, day - INTERVAL (rn) DAY"
+    ),
+)
+def q_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's maximal runs of consecutive
+    active days (streaks). The rn-difference trick — day minus the
+    per-user day rank is constant within a consecutive run — turns
+    streak detection into one groupBy; a single user-keyed shuffle
+    over the distinct-day table, never the raw events."""
+    e = t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("user_id", F.date_sub("day", F.col("rn")).alias("_anchor"))
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
