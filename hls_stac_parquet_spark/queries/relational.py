@@ -1620,3 +1620,77 @@ def q_islands(spark, sf_dir):
         )
         .select("user_id", "island_start", "island_end", "n_days")
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    ),
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the disjunctive (OR) join predicate
+    case — two asymmetric nation pairings evaluated in one plan. The
+    nation dim joins twice under different aliases (both broadcast);
+    the OR filter runs post-join on the two broadcast-joined name
+    columns, so the fact tables are never scanned twice."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_multi_distinct",
+    oracle=(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, "
+        "count(DISTINCT o_orderpriority) AS n_priorities, "
+        "count(*) AS n_orders FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def q_multi_distinct(spark, sf_dir):
+    """Multiple COUNT(DISTINCT) columns in one aggregate — Spark
+    compiles this to an Expand (one replicated pass per distinct set)
+    feeding a single shuffle, not one job per distinct column; the
+    plain count rides along free."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
