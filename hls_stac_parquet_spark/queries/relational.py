@@ -1694,3 +1694,29 @@ def q_multi_distinct(spark, sf_dir):
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "q_moving_avg",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4 "
+        "FROM events"
+    ),
+)
+def q_moving_avg(spark, sf_dir):
+    """Bounded sliding-frame moving average (last 4 events per user) —
+    the row-count-bounded frame that complements q_window_range_frame's
+    time-bounded one; constant state per row regardless of partition
+    size."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("ma4"),
+    )
