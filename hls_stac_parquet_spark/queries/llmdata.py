@@ -873,3 +873,38 @@ def q_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("n"), "l_partkey")
         .limit(20)
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=(
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), "
+        "'[0-9]', '#', 'g') AS scrubbed, "
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+        "AS INT) AS n_digits_masked "
+        "FROM documents"
+    ),
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass — the compliance stage every training corpus
+    goes through before release: email addresses collapse to a
+    placeholder token, digits mask to '#', and the per-doc masked-digit
+    count becomes the audit column. Pure codegen regexp work, zero
+    shuffle, trivially parallel at any scale; the same shape extends
+    to phone/SSN/address patterns by stacking replacements."""
+    docs = t(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        r"[0-9]",
+        "#",
+    )
+    n_masked = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    ).cast("int")
+    return docs.select(
+        "doc_id", scrub.alias("scrubbed"), n_masked.alias("n_digits_masked")
+    )
