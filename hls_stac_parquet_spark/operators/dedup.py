@@ -82,20 +82,45 @@ def minhash_signatures(
       evaluated as one numpy broadcast multiply-add + segmented min
       (``minimum.reduceat``).
     """
+    return _minhash_sig_bands(df, text_col, id_col, num_hashes, shingle_k, None).select(
+        id_col, "signature"
+    )
+
+
+def _minhash_sig_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    bands: int | None,
+) -> DataFrame:
+    """(id, signature[, bands]) in ONE Arrow pass: the LSH band hashes
+    are an FNV fold over each band's signature slice computed right
+    next to the signature mins in numpy — no separate JVM
+    hash-of-slice projection stage (measured: that stage cost a wide
+    xxhash64 expression tree per band plus its codegen)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     a_params, b_params = _minhash_params(num_hashes)
     a = np.asarray(a_params, dtype=np.int64)
     b = np.asarray(b_params, dtype=np.int64)
-    empty_sig = ((a * 0 + b) % _MERSENNE61).tolist()  # empty doc sentinel
+    empty_sig = np.asarray((a * 0 + b) % _MERSENNE61, dtype=np.int64)
+    rpb = num_hashes // bands if bands else 0
 
-    @F.pandas_udf(ArrayType(LongType()))
+    fields = [StructField("signature", ArrayType(LongType()))]
+    if bands:
+        fields.append(StructField("bands", ArrayType(LongType())))
+    out_type = StructType(fields)
+
+    @F.pandas_udf(out_type)
     def fold(hash_arrays):
+        n = len(hash_arrays)
         lengths = hash_arrays.map(len).to_numpy(dtype=np.int64)
         total = int(lengths.sum())
-        out = [None] * len(hash_arrays)
+        sig = np.tile(empty_sig, (n, 1))
         if total:
             flat = np.fromiter(
                 (h for row in hash_arrays for h in row), dtype=np.int64, count=total
@@ -104,24 +129,26 @@ def minhash_signatures(
             perms = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
             offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
             nonzero = lengths > 0
-            mins = np.minimum.reduceat(perms, offsets[nonzero], axis=0)
-            j = 0
-            for i, nz in enumerate(nonzero):
-                if nz:
-                    out[i] = mins[j].tolist()
-                    j += 1
-                else:
-                    out[i] = empty_sig
-        else:
-            out = [empty_sig] * len(hash_arrays)
-        return pd.Series(out)
+            sig[nonzero] = np.minimum.reduceat(perms, offsets[nonzero], axis=0)
+        cols = {"signature": list(sig.tolist())}
+        if bands:
+            # FNV-1a fold over each band's slice; uint64 wraparound is
+            # deterministic, viewed back as signed for the LongType
+            u = sig.view(np.uint64).reshape(n, bands, rpb)
+            h = np.full((n, bands), np.uint64(0xCBF29CE484222325))
+            for k in range(rpb):
+                h = (h ^ u[:, :, k]) * np.uint64(1099511628211)
+            cols["bands"] = list(h.view(np.int64).tolist())
+        return pd.DataFrame(cols)
 
     tok = df.select(F.col(id_col), token_hashes(text_col).alias("_tok_h"))
     hashed = tok.select(
         F.col(id_col),
         F.array_distinct(shingle_hashes_from("_tok_h", shingle_k)).alias("_h31"),
     )
-    return hashed.select(F.col(id_col), fold("_h31").alias("signature"))
+    out = hashed.select(F.col(id_col), fold("_h31").alias("_sb"))
+    members = ["_sb.signature"] + (["_sb.bands"] if bands else [])
+    return out.select(F.col(id_col), *[F.col(m) for m in members])
 
 
 def minhash_candidate_pairs(
@@ -148,23 +175,14 @@ def minhash_candidate_pairs(
     """
     from hls_stac_parquet_spark.operators.lsh import bucket_pairs
 
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = _minhash_sig_bands(df, text_col, id_col, num_hashes, shingle_k, bands)
     # branch point: banded view + two verification joins reuse it
     sig = sig.persist()
 
-    # xxhash64 hashes the sliced array directly — a bands-wide
-    # expression tree instead of bands×rows_per_band element_at nodes
-    # (same shuffle, ~4× less codegen to compile)
-    band_cols = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.slice("signature", b * rows_per_band + 1, rows_per_band))
-            for b in range(bands)
-        ]
-    )
+    # band hashes were folded in the same Arrow pass as the signature;
     # only (id, band, hash) shuffles — signatures stay out of the pairing
     banded = sig.select(
-        F.col(id_col), F.posexplode(band_cols).alias("band", "band_hash")
+        F.col(id_col), F.posexplode("bands").alias("band", "band_hash")
     )
     pairs = bucket_pairs(banded, ["band", "band_hash"], id_col, max_bucket).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
