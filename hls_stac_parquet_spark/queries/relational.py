@@ -1720,3 +1720,33 @@ def q_moving_avg(spark, sf_dir):
         "user_id",
         F.round(F.avg("value").over(w), 6).alias("ma4"),
     )
+
+
+@query(
+    "q_min_max_norm",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "round((value - mn) / nullif(mx - mn, 0.0), 6) AS value_norm FROM ("
+        "SELECT event_id, event_type, value, "
+        "min(value) OVER (PARTITION BY event_type) AS mn, "
+        "max(value) OVER (PARTITION BY event_type) AS mx FROM events)"
+    ),
+)
+def q_min_max_norm(spark, sf_dir):
+    """Per-group min-max feature scaling to [0,1] — the normalization
+    pass feature pipelines run before training. Unbounded analytic
+    min/max windows over |event_type| groups; at corpus scale the
+    same result comes from a 5-row (group → min, max) broadcast dim,
+    identical arithmetic. Constant groups ⇒ NULL (nullif guard), not
+    a division error."""
+    w = Window.partitionBy("event_type")
+    e = t(spark, sf_dir, "events")
+    mn = F.min("value").over(w)
+    mx = F.max("value").over(w)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - mn) / F.nullif(mx - mn, F.lit(0.0)), 6
+        ).alias("value_norm"),
+    )
