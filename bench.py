@@ -27,6 +27,15 @@ def run_query(df) -> None:
 
 
 def main() -> None:
+    # The driver parses stdout as exactly one JSON line; round 1 came
+    # back "parsed": null because JVM/py4j startup noise shares fd 1.
+    # Redirect fd 1 → stderr for the whole run (catches Python AND the
+    # forked JVM, which inherits our file descriptors), then restore it
+    # for the single JSON print at the end.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -40,6 +49,10 @@ def main() -> None:
     from hls_stac_parquet_spark.queries import REGISTRY
 
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # dev-loop filter; the driver never sets this
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
 
     # warmup (not timed): run the FULL query set once at the TARGET sf.
     # This pays whole-stage-codegen/Janino compilation, JIT, AQE
@@ -77,17 +90,19 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_set_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
+    # restore the real stdout and emit the one JSON line
+    sys.stdout.flush()
+    os.dup2(real_stdout_fd, 1)
+    os.write(real_stdout_fd, (line + "\n").encode())
 
 
 if __name__ == "__main__":

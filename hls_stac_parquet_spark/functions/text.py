@@ -108,19 +108,25 @@ def shingle_hashes_from(tok_hash_col: Column | str, k: int = 3,
     inlines repeated non-column subexpressions inside HOF lambdas,
     which would re-hash every token k× per window.
 
-    Documents shorter than k tokens yield one window padded with
-    NULL-hash (deterministic). Result masked to ``mask_bits`` bits
+    Documents shorter than k tokens have no k-grams and yield an
+    EMPTY array (a padded pseudo-window would both create spurious
+    shared shingles across unrelated short docs and crash under ANSI
+    mode, where out-of-bounds ``element_at`` throws instead of
+    returning NULL). Result masked to ``mask_bits`` bits
     (non-negative, multiply-safe for universal hashing).
     """
     tok_h = _col(tok_hash_col)
     n = F.size(tok_h)
     windows = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        windows,
-        lambda i: F.xxhash64(
-            *[F.element_at(tok_h, (i + j).cast("int")) for j in range(k)]
-        ).bitwiseAND(F.lit((1 << mask_bits) - 1)),
-    )
+    return F.when(
+        n >= k,
+        F.transform(
+            windows,
+            lambda i: F.xxhash64(
+                *[F.element_at(tok_h, (i + j).cast("int")) for j in range(k)]
+            ).bitwiseAND(F.lit((1 << mask_bits) - 1)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints(
@@ -154,9 +160,18 @@ def winnow_fingerprints(
         starts = F.sequence(
             F.lit(1), F.greatest(F.size(g) - (window - 1), F.lit(1))
         )
+        # filter(isNotNull) guards the no-k-gram case: with empty
+        # grams, starts is forced to [1] and array_min(slice([],1,w))
+        # is NULL — without the filter every short doc would share a
+        # spurious [NULL] "fingerprint" downstream.
         return F.array_sort(
             F.array_distinct(
-                F.transform(starts, lambda i: F.array_min(F.slice(g, i, window)))
+                F.filter(
+                    F.transform(
+                        starts, lambda i: F.array_min(F.slice(g, i, window))
+                    ),
+                    lambda x: x.isNotNull(),
+                )
             )
         )
 

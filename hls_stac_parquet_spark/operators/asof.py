@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -68,13 +69,21 @@ def asof_join(
     # sorts first so last() has (inclusive) / hasn't (exclusive) seen it
     right_side, left_side = (0, 1) if inclusive else (1, 0)
 
+    # The whole right payload rides in ONE struct column so last(...,
+    # ignorenulls=True) carries the matched row as a unit. Per-column
+    # carry would be wrong for nullable payloads: a NULL field in the
+    # latest right row would be back-filled from an OLDER right row,
+    # yielding a frankenrow that never existed.
+    payload_type = StructType(
+        [StructField(matched_ts_alias, right.schema[rts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_tagged = left.select(
         *by,
         F.col(ts_col).alias("_asof_ts"),
         F.lit(left_side).alias("_asof_side"),
         *[F.col(c) for c in left.columns if c not in by and c != ts_col],
-        F.lit(None).cast(right.schema[rts].dataType).alias(matched_ts_alias),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     r_tagged = right.select(
         *by,
@@ -85,8 +94,10 @@ def asof_join(
             for c in left.columns
             if c not in by and c != ts_col
         ],
-        F.col(rts).alias(matched_ts_alias),
-        *[F.col(c) for c in payload],
+        F.struct(
+            F.col(rts).alias(matched_ts_alias),
+            *[F.col(c) for c in payload],
+        ).alias("_asof_payload"),
     )
 
     w = (
@@ -99,12 +110,14 @@ def asof_join(
         "_asof_ts",
         "_asof_side",
         *[c for c in left.columns if c not in by and c != ts_col],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [matched_ts_alias, *payload]],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
     )
+    # field access on a NULL struct yields NULL — unmatched left rows
+    # keep NULL payloads, preserving ASOF LEFT semantics.
     return carried.filter(F.col("_asof_side") == left_side).select(
         *by,
         F.col("_asof_ts").alias(ts_col),
         *[c for c in left.columns if c not in by and c != ts_col],
-        matched_ts_alias,
-        *payload,
+        F.col(f"_asof_payload.{matched_ts_alias}").alias(matched_ts_alias),
+        *[F.col(f"_asof_payload.{c}").alias(c) for c in payload],
     )

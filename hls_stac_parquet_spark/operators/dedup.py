@@ -104,6 +104,12 @@ def _minhash_sig_bands(
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    if bands and num_hashes % bands != 0:
+        # fail on the driver with a readable message — inside the
+        # pandas UDF the reshape raises an opaque executor-side error
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     a_params, b_params = _minhash_params(num_hashes)
     a = np.asarray(a_params, dtype=np.int64)
     b = np.asarray(b_params, dtype=np.int64)

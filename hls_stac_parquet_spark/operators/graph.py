@@ -39,10 +39,24 @@ def connected_components(
     in practice.
 
     Scale posture: each round is one shuffle join on node id plus a
-    groupBy min — the Hash-to-Min pattern (Rastogi et al., "Finding
-    Connected Components in MapReduce"). Labels are single longs; the
-    edge list is never widened. ``persist``/``unpersist`` bound the
-    lineage so round N doesn't recompute rounds 1..N-1.
+    groupBy min. Labels are single longs; the edge list is never
+    widened. Each round's labels are ``localCheckpoint``-ed: every
+    round references the previous labels TWICE (directly + via the
+    neighbor minimum), so without lineage truncation the logical plan
+    doubles per round — a 10-round run builds a 2^10-leaf plan and
+    the DRIVER dies assembling plan strings/optimizing, regardless of
+    data size. (``persist`` alone caches data but not the plan.) On a
+    cluster, prefer ``spark.sparkContext.setCheckpointDir`` + eager
+    ``checkpoint()`` if executor loss must be survivable mid-run.
+    This is one-hop min-label propagation — O(diameter) rounds, NOT
+    the O(log d) Hash-to-Min / large-star–small-star family (Rastogi
+    et al.; Kiveris et al.) — which is the right trade for dedup
+    graphs (unions of small cliques, diameter 2-3). For
+    high-diameter graphs raise ``max_iter`` or switch algorithms.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iter`` without
+    converging — silently returning unconverged labels would split
+    clusters with no error signal.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -50,11 +64,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    ).persist()
+    # eager localCheckpoint: materializes AND truncates lineage, so
+    # round N's plan is a constant-size join of two checkpointed
+    # relations (old checkpoint RDDs are dropped by the ContextCleaner
+    # once unreferenced)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
     sym.count()  # materialize once; reused every round
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -69,7 +91,7 @@ def connected_components(
                     "component", F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -78,9 +100,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels

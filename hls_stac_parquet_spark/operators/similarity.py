@@ -46,11 +46,27 @@ _PAIRS_SCHEMA = StructType(
 )
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_reference_rows: int
+):
     """Materialize the reference side as (ids, row-normalized float64
     matrix). This is the broadcast-dim pattern: the collected side is
     the *small* one by construction; the streaming side never leaves
-    the executors."""
+    the executors.
+
+    Guarded: the row count is checked BEFORE collecting, so an
+    oversized reference raises a clear error instead of silently
+    OOM-ing the driver. Above the cap, use the LSH
+    (:func:`lsh_cosine_candidates`) or IVF (:func:`ivf_cosine_topk`)
+    tier — that's what they're for."""
+    n = df.count()
+    if n > max_reference_rows:
+        raise ValueError(
+            f"brute-force tier refused: reference side has {n} rows > "
+            f"max_reference_rows={max_reference_rows}; use "
+            "lsh_cosine_candidates / ivf_cosine_topk (the scale tier) or "
+            "raise the cap explicitly"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -65,6 +81,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_reference_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (self excluded).
 
@@ -73,7 +90,7 @@ def cosine_topk(
     order.
     """
     spark = df.sparkSession
-    ids, mat, norms = _collect_matrix(df, id_col, vec_col)
+    ids, mat, norms = _collect_matrix(df, id_col, vec_col, max_reference_rows)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,11 +130,12 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_reference_rows: int = 2_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     detection. Same broadcast-GEMM plan as cosine_topk."""
     spark = df.sparkSession
-    ids, mat, norms = _collect_matrix(df, id_col, vec_col)
+    ids, mat, norms = _collect_matrix(df, id_col, vec_col, max_reference_rows)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

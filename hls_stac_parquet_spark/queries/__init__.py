@@ -5,9 +5,17 @@ a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-
 expressible) an equivalent DuckDB oracle SQL string. The driver's
 correctness gate runs both sides at sf0.01 and hash-compares.
 
-Import order matters only in that importing this package populates
-the registry.
+Registration ORDER is part of the contract: the driver's correctness
+gate verifies only the first 50 registry entries per round, so after
+the modules populate the registry we reorder it — the 36 SURVEY §2.B
+contract queries first (they must have a correctness row every round),
+then everything else rotated so queries without a driver-green row yet
+come before already-verified ones (CHECKED_HISTORY.json, updated each
+round from CORRECTNESS_r{N}.json via scripts/update_history.py).
 """
+
+import json as _json
+import os as _os
 
 from hls_stac_parquet_spark.queries.registry import REGISTRY, QuerySpec, query  # noqa: F401
 
@@ -16,3 +24,49 @@ from hls_stac_parquet_spark.queries import relational  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import reference_ops  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import llmdata  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import extras  # noqa: F401,E402
+
+# SURVEY.md §2.B — the 36-query correctness contract, in §2.B order.
+CONTRACT_QUERIES = [
+    "q_scan_project", "q_filter_eq", "q_filter_range_numeric",
+    "q_filter_ts_range", "q_regexp_extract", "q_string_funcs",
+    "q_date_funcs", "q_math_funcs", "q_explode_array", "q_array_funcs",
+    "q_json_funcs", "q_hash_agg", "q_distinct", "q_count_distinct_approx",
+    "q_grouping_sets", "q_collect_list_group", "q_first_match_per_group",
+    "q_pivot", "q_join_inner_hash", "q_join_left_anti", "q_join_left_semi",
+    "q_join_outer", "q_join_range", "q_set_except", "q_set_union_intersect",
+    "q_sort_global", "q_topk", "q_window_rank", "q_window_analytic",
+    "q_dedup_exact", "q_hilbert_key", "q_text_stats", "q_minhash_dedup",
+    "q_cosine_topk", "q_sessionize", "q_tumbling_window_agg",
+]
+
+
+def _rotation_order() -> list[str]:
+    hist_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "..", "..",
+        "CHECKED_HISTORY.json",
+    )
+    hist: dict = {}
+    try:
+        with open(hist_path) as f:
+            hist = _json.load(f)
+    except Exception:
+        pass
+
+    def prio(name: str) -> tuple:
+        ent = hist.get(name, {"checked": [], "green": []})
+        if ent["checked"] and not ent["green"]:
+            tier = 0  # checked but failed — keep in window to prove the fix
+        elif not ent["checked"]:
+            tier = 1  # never driver-checked — rotate in
+        else:
+            tier = 2 + len(ent["green"])  # verified; least-verified first
+        return (tier, name)
+
+    rest = sorted((n for n in REGISTRY if n not in CONTRACT_QUERIES), key=prio)
+    return [n for n in CONTRACT_QUERIES if n in REGISTRY] + rest
+
+
+_order = _rotation_order()
+_specs = {n: REGISTRY[n] for n in _order}
+REGISTRY.clear()
+REGISTRY.update(_specs)

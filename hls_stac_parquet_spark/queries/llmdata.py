@@ -585,7 +585,11 @@ def q_pack_sequences(spark, sf_dir):
     oracle=(
         "SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_id, "
         "substr(text, start, 200) AS chunk "
-        "FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1, 150)) "
+        # greatest(len,1) matches Spark's sequence(1, greatest(len,1)):
+        # an empty document still yields exactly one (empty) chunk on
+        # BOTH sides, instead of zero oracle rows vs one Spark row.
+        "FROM (SELECT doc_id, text, "
+        "unnest(range(1, greatest(len(text), 1) + 1, 150)) "
         "AS start FROM documents)"
     ),
 )

@@ -42,6 +42,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # The caller may hand us a session that was NOT built by our
+    # session.get_spark() (the driver builds its own); the conf is
+    # runtime-settable, so set it here where the read happens rather
+    # than relying on session construction.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -318,18 +318,26 @@ def q_grouping_sets(spark, sf_dir):
 @query(
     "q_collect_list_group",
     oracle=(
-        "SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers "
+        "SELECT l_orderkey, "
+        "array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers "
         "FROM lineitem GROUP BY l_orderkey"
     ),
 )
 def q_collect_list_group(spark, sf_dir):
     """Group → array (A10 manifest build). Arrays sorted for the
     order-insensitive manifest semantics the reference tests use
-    (tests/test_workflow.py:49-51)."""
+    (tests/test_workflow.py:49-51). Emitted as a canonical
+    comma-joined scalar: array columns break the correctness
+    harness's pandas canonicalizer (unhashable list), and the
+    string form carries identical information for hashing."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("l_linenumber"))
+            ).alias("linenumbers")
+        )
     )
 
 

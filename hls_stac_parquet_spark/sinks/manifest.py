@@ -41,30 +41,42 @@ def write_manifests(
     dest: str,
     skip_existing: bool = True,
 ) -> list[str]:
-    """Write one JSON-array manifest per (collection_id, date) group.
+    """Write one JSON-array manifest per (collection_id, date) group,
+    ON THE EXECUTORS.
 
-    Input: (collection_id, date, url) rows. The per-day grouping is a
-    collect_list aggregate (A10); each group writes a single small
-    JSON object — manifests are control-plane-sized (10^3-10^4 URLs),
-    so a driver-side loop over *groups* (not rows) is appropriate and
-    matches the reference's one-object-per-day layout exactly.
-    skip_existing mirrors links.py:100-103.
+    Input: (collection_id, date, url) rows. One shuffle groups each
+    day's URLs onto a single task (``applyInPandas`` per group — the
+    same shuffle a collect_list aggregate would pay); that task writes
+    its one small JSON object and returns only ``(path, written)``.
+    The driver never sees URL payloads — at reference fan-out
+    (collections × years of days) a driver-side write loop is a
+    serial bottleneck and a driver-memory cap.
+
+    Writes are idempotent (full overwrite per path), so Spark task
+    retries are safe (at-least-once write per group).
+    skip_existing mirrors links.py:100-103; the existence probe runs
+    executor-side against the same store the write targets.
     """
-    grouped = (
-        df.groupBy("collection_id", "date")
-        .agg(F.sort_array(F.collect_list("url")).alias("urls"))
-        .collect()
-    )
-    written = []
-    for row in grouped:
-        path = manifest_path(dest, row["collection_id"], row["date"])
+    import pandas as pd
+
+    def _write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        collection_id = pdf["collection_id"].iloc[0]
+        date = pdf["date"].iloc[0]
+        path = manifest_path(dest, collection_id, date)
         if skip_existing and os.path.exists(path):
-            continue
+            return pd.DataFrame({"path": [path], "written": [False]})
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump(list(row["urls"]), f)
-        written.append(path)
-    return written
+            json.dump(sorted(pdf["url"].tolist()), f)
+        return pd.DataFrame({"path": [path], "written": [True]})
+
+    results = (
+        df.select("collection_id", "date", "url")
+        .groupBy("collection_id", "date")
+        .applyInPandas(_write_group, "path string, written boolean")
+        .collect()  # one tiny row per (collection, day) — paths only
+    )
+    return sorted(r.path for r in results if r.written)
 
 
 def read_manifests(

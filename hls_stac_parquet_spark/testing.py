@@ -73,6 +73,25 @@ def check_query(spark, sf_dir: str, name: str) -> ParityResult:
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
     s_cols = list(sdf.columns)
+
+    if spec.oracle is not None:
+        # The driver canonicalizes via pandas sort_values, which throws
+        # "unhashable type: 'list'" on array/map columns (observed round
+        # 1 on q_collect_list_group). Flag those here so a local pass
+        # predicts a driver pass.
+        from pyspark.sql.types import ArrayType, MapType
+
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            return ParityResult(
+                name, -1, None, False,
+                f"array/map output columns break the driver canonicalizer: {bad}",
+            )
+
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:

@@ -61,6 +61,29 @@ def test_asof_backward_exclusive(sides):
     assert out[(2, _ts(7))] is None  # only right rows are at ts>=7
 
 
+def test_asof_null_payload_carried_as_unit(spark):
+    """A NULL payload field in the MATCHED right row must stay NULL —
+    not be back-filled from an older right row (the per-column
+    carry-forward bug: mixed rows that never existed)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [_ts(20)], "l_val": ["x"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "ts": [_ts(5), _ts(10)],
+                "r_a": [11, 22],
+                "r_b": pd.array([7, None], dtype="Int64"),
+            }
+        )
+    )
+    row = asof_join(left, right, by=["k"]).collect()[0]
+    assert row.matched_ts == _ts(10)
+    assert row.r_a == 22
+    assert row.r_b is None  # NOT 7 from the older ts=5 row
+
+
 def test_asof_column_collision_raises(sides):
     left, right = sides
     with pytest.raises(ValueError, match="collide"):

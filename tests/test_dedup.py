@@ -57,6 +57,13 @@ def test_minhash_candidates_find_near_dup(docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_bands_divisibility_raises(docs):
+    """num_hashes % bands != 0 must fail fast on the driver with a
+    readable message, not as an opaque reshape error in an executor."""
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_candidate_pairs(docs, num_hashes=64, bands=9)
+
+
 def test_simhash_hamming(docs, spark):
     by_id = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert by_id[1] == by_id[5]

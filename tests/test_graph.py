@@ -1,6 +1,7 @@
 """Connected components (operators/graph.py) — dedup clustering."""
 
 import pandas as pd
+import pytest
 
 from hls_stac_parquet_spark.operators.graph import connected_components
 
@@ -31,3 +32,15 @@ def test_clique_one_round(spark):
     edges = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
     got = _cc(spark, edges)
     assert set(got.values()) == {20}
+
+
+def test_non_convergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must raise, not return
+    silently-split clusters."""
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=2)
+    # the same graph converges when max_iter is sufficient
+    rows = connected_components(df, max_iter=15).collect()
+    assert {r.component for r in rows} == {0}

@@ -59,6 +59,18 @@ def test_cosine_topk_finds_planted_neighbors(emb):
         assert top1[100 + i] == i
 
 
+def test_brute_force_cap_raises(emb):
+    """The brute-force tier must refuse an oversized reference side
+    with a clear error (pointing at the LSH/IVF tier) instead of
+    collecting it onto the driver."""
+    import pytest
+
+    with pytest.raises(ValueError, match="brute-force tier refused"):
+        cosine_topk(emb, k=1, max_reference_rows=5)
+    with pytest.raises(ValueError, match="lsh_cosine_candidates"):
+        cosine_pairs_above(emb, 0.99, max_reference_rows=5)
+
+
 def test_cosine_pairs_threshold(emb):
     pairs = {(r.vec_a, r.vec_b) for r in cosine_pairs_above(emb, 0.99).collect()}
     assert pairs == {(i, 100 + i) for i in range(5)}

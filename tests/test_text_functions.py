@@ -134,3 +134,10 @@ class TestWinnowing:
             winnow_fingerprints(token_hashes("text")).alias("fp")
         ).collect()[0]
         assert row.fp == sorted(set(row.fp))
+
+    def test_no_kgrams_yields_empty_not_null(self, spark):
+        """Docs with fewer than k tokens (incl. empty) must produce an
+        EMPTY fingerprint set — a [NULL] entry would become one
+        spurious fingerprint shared by all short docs downstream."""
+        fps = self._fps(spark, ["", "one", "one two"])
+        assert fps[0] == set() and fps[1] == set() and fps[2] == set()
