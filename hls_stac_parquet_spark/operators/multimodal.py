@@ -208,3 +208,56 @@ def resize_images(
             )
 
     return media.mapInPandas(gen, _RESIZED_SCHEMA)
+
+
+def resize_raw_images(
+    media: DataFrame,
+    src_width: int,
+    src_height: int,
+    width: int = 64,
+    height: int = 64,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL nearest-neighbor downsample/upsample for RAW images —
+    payloads are uint8 pixel buffers of shape (src_height, src_width,
+    channels), the layout a decode stage emits. No codec needed: the
+    resample is two vectorized numpy gathers (row/col index maps per
+    the standard nearest-neighbor formula ``src_i = out_i * src / out``)
+    — this is the actual pixel operation, not a stand-in, so it has an
+    exact external oracle (numpy on the same bytes; see
+    tests/test_multimodal.py).
+
+    Payloads shorter than src_height*src_width*channels are
+    zero-padded, longer ones truncated — decode-side contracts should
+    make both impossible, but a malformed blob must not kill a 100 TB
+    job. Plan shape: one mapInPandas, no shuffle, 1:1 rows.
+    """
+    n_src = src_height * src_width * channels
+    row_map = (np.arange(height, dtype=np.int64) * src_height) // height
+    col_map = (np.arange(width, dtype=np.int64) * src_width) // width
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                payload = (
+                    payload if isinstance(payload, (bytes, bytearray))
+                    else bytes(payload)
+                )
+                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+                if len(buf) < n_src:
+                    buf = np.pad(buf, (0, n_src - len(buf)))
+                img = buf.reshape(src_height, src_width, channels)
+                out.append(img[np.ix_(row_map, col_map)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(gen, _RESIZED_SCHEMA)

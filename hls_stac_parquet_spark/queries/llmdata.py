@@ -912,3 +912,32 @@ def q_pii_scrub(spark, sf_dir):
     return docs.select(
         "doc_id", scrub.alias("scrubbed"), n_masked.alias("n_digits_masked")
     )
+
+
+@query("q_resize_raw_images", oracle=None)
+def q_resize_raw_images(spark, sf_dir):
+    """Raw-image nearest-neighbor resize (multimodal pipeline stage):
+    documents' text bytes stand in for decoded 32x32 uint8 pixel
+    buffers (zero-padded/truncated by the operator's malformed-blob
+    guard), downsampled to 8x8 by the REAL numpy gather in
+    resize_raw_images — the actual pixel op, not a codec stub. Output
+    is scalar-only (md5 of resized bytes) so the harness can hash
+    rows. Rows-only check: the resample has no SQL expression; exact
+    pixel correctness is pinned against a numpy oracle in
+    tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    resized = resize_raw_images(
+        media, src_width=32, src_height=32, width=8, height=8
+    )
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("int").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

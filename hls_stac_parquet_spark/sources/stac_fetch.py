@@ -15,8 +15,11 @@ makes retries a join).
 Transport: ``file://`` / plain paths read locally (the test path —
 the reference's own tests swap object storage for MemoryStore/tmpdir
 the same way, tests/test_workflow.py:43,56-64); http(s) uses stdlib
-urllib. No credentials logic here — at deployment, signing plugs in
-via ``url_preparer``.
+urllib. Credentials plug in via ``credential_provider`` — a callable
+``netloc -> headers`` resolved once per netloc per task, mirroring
+the reference's per-netloc credentialed-store reuse
+(fetch.py:30-48, NasaEarthdataAsyncCredentialProvider at :39-44);
+URL rewriting/signing plugs in via ``url_preparer``.
 """
 
 from __future__ import annotations
@@ -33,7 +36,9 @@ from hls_stac_parquet_spark.model import FETCH_RESULT_SCHEMA
 DEFAULT_MAX_CONCURRENT = 50  # per task; reference: fetch.py:15
 
 
-def _fetch_one(url: str, timeout: float) -> tuple[str, str | None, str | None]:
+def _fetch_one(
+    url: str, timeout: float, headers: dict[str, str] | None = None
+) -> tuple[str, str | None, str | None]:
     try:
         parsed = urlparse(url)
         if parsed.scheme in ("", "file"):
@@ -43,7 +48,8 @@ def _fetch_one(url: str, timeout: float) -> tuple[str, str | None, str | None]:
         if parsed.scheme in ("http", "https"):
             import urllib.request
 
-            with urllib.request.urlopen(url, timeout=timeout) as resp:
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return url, resp.read().decode(), None
         return url, None, f"unsupported scheme: {parsed.scheme}"
     except Exception as e:  # noqa: BLE001 — every failure goes to dead-letter
@@ -56,12 +62,31 @@ def fetch_stac_items(
     max_concurrent: int = DEFAULT_MAX_CONCURRENT,
     timeout: float = 30.0,
     url_preparer: Callable[[str], str] | None = None,
+    credential_provider: Callable[[str], dict[str, str] | None] | None = None,
 ) -> DataFrame:
     """urls(url) → (url, body, fetch_error) via per-partition bounded
     thread pools. Callers control total fan-out with
-    ``urls.repartition(n)`` before the call."""
+    ``urls.repartition(n)`` before the call.
+
+    ``credential_provider(netloc)`` returns the auth headers for that
+    host (or None). It is invoked lazily, once per distinct netloc per
+    task, and the result reused for every URL on that host — the same
+    per-netloc credential reuse the reference wires through its
+    credentialed object stores (fetch.py:30-48). The callable ships to
+    executors, so it must be picklable (module-level function or
+    functools.partial, not a lambda over live session state)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cred_cache: dict[str, dict[str, str] | None] = {}
+
+        def headers_for(u: str) -> dict[str, str] | None:
+            if credential_provider is None:
+                return None
+            netloc = urlparse(u).netloc
+            if netloc not in cred_cache:
+                cred_cache[netloc] = credential_provider(netloc)
+            return cred_cache[netloc]
+
         with cf.ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             for pdf in batches:
                 batch_urls = pdf[url_col].tolist()
@@ -71,7 +96,10 @@ def fetch_stac_items(
                     else batch_urls
                 )
                 results = list(
-                    pool.map(lambda u: _fetch_one(u, timeout), prepared)
+                    pool.map(
+                        lambda u: _fetch_one(u, timeout, headers_for(u)),
+                        prepared,
+                    )
                 )
                 yield pd.DataFrame(
                     {

@@ -65,6 +65,69 @@ def test_real_codec_seam_is_explicit():
         _decode_image_real(b"payload")
 
 
+class TestResizeRawImages:
+    """resize_raw_images is the REAL pixel op — exact equality against
+    an independent numpy nearest-neighbor oracle."""
+
+    def _numpy_nn(self, payload, sh, sw, oh, ow, ch=1):
+        buf = np.frombuffer(payload[: sh * sw * ch], dtype=np.uint8)
+        buf = np.pad(buf, (0, sh * sw * ch - len(buf)))
+        img = buf.reshape(sh, sw, ch)
+        rows = (np.arange(oh) * sh) // oh
+        cols = (np.arange(ow) * sw) // ow
+        return img[np.ix_(rows, cols)].tobytes()
+
+    def test_exact_downsample(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
+
+        rng = np.random.default_rng(7)
+        payloads = [rng.integers(0, 256, 32 * 32, dtype=np.uint8).tobytes()
+                    for _ in range(3)]
+        media = spark.createDataFrame(
+            [(i, "image", p) for i, p in enumerate(payloads)], MEDIA_SCHEMA
+        )
+        out = {
+            r.media_id: bytes(r.content)
+            for r in resize_raw_images(
+                media, src_width=32, src_height=32, width=8, height=8
+            ).collect()
+        }
+        for i, p in enumerate(payloads):
+            assert out[i] == self._numpy_nn(p, 32, 32, 8, 8)
+
+    def test_identity_resize_roundtrips(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
+
+        payload = bytes(range(256)) * 4  # exactly 32*32
+        media = spark.createDataFrame([(1, "image", payload)], MEDIA_SCHEMA)
+        row = resize_raw_images(
+            media, src_width=32, src_height=32, width=32, height=32
+        ).collect()[0]
+        assert bytes(row.content) == payload  # NN at 1:1 is the identity
+
+    def test_short_payload_zero_padded(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
+
+        media = spark.createDataFrame([(1, "image", b"\xff" * 10)], MEDIA_SCHEMA)
+        row = resize_raw_images(
+            media, src_width=4, src_height=4, width=2, height=2
+        ).collect()[0]
+        assert bytes(row.content) == self._numpy_nn(b"\xff" * 10, 4, 4, 2, 2)
+        assert len(row.content) == 4
+
+    def test_multichannel(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
+
+        rng = np.random.default_rng(11)
+        payload = rng.integers(0, 256, 16 * 16 * 3, dtype=np.uint8).tobytes()
+        media = spark.createDataFrame([(1, "image", payload)], MEDIA_SCHEMA)
+        row = resize_raw_images(
+            media, src_width=16, src_height=16, width=4, height=4, channels=3
+        ).collect()[0]
+        assert bytes(row.content) == self._numpy_nn(payload, 16, 16, 4, 4, ch=3)
+        assert len(row.content) == 4 * 4 * 3
+
+
 def test_resize_images_shape_and_determinism(media):
     from hls_stac_parquet_spark.operators.multimodal import resize_images
 
