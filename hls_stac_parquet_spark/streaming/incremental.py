@@ -166,3 +166,89 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Native ``session_window`` streaming aggregate — the built-in
+    twin of :func:`stream_sessionize` (same merging-interval semantics
+    as batch q_session_window_agg). Spark's session-window state store
+    merges overlapping intervals per key and the watermark evicts
+    closed sessions, so state is O(open sessions), not O(events)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join. The static side is re-planned
+    per micro-batch (picking up dim-table refreshes) and broadcast
+    when small — the standard way to attach reference data
+    (collection metadata, tile dims, mixture weights) to a stream
+    without any stateful join machinery."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_col: str,
+):
+    """Streaming upsert sink via ``foreachBatch``: each micro-batch is
+    merged into a keyed parquet snapshot with update-wins semantics
+    (same contract as batch q_upsert_merge / q_keep_latest).
+
+    Each batch: read current snapshot, anti-join out keys the batch
+    replaces, union the batch's latest row per key, atomically swap
+    the snapshot directory. foreachBatch gives the batch-id for
+    idempotent re-runs (a replayed batch produces the same snapshot),
+    which is Structured Streaming's exactly-once recipe for
+    non-transactional sinks. At warehouse scale the swap becomes a
+    Delta/Iceberg MERGE; the streaming plumbing is identical.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(dest):
+            current = spark.read.parquet(dest)
+            merged = current.join(
+                latest.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(latest)
+        else:
+            merged = latest
+        tmp = f"{dest}.__new__{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{dest}.__old__{batch_id}"
+        if os.path.exists(dest):
+            os.rename(dest, old)
+        os.rename(tmp, dest)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

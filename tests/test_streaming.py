@@ -13,7 +13,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from hls_stac_parquet_spark.streaming.incremental import (
+    dedup_urls_within_watermark,
+    foreach_batch_upsert,
+    stream_enrich_with_dim,
     stream_manifest_links,
+    stream_session_window_agg,
     stream_sessionize,
     stream_tumbling_counts,
 )
@@ -103,6 +107,97 @@ def test_streaming_tumbling_counts(spark, tmp_path):
     }
     assert rows["2024-01-01 00:00:00"] == (2, 3.0)
     assert rows["2024-01-01 01:00:00"] == (1, 4.0)
+
+
+def test_stream_session_window_agg(spark, tmp_path):
+    """Native session_window streaming twin of the batch query: events
+    ≤gap apart merge into one session per user."""
+    src = str(tmp_path / "sw-events")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # merges (gap 30m)
+        (1, base + dt.timedelta(hours=3)),      # new session
+        (2, base + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    # complete mode: finite drain doesn't advance the watermark past
+    # the final session, so append would hold everything back
+    _drain(stream_session_window_agg(stream), str(tmp_path / "ckpt"),
+           "sw_sessions", mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sw_sessions").collect()
+    }
+    assert got == {
+        (1, base, 2),
+        (1, base + dt.timedelta(hours=3), 1),
+        (2, base + dt.timedelta(minutes=1), 1),
+    }
+
+
+def test_dedup_urls_within_watermark(spark, tmp_path):
+    """Re-published URLs inside the watermark window must come out
+    once; state is bounded by the delay, not corpus lifetime."""
+    src = str(tmp_path / "dup-events")
+    base = dt.datetime(2025, 10, 1, 0, 0, 0)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(hours=1)),  # re-publish → dropped
+        ("u2", base + dt.timedelta(hours=2)),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "seen_at"])
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("url string, seen_at timestamp").parquet(src)
+    _drain(dedup_urls_within_watermark(stream), str(tmp_path / "ckpt"), "dedup")
+    urls = [r.url for r in spark.sql("SELECT * FROM dedup").collect()]
+    assert sorted(urls) == ["u1", "u2"]
+
+
+def test_stream_enrich_with_dim(spark, tmp_path):
+    src = str(tmp_path / "enrich-events")
+    spark.createDataFrame(
+        pd.DataFrame({"coll": ["A", "B", "C"], "n": [1, 2, 3]})
+    ).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        pd.DataFrame({"coll": ["A", "B"], "weight": [0.7, 0.3]})
+    )
+    stream = spark.readStream.schema("coll string, n long").parquet(src)
+    _drain(stream_enrich_with_dim(stream, dim, "coll"),
+           str(tmp_path / "ckpt"), "enriched")
+    got = {r.coll: r.weight for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {"A": 0.7, "B": 0.3, "C": None}  # left join keeps unmatched
+
+
+def test_foreach_batch_upsert_update_wins(spark, tmp_path):
+    """Two drains: the second batch's rows replace same-key rows in
+    the snapshot (update-wins), new keys append."""
+    src, dest = str(tmp_path / "cdc"), str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def emit(name, rows):
+        pd.DataFrame(rows, columns=["k", "v", "seq"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    emit("b1.parquet", [(1, "a", 1), (2, "b", 1)])
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(src)
+    foreach_batch_upsert(stream, dest, ckpt, ["k"], "seq").awaitTermination(120)
+    assert {(r.k, r.v) for r in spark.read.parquet(dest).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+    emit("b2.parquet", [(2, "B2", 2), (2, "B3", 3), (3, "c", 2)])
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(src)
+    foreach_batch_upsert(stream, dest, ckpt, ["k"], "seq").awaitTermination(120)
+    assert {(r.k, r.v) for r in spark.read.parquet(dest).collect()} == {
+        (1, "a"), (2, "B3"), (3, "c"),  # highest seq wins within the batch
+    }
 
 
 def test_stream_sessionize_closes_gapped_sessions(spark, tmp_path):
