@@ -941,3 +941,130 @@ def q_resize_raw_images(spark, sf_dir):
         F.length("content").cast("int").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# --- round 2: repetition signals, incremental dedup, leakage-safe split ----
+
+_BOW_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split(lower(text), ' '))), ' '))"
+)
+
+
+@query(
+    "q_doc_repetition",
+    oracle=(
+        "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS word FROM documents), "
+        "counts AS (SELECT doc_id, word, count(*) AS n FROM words "
+        "GROUP BY doc_id, word) "
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, "
+        "count(*) AS n_distinct, "
+        "round(1.0 - count(*) * 1.0 / sum(n), 6) AS dup_word_ratio, "
+        "round(max(n) * 1.0 / sum(n), 6) AS top_word_frac "
+        "FROM counts GROUP BY doc_id"
+    ),
+)
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition signals (the Gopher repetition
+    filters' shape): duplicate-word ratio and most-frequent-word
+    fraction per document. One explode + one (doc_id, word) groupBy —
+    the shuffle carries words, not documents, and the second
+    aggregate re-uses the same doc_id partitioning (no extra
+    exchange). At 100 TB this is the same plan as TF-IDF's term
+    count, which is the scale-proven shape for per-token stats."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.round(1.0 - F.count("*") / F.sum("n"), 6).alias("dup_word_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac"),
+    )
+
+
+def _bow_fingerprint(col):
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct word set. Word-shuffled copies of a document — which the
+    synthetic corpus contains, unlike byte-exact copies — collide,
+    so bag-of-words dedup finds real groups where exact dedup finds
+    none. Same 32-char-key shuffle economics as doc_fingerprint."""
+    return F.md5(
+        F.concat_ws(" ", F.sort_array(F.array_distinct(F.split(F.lower(col), " "))))
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=(
+        "WITH d AS (SELECT doc_id, " + _BOW_FP_SQL + " AS fp FROM documents), "
+        "corpus AS (SELECT fp, min(doc_id) AS dup_of FROM d "
+        "WHERE doc_id % 10 < 8 GROUP BY fp) "
+        "SELECT d.doc_id AS doc_id, d.fp AS fp, corpus.dup_of AS dup_of "
+        "FROM d LEFT JOIN corpus USING (fp) WHERE d.doc_id % 10 >= 8"
+    ),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (continuous-ingest) dedup: a new batch (doc_id %
+    10 ∈ {8,9}) is checked against the already-ingested corpus — each
+    new doc gets the corpus survivor id it duplicates, or NULL if
+    novel. The corpus index is an aggregate of 32-char keys
+    (fp → min doc_id); the probe is a left join on fp, co-partitioned
+    with the aggregate's own shuffle. At scale the corpus index is a
+    bucketed table maintained across ingests, so each batch pays one
+    shuffle of the BATCH only — never a corpus rescan."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _bow_fingerprint("text").alias("fp")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .join(corpus, "fp", "left")
+        .select("doc_id", "fp", "dup_of")
+    )
+
+
+@query(
+    "q_train_test_split",
+    oracle=(
+        "WITH d AS (SELECT doc_id, " + _BOW_FP_SQL + " AS fp FROM documents), "
+        "clusters AS (SELECT fp, min(doc_id) AS cluster_id FROM d GROUP BY fp) "
+        "SELECT doc_id, cluster_id, "
+        "CASE WHEN (cluster_id * 2654435761) % 97 < 87 THEN 'train' "
+        "ELSE 'test' END AS split "
+        "FROM d JOIN clusters USING (fp)"
+    ),
+)
+def q_train_test_split(spark, sf_dir):
+    """Leakage-safe train/test split: documents are assigned to a
+    split by a deterministic hash of their DEDUP CLUSTER id (min
+    doc_id sharing the bag-of-words fingerprint), never their own id
+    — so near-duplicate documents always land on the same side and
+    the test set cannot be contaminated by a training-set twin. The
+    multiplicative hash (Knuth's 2654435761) is plain integer
+    arithmetic, identical on any engine — no reliance on
+    engine-specific hash functions. One fp aggregate + one fp join,
+    both on 32-char keys."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _bow_fingerprint("text").alias("fp")
+    )
+    clusters = d.groupBy("fp").agg(F.min("doc_id").alias("cluster_id"))
+    return (
+        d.join(clusters, "fp")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(
+                (F.col("cluster_id") * F.lit(2654435761)) % 97 < 87, "train"
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
