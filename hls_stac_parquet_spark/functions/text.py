@@ -89,6 +89,19 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def bow_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct word set (bag-of-words). Word-shuffled copies of a
+    document collide where byte-exact fingerprints don't — the
+    lightweight tier between exact dedup and MinHash. Same
+    32-char-key shuffle economics as doc_fingerprint."""
+    return F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split(F.lower(_col(text)), " ")))
+        )
+    )
+
+
 def token_hashes(text: Column | str) -> Column:
     """xxhash64 per lowercase token (array<bigint>) — the one pass
     that touches strings; everything downstream is fixed-width."""

@@ -1,0 +1,102 @@
+"""End-to-end LLM training-corpus curation plan.
+
+The north-star composition: raw documents → quality gate →
+repetition gate → order-insensitive dedup (survivors only) →
+leakage-safe train/test split → token accounting. Registered as
+``q_corpus_pipeline`` (queries/llmdata.py) with a full DuckDB oracle,
+so the WHOLE chain — not just its stages — is correctness-gated.
+
+Scale shape: the only shuffles are (1) the word explode for
+repetition counts, keyed by doc_id, (2) the fingerprint aggregate +
+self-join, keyed by a 32-char digest, (3) the per-doc stats joins,
+keyed by doc_id. Full document text flows through exactly one
+projection chain and is dropped before any shuffle-heavy stage; no
+stage collects to the driver; every expression is a built-in (zero
+Python UDFs), so the whole plan stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hls_stac_parquet_spark.functions.text import bow_fingerprint, quality_score
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.3,
+    top_word_frac_max: float = 0.12,
+    train_pct: int = 87,
+) -> DataFrame:
+    """Curate ``docs`` (doc_id, text, source, ...) into a training
+    corpus frame: one row per SURVIVING document with its dedup
+    fingerprint, quality score, split assignment, and token count.
+
+    Stages (each a pure DataFrame transform — composable and
+    individually testable):
+
+    1. **Quality gate** — composite C4/Gopher-shape score
+       (length/stopword/punctuation); per-row arithmetic, no shuffle.
+    2. **Repetition gate** — drop docs whose most frequent word
+       exceeds ``top_word_frac_max`` of all words (the Gopher
+       repetition filter); one explode + (doc_id, word) aggregate.
+    3. **Dedup** — bag-of-words fingerprint groups; the minimum
+       doc_id per group survives. Digest-keyed shuffle only.
+    4. **Split** — train/test by multiplicative hash of the SURVIVOR
+       id, so duplicate clusters can never straddle the split
+       (test-set contamination by a train twin is impossible by
+       construction).
+    5. **Accounting** — whitespace token count for downstream
+       packing/mixture budgeting.
+
+    The filters run BEFORE dedup on purpose: quality and repetition
+    are per-row and cheap, dedup shuffles — filter-early shrinks the
+    shuffle. At 100 TB each gate's selectivity shows up directly in
+    the exchange sizes.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    top_frac = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n") / F.sum("n")).alias("top_word_frac"))
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            quality_score("text").alias("quality"),
+        )
+        .join(top_frac, "doc_id")
+        .filter(
+            (F.col("quality") >= quality_min)
+            & (F.col("top_word_frac") <= top_word_frac_max)
+        )
+        .withColumn("fp", bow_fingerprint("text"))
+    )
+    survivors = (
+        gated.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fp", "s_fp")  # distinct lineage name for the self-join
+    )
+    return (
+        gated.join(
+            survivors,
+            (F.col("fp") == F.col("s_fp")) & (F.col("doc_id") == F.col("keep_id")),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            F.round("quality", 6).alias("quality"),
+            F.round("top_word_frac", 6).alias("top_word_frac"),
+            F.when(
+                (F.col("keep_id") * F.lit(2654435761)) % 97 < train_pct, "train"
+            )
+            .otherwise("test")
+            .alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )

@@ -987,14 +987,13 @@ def q_doc_repetition(spark, sf_dir):
 
 
 def _bow_fingerprint(col):
-    """Order-insensitive content fingerprint: md5 over the sorted
-    distinct word set. Word-shuffled copies of a document — which the
-    synthetic corpus contains, unlike byte-exact copies — collide,
-    so bag-of-words dedup finds real groups where exact dedup finds
-    none. Same 32-char-key shuffle economics as doc_fingerprint."""
-    return F.md5(
-        F.concat_ws(" ", F.sort_array(F.array_distinct(F.split(F.lower(col), " "))))
-    )
+    """Order-insensitive fingerprint — see functions.text.
+    bow_fingerprint. The synthetic corpus contains word-shuffled
+    near-copies but no byte-exact ones, so bag-of-words dedup finds
+    real groups where exact dedup finds none."""
+    from hls_stac_parquet_spark.functions.text import bow_fingerprint
+
+    return bow_fingerprint(col)
 
 
 @query(
@@ -1068,3 +1067,41 @@ def q_train_test_split(spark, sf_dir):
             .alias("split"),
         )
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=(
+        "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS word FROM documents), "
+        "rep AS (SELECT doc_id, max(n) * 1.0 / sum(n) AS top_word_frac FROM "
+        "(SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word) "
+        "GROUP BY doc_id), "
+        "gated AS (SELECT d.doc_id AS doc_id, text, "
+        "0.5 * least(length(text) / 500.0, 1.0) "
+        "+ 0.4 * least((" + _SW_RATIO_SQL + ") * 4, 1.0) "
+        "- 0.3 * least((" + _PUNCT_RATIO_SQL + ") * 5, 1.0) AS quality, "
+        "top_word_frac, " + _BOW_FP_SQL + " AS fp "
+        "FROM documents d JOIN rep ON rep.doc_id = d.doc_id), "
+        "kept AS (SELECT * FROM gated "
+        "WHERE quality >= 0.3 AND top_word_frac <= 0.12), "
+        "survivors AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp) "
+        "SELECT k.doc_id AS doc_id, k.fp AS fp, "
+        "round(quality, 6) AS quality, "
+        "round(top_word_frac, 6) AS top_word_frac, "
+        "CASE WHEN (keep_id * 2654435761) % 97 < 87 THEN 'train' "
+        "ELSE 'test' END AS split, "
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens "
+        "FROM kept k JOIN survivors s ON k.fp = s.fp AND k.doc_id = s.keep_id"
+    ),
+)
+def q_corpus_pipeline(spark, sf_dir):
+    """The full corpus-curation chain (plans/llm_corpus.py) as ONE
+    correctness-gated query: quality gate → repetition gate →
+    bag-of-words dedup survivors → leakage-safe split → token
+    accounting. The oracle replays every stage in SQL, so a
+    regression anywhere in the composition — not just in a stage —
+    breaks parity."""
+    from hls_stac_parquet_spark.plans.llm_corpus import curate_corpus
+
+    return curate_corpus(t(spark, sf_dir, "documents"))
