@@ -223,3 +223,38 @@ def q_autocorr_lag1(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.round(F.corr("value", "pv"), 6).alias("autocorr"))
     )
+
+
+@query(
+    "q_window_percentiles",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, "
+        "round(percent_rank() OVER w, 6) AS pct_rank, "
+        "round(cume_dist() OVER w, 6) AS cume, "
+        "round(nth_value(c_acctbal, 3) OVER "
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) "
+        "AS third_lowest_bal "
+        "FROM customer "
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+    ),
+)
+def q_window_percentiles(spark, sf_dir):
+    """Rank-statistic window functions: percent_rank + cume_dist over
+    the running frame and nth_value over the full-partition frame —
+    the three analytic shapes q_window_rank/q_window_analytic don't
+    cover. One sort per partition serves all three (same window
+    spec); c_custkey tiebreak makes ranks deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("c_acctbal", 3).over(w_full), 2).alias(
+            "third_lowest_bal"
+        ),
+    )

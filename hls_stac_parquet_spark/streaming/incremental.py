@@ -252,3 +252,36 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    tolerance: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    match right rows whose timestamp falls in [left_ts, left_ts +
+    tolerance] — the view→click / impression→conversion attribution
+    shape.
+
+    Both sides are watermarked, and the join carries BOTH the equality
+    key and the time-range conjunct; that pair is what lets the state
+    store evict: a buffered left row can be dropped once the right
+    watermark passes left_ts + tolerance (and vice versa), so state is
+    bounded by (rate × (tolerance + delay)), never the stream's
+    lifetime. Without the range conjunct Spark must buffer both sides
+    forever — the classic unbounded-state trap this helper exists to
+    avoid."""
+    lw = left.withWatermark(left_ts, delay)
+    rw = right.withWatermark(right_ts, delay)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{key} = r_{key} AND {right_ts} >= {left_ts} "
+            f"AND {right_ts} <= {left_ts} + INTERVAL {tolerance}"
+        ),
+    )

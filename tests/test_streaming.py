@@ -225,3 +225,45 @@ def test_stream_sessionize_closes_gapped_sessions(spark, tmp_path):
     }
     assert closed in got
     assert got - {closed} <= open_ok
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """view→purchase attribution: purchases join only to views at
+    most 1h earlier for the same user."""
+    from hls_stac_parquet_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purchases")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(1, base), (2, base), (3, base + dt.timedelta(hours=5))],
+            columns=["user_id", "l_ts"],
+        )
+    ).write.mode("overwrite").parquet(vsrc)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, base + dt.timedelta(minutes=30)),  # attributed
+                (2, base + dt.timedelta(hours=2)),     # too late
+                (3, base + dt.timedelta(hours=5, minutes=1)),  # attributed
+            ],
+            columns=["user_id", "r_ts"],
+        )
+    ).write.mode("overwrite").parquet(psrc)
+    views = spark.readStream.schema("user_id long, l_ts timestamp").parquet(vsrc)
+    purchases = (
+        spark.readStream.schema("user_id long, r_ts timestamp")
+        .parquet(psrc)
+        .withColumnRenamed("user_id", "r_user_id")
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", tolerance="1 hour", delay="1 hour"
+    )
+    _drain(joined, str(tmp_path / "ckpt"), "attributed")
+    got = {(r.user_id, r.r_ts) for r in spark.sql("SELECT * FROM attributed").collect()}
+    assert got == {
+        (1, base + dt.timedelta(minutes=30)),
+        (3, base + dt.timedelta(hours=5, minutes=1)),
+    }
