@@ -89,6 +89,30 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def max_sorted_run(sorted_arr: Column | str) -> Column:
+    """Length of the longest run of equal adjacent elements in a
+    SORTED array — i.e. the multiplicity of the most frequent
+    element. Lets per-row mode/repetition stats stay zero-shuffle
+    (HOF over the row's own array) instead of paying an explode +
+    groupBy. Pass a column the sorted array was let-bound into: an
+    inlined sort/split expression re-evaluates per lambda step."""
+    return F.aggregate(
+        _col(sorted_arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
 def bow_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set (bag-of-words). Word-shuffled copies of a

@@ -6,11 +6,11 @@ leakage-safe train/test split → token accounting. Registered as
 ``q_corpus_pipeline`` (queries/llmdata.py) with a full DuckDB oracle,
 so the WHOLE chain — not just its stages — is correctness-gated.
 
-Scale shape: the only shuffles are (1) the word explode for
-repetition counts, keyed by doc_id, (2) the fingerprint aggregate +
-self-join, keyed by a 32-char digest, (3) the per-doc stats joins,
-keyed by doc_id. Full document text flows through exactly one
-projection chain and is dropped before any shuffle-heavy stage; no
+Scale shape: every per-document stage (quality, repetition,
+fingerprint) is a scan-side projection — the repetition gate is a
+higher-order function over the row's own sorted token array, NOT an
+explode+groupBy, so the ONLY shuffle in the whole plan is the
+fingerprint aggregate + self-join, keyed by a 32-char digest. No
 stage collects to the driver; every expression is a built-in (zero
 Python UDFs), so the whole plan stays inside whole-stage codegen.
 """
@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hls_stac_parquet_spark.functions.text import bow_fingerprint, quality_score
+from hls_stac_parquet_spark.functions.text import (
+    bow_fingerprint,
+    max_sorted_run,
+    quality_score,
+)
 
 
 def curate_corpus(
@@ -40,7 +44,7 @@ def curate_corpus(
        (length/stopword/punctuation); per-row arithmetic, no shuffle.
     2. **Repetition gate** — drop docs whose most frequent word
        exceeds ``top_word_frac_max`` of all words (the Gopher
-       repetition filter); one explode + (doc_id, word) aggregate.
+       repetition filter); zero-shuffle HOF over the sorted tokens.
     3. **Dedup** — bag-of-words fingerprint groups; the minimum
        doc_id per group survives. Digest-keyed shuffle only.
     4. **Split** — train/test by multiplicative hash of the SURVIVOR
@@ -55,22 +59,19 @@ def curate_corpus(
     shuffle. At 100 TB each gate's selectivity shows up directly in
     the exchange sizes.
     """
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
-    )
-    top_frac = (
-        words.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg((F.max("n") / F.sum("n")).alias("top_word_frac"))
-    )
+    # sorted tokens are let-bound into their own projection: an
+    # inlined split() inside the HOF re-evaluates per lambda step
     gated = (
         docs.select(
             "doc_id",
             "text",
             quality_score("text").alias("quality"),
+            F.sort_array(F.split(F.lower("text"), " ")).alias("_ts"),
         )
-        .join(top_frac, "doc_id")
+        .withColumn(
+            "top_word_frac", max_sorted_run("_ts") / F.size("_ts")
+        )
+        .drop("_ts")
         .filter(
             (F.col("quality") >= quality_min)
             & (F.col("top_word_frac") <= top_word_frac_max)

@@ -968,21 +968,30 @@ _BOW_FP_SQL = (
 def q_doc_repetition(spark, sf_dir):
     """Within-document repetition signals (the Gopher repetition
     filters' shape): duplicate-word ratio and most-frequent-word
-    fraction per document. One explode + one (doc_id, word) groupBy —
-    the shuffle carries words, not documents, and the second
-    aggregate re-uses the same doc_id partitioning (no extra
-    exchange). At 100 TB this is the same plan as TF-IDF's term
-    count, which is the scale-proven shape for per-token stats."""
-    words = (
+    fraction per document — computed ZERO-shuffle as higher-order
+    functions over the sorted token array (the top word's count is
+    the longest run in the sorted array). A per-doc metric should
+    never pay an explode shuffle: the explode+groupBy formulation
+    (q_tfidf's shape) exchanges (doc_id, word) AND re-exchanges on
+    doc_id for the per-doc rollup; this is a pure scan-side
+    projection at any scale. The sorted array is let-bound into its
+    own projection first — an inlined split() re-evaluates per
+    lambda step."""
+    from hls_stac_parquet_spark.functions.text import max_sorted_run
+
+    toks = (
         t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .select("doc_id", F.sort_array(F.split(F.lower("text"), " ")).alias("ts"))
     )
-    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("n").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.round(1.0 - F.count("*") / F.sum("n"), 6).alias("dup_word_ratio"),
-        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac"),
+    max_run = max_sorted_run("ts")
+    return toks.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ts")).cast("bigint").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("ts")) / F.size("ts"), 6
+        ).alias("dup_word_ratio"),
+        F.round(max_run / F.size("ts"), 6).alias("top_word_frac"),
     )
 
 
