@@ -380,3 +380,73 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact substring-duplication candidate pairs: two documents are
+    flagged when they share at least ``min_shared`` distinct k-token
+    windows (the distributed, inverted-index form of Lee et al.'s
+    "Deduplicating Training Data" exact-substring pass — a k-token
+    shared window IS a shared substring of >= k tokens, no suffix
+    array needed).
+
+    Plan shape: per-row window fingerprints (md5 over each k-token
+    slice — engine-portable text digests, unlike the xxhash sketches
+    in minhash/simhash, so this op carries a full DuckDB oracle) →
+    row-side ``array_distinct`` → explode to (fp, id) postings → ONE
+    shuffle keyed by fp collects each posting list → in-row
+    ordered-pair expansion (same HOF shape as lsh.bucket_pairs, kept
+    inline here because the pair COUNT is the output, which
+    bucket_pairs' dropDuplicates would destroy) → (pair) count
+    aggregate. Fingerprints seen in more than ``max_df`` documents are
+    dropped before pairing: at corpus scale boilerplate/stop-phrase
+    windows are the quadratic blowup, and they carry no dedup signal
+    (standard max-df cut). Document text never crosses a shuffle —
+    only 32-char digests and ids.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_ts")
+    )
+    n = F.size("_ts")
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_ts", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = toks.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+    buckets = (
+        postings.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_df))
+    )
+    ids = F.col("_ids")
+    m = F.size(ids)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at(ids, i.cast("int")).alias("a"),
+                    F.element_at(ids, j.cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

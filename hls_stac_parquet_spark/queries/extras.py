@@ -258,3 +258,31 @@ def q_window_percentiles(spark, sf_dir):
             "third_lowest_bal"
         ),
     )
+
+
+@query("q_hll_user_reach", oracle=None)  # DataSketches estimate — engine-specific
+def q_hll_user_reach(spark, sf_dir):
+    """Mergeable-sketch distinct counting — THE 100 TB pattern for
+    reach/cardinality rollups: build small per-(event_type, day) HLL
+    sketches of user_id in one pass over the fact table, then answer
+    the per-event_type question by UNIONING the sketches
+    (hll_union_agg), never rescanning the facts. At scale the daily
+    sketch table is a few KB per cell and any time-range rollup is a
+    sketch merge; the exact countDistinct answer would re-shuffle the
+    full fact table per question. Rows-only for the driver (the
+    estimate is Apache DataSketches-specific, not reproducible in
+    DuckDB); accuracy is property-tested against exact distinct counts
+    in tests/test_sketches.py (relative error well inside HLL's
+    lgConfigK=12 ~1.6% band)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count("*").alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )

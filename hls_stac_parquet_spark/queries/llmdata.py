@@ -200,6 +200,34 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_candidate_pairs(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_substring_dup_pairs",
+    oracle=(
+        "WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS ts "
+        "FROM documents WHERE len(string_split(lower(text), ' ')) >= 8), "
+        "wins AS (SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(ts) - 6), "
+        "i -> md5(array_to_string(ts[i:i+7], ' ')))) AS fp FROM base), "
+        "eligible AS (SELECT fp FROM wins GROUP BY fp "
+        "HAVING count(*) BETWEEN 2 AND 50) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared "
+        "FROM wins a JOIN wins b USING (fp) JOIN eligible USING (fp) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2"
+    ),
+)
+def q_substring_dup_pairs(spark, sf_dir):
+    """Exact substring-duplication pairs: docs sharing >= 2 distinct
+    8-token windows (inverted-index form of the Lee et al.
+    exact-substring dedup pass). md5 window digests are
+    engine-portable, so unlike the minhash/simhash sketches this
+    candidate-pair op is fully oracle-checked."""
+    from hls_stac_parquet_spark.operators.dedup import shared_window_pairs
+
+    return shared_window_pairs(
+        t(spark, sf_dir, "documents"), k=8, min_shared=2, max_df=50
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 @query(

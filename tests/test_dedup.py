@@ -84,3 +84,44 @@ def test_ngram_jaccard_exact_values(docs):
     assert pairs[(1, 5)] == 1.0
     assert 0.5 < pairs[(1, 3)] < 1.0  # one edited token kills 2 bigrams
     assert (1, 4) not in pairs
+
+
+def test_shared_window_pairs_counts_and_short_docs(spark):
+    from hls_stac_parquet_spark.operators.dedup import shared_window_pairs
+
+    base = "a b c d e f g h i j k l"  # 12 tokens → 9 windows at k=4
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " x y z",  # shares all 9 of doc 1's windows
+                "a b c",  # shorter than k → zero windows, never paired
+                "z y x w v u t s r q p o",  # disjoint windows
+            ],
+        }
+    )
+    out = shared_window_pairs(
+        spark.createDataFrame(pdf), k=4, min_shared=2, max_df=10
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["n_shared"] == 9  # distinct shared windows, repeats uncounted
+
+
+def test_shared_window_pairs_max_df_drops_stop_windows(spark):
+    from hls_stac_parquet_spark.operators.dedup import shared_window_pairs
+
+    # one boilerplate phrase in every doc: with max_df below the corpus
+    # size the shared window is dropped and no pairs emerge
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 6)),
+            "text": [f"common header one two unique{i}" for i in range(1, 6)],
+        }
+    )
+    out = shared_window_pairs(
+        spark.createDataFrame(pdf), k=4, min_shared=1, max_df=4
+    ).collect()
+    assert out == []
