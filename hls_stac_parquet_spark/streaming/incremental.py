@@ -21,7 +21,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -284,4 +289,79 @@ def stream_stream_interval_join(
             f"{key} = r_{key} AND {right_ts} >= {left_ts} "
             f"AND {right_ts} <= {left_ts} + INTERVAL {tolerance}"
         ),
+    )
+
+
+_PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def stream_running_profile(events: DataFrame, ttl_hours: int = 24) -> DataFrame:
+    """Per-user running (event count, value total, last-seen) profile
+    via ``transformWithStateInPandas`` — the arbitrary-state API that
+    supersedes applyInPandasWithState (compare
+    :func:`stream_sessionize`): typed state handles
+    (Value/List/MapState), per-state TTL, and event-time/processing-
+    time timers managed by the store itself. Each micro-batch emits
+    the keys it touched with their updated running totals (update-mode
+    CDC of the profile table).
+
+    State is ONE (n, total, last_us) row per user with a TTL —
+    inactive users' state is evicted by the RocksDB store (required
+    provider; the TTL/timer machinery lives there), so a year-long
+    stream holds state only for recently-active keys without any
+    hand-rolled timeout bookkeeping — the bounded-state property the
+    100 TB deployment needs from every stateful operator.
+
+    The processor class is defined locally so cloudpickle ships it BY
+    VALUE: transformWithState spawns a separate driver-side Python
+    worker for state-schema validation that does not have this
+    package on its import path (a module-level class pickles by
+    reference and crashes that worker with ModuleNotFoundError).
+    """
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    class RunningProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState(
+                "profile",
+                "n BIGINT, total DOUBLE, last_us BIGINT",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._profile.exists():
+                n, total, last_us = self._profile.get()
+            else:
+                n, total, last_us = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max() // 1000)
+                )
+            self._profile.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningProfileProcessor(),
+        outputStructType=_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
     )

@@ -267,3 +267,60 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (1, base + dt.timedelta(minutes=30)),
         (3, base + dt.timedelta(hours=5, minutes=1)),
     }
+
+
+def test_transform_with_state_running_profile(spark, tmp_path):
+    """transformWithStateInPandas running profile: two drains over a
+    growing source must show RUNNING totals (state carries across
+    micro-batches via the RocksDB store) and emit only touched keys."""
+    from hls_stac_parquet_spark.streaming.incremental import stream_running_profile
+
+    src = str(tmp_path / "tws-events")
+    ckpt = str(tmp_path / "tws-ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": [base, base + dt.timedelta(minutes=5), base],
+                "value": [1.5, 2.5, 10.0],
+            }
+        ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        _drain(stream_running_profile(stream), ckpt, "profiles", mode="update")
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM profiles").collect()
+        }
+        assert got == {1: (2, 4.0), 2: (1, 10.0)}
+
+        # second file: only user 1 active → only user 1 re-emitted,
+        # with totals continuing from stored state
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "ts": [base + dt.timedelta(hours=1)],
+                "value": [6.0],
+            }
+        ).pipe(spark.createDataFrame).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        _drain(stream_running_profile(stream2), ckpt, "profiles2", mode="update")
+        got2 = {
+            r.user_id: (r.n_events, r.total_value, r.last_seen)
+            for r in spark.sql("SELECT * FROM profiles2").collect()
+        }
+        assert got2 == {1: (3, 10.0, base + dt.timedelta(hours=1))}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
