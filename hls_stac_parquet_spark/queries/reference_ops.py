@@ -84,9 +84,15 @@ def q_sessionize(spark, sf_dir):
     per-user ordered window — one shuffle on user_id, no Python.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = t(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("double"))
-    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
-    e = e.withColumn("is_new", F.when(gap > 1800.0, 1).otherwise(0))
+    # ts is TIMESTAMP_NTZ (not castable to double); timestampdiff from a
+    # fixed NTZ epoch gives exact integer microseconds, timezone-free —
+    # matching the oracle's fractional epoch() diff at full precision.
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"),
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    e = e.withColumn("is_new", F.when(gap > 1800 * 1000_000, 1).otherwise(0))
     return e.select(
         "event_id",
         "user_id",

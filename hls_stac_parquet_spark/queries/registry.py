@@ -34,11 +34,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (lazy parquet scan — pruning/pushdown
     happen at the scan, so per-query loads cost nothing extra).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; with ``nanosAsLong`` it scans as int64 and we
-    floor-divide to micros right at the scan (matching DuckDB's
-    ns→µs truncation), keeping everything downstream a plain
-    TimestampType column.
+    events.ts is parquet timestamp[us] (isAdjustedToUTC=false) and
+    scans as TIMESTAMP_NTZ — naive wall-clock time, the same semantics
+    as DuckDB's TIMESTAMP, so oracle parity needs no tz juggling.
+    Older generations of the testdata stored TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; ``nanosAsLong`` makes those
+    scan as int64, and the branch below rebuilds the same NTZ column
+    (ns→µs truncation, matching DuckDB).
     """
     from pyspark.sql import functions as F
 
@@ -49,5 +51,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
     return df

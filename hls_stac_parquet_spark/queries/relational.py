@@ -955,14 +955,19 @@ def q_window_range_frame(spark, sf_dir):
     """Value-based (RANGE) window frame: per-user rolling 1-hour sum —
     the time-series primitive row-based frames can't express when
     events are irregularly spaced. Spark's rangeBetween needs a
-    numeric ordering key, so ts is projected to epoch seconds; the
-    frame [-3600, 0] is closed on both ends, matching the oracle's
-    INTERVAL RANGE semantics (ties at the boundary included)."""
+    numeric ordering key, so ts (TIMESTAMP_NTZ) is projected to epoch
+    microseconds via timestampdiff — full precision, so the closed
+    frame [-3600s, 0] includes exactly the rows the oracle's
+    INTERVAL RANGE does (ties at the boundary included)."""
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
+        )
+        .rangeBetween(-3600 * 1000_000, 0)
     )
     return e.select(
         "event_id",
