@@ -96,16 +96,24 @@ def q_tpch_q2(spark, sf_dir):
     the argmin rows, then decorate through supplier→nation dims.
     The min-equality join uses raw doubles (IEEE division is
     deterministic, min is order-independent) — rounding happens only
-    on the displayed column."""
-    li = t(spark, sf_dir, "lineitem")
+    on the displayed column. The selective part filter is pushed
+    below the aggregation as a broadcast semi-join, so lineitem is
+    pruned to the qualifying parts BEFORE the first shuffle — per-part
+    minima are unaffected by dropping other parts, and at scale this
+    cuts the aggregated volume by the part-filter selectivity."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
     )
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_price").alias("best_price")
-    )
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -727,29 +735,39 @@ def q_tpch_q21(spark, sf_dir):
     """TPC-H Q21 (suppliers who kept orders waiting), adapted:
     "late" is shipdate > orderdate+60d (no receipt/commit dates).
     The official EXISTS (another supplier on the order) + NOT EXISTS
-    (no OTHER supplier late) pair is de-correlated into two per-order
-    distinct-supplier counts joined back — n_supp > 1 gives the
-    EXISTS, n_late_supp = 1 (the late supplier itself) gives the NOT
-    EXISTS. One shuffle per aggregate, both on l_orderkey, and AQE
-    co-locates the three order-keyed sides."""
+    (no OTHER supplier late) pair is de-correlated into per-order
+    distinct-supplier counts — n_supp > 1 gives the EXISTS,
+    n_late_supp = 1 (the late supplier itself) gives the NOT EXISTS.
+    Both counts come from ONE window pass over the order-keyed join
+    output (orders of a key fit a window trivially — ≤7 lines/order),
+    so the whole query is a single l_orderkey shuffle-join + an
+    in-partition sort, replacing the two aggregate shuffles + two
+    join-backs of the naive de-correlation."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(
-        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    j = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+    j = j.withColumn(
+        "is_late", F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
     )
-    late_per_order = late.groupBy(F.col("l_orderkey").alias("lo_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_late_supp")
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        # collect_set skips NULLs → distinct suppliers among late lines
+        "n_late_supp",
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ),
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     return (
-        late.select("l_orderkey", "l_suppkey")
-        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
-        .join(late_per_order, F.col("lo_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        j.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")

@@ -59,11 +59,14 @@ def test_anti_semi_join_types(spark):
     assert "LeftSemi" in _plan(spark, "q_join_left_semi")
 
 
-def test_range_join_is_broadcast_nested_loop(spark):
-    """Non-equi join against the tiny window dim must broadcast, not
-    shuffle or go cartesian."""
+def test_range_join_is_bucketized_hash_join(spark):
+    """The interval join must bucketize to a broadcast HASH join on the
+    grid key (probe cost O(|events|), independent of window count) —
+    not a nested loop over every (event, window) pair, and never a
+    cartesian."""
     plan = _plan(spark, "q_join_range")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
