@@ -1142,3 +1142,162 @@ def q_corpus_pipeline(spark, sf_dir):
     from hls_stac_parquet_spark.plans.llm_corpus import curate_corpus
 
     return curate_corpus(t(spark, sf_dir, "documents"))
+
+
+# --- embedding-cosine near-dup dedup / weighted sampling / PMI --------------
+
+@query(
+    "q_embedding_dedup",
+    oracle=(
+        "WITH RECURSIVE pairs AS ("
+        "  SELECT a.vec_id AS va, b.vec_id AS vb "
+        "  FROM embeddings a, embeddings b "
+        "  WHERE a.vec_id < b.vec_id "
+        "  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) >= 0.35), "
+        "edges AS (SELECT va AS a, vb AS b FROM pairs "
+        "UNION SELECT vb, va FROM pairs), "
+        "reach(node, lbl) AS ("
+        "  SELECT DISTINCT a, a FROM edges "
+        "  UNION "
+        "  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node), "
+        "cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node) "
+        "SELECT e.vec_id AS vec_id, "
+        "coalesce(cc.cluster, e.vec_id) AS survivor_id, "
+        "CAST(coalesce(cc.cluster, e.vec_id) <> e.vec_id AS BOOLEAN) AS is_dup "
+        "FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id"
+    ),
+    bench=False,  # built on the quadratic exact-pair path (ground truth)
+)
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup END-TO-END: exact cosine
+    pairs ≥ τ → connected components → survivor map over the full
+    vector set (singletons survive as themselves). The candidate
+    stage here is the exact quadratic path so the oracle can replay
+    it; at corpus scale the same chain runs off lsh_cosine_candidates
+    / ivf_cosine_topk (operators/similarity.py) with identical
+    downstream stages. Mirrors reference dedup intent at the
+    embedding level (no reference analog — LLM-pipeline extension)."""
+    from hls_stac_parquet_spark.operators.graph import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_above(emb, threshold=0.35).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("survivor")
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("survivor", "vec_id").alias("survivor_id"),
+            (F.coalesce("survivor", "vec_id") != F.col("vec_id")).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=(
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "* 800 < CAST(n_chars AS UBIGINT) * 4294967296"
+    ),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted Bernoulli sample: inclusion probability proportional
+    to document length, P = min(1, n_chars/800) — the
+    length-weighted mixture knob of training-data pipelines. The
+    uniform draw is the first 8 hex chars of md5(doc_id), so the
+    predicate is pure integer arithmetic — deterministic,
+    partition-layout-independent, reproducible on any engine, and a
+    pushable filter (no shuffle, no RNG state)."""
+    d = t(spark, sf_dir, "documents")
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    return d.filter(
+        draw.cast("bigint") * 800 < F.col("n_chars") * F.lit(4294967296)
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts "
+        "FROM documents), "
+        "uni AS (SELECT unnest(ts) AS term FROM toks), "
+        "uni_counts AS (SELECT term, count(*) AS n FROM uni GROUP BY term), "
+        "n_uni AS (SELECT count(*) AS total FROM uni), "
+        "bi AS (SELECT unnest(list_transform(range(1, len(ts)), "
+        "i -> ts[i] || ' ' || ts[i+1])) AS bigram "
+        "FROM toks WHERE len(ts) >= 2), "
+        "bi_counts AS (SELECT bigram, count(*) AS n_xy FROM bi GROUP BY bigram), "
+        "n_bi AS (SELECT count(*) AS total FROM bi) "
+        "SELECT bigram, n_xy, "
+        "round(ln((n_xy * 1.0 / n_bi.total) / "
+        "((ux.n * 1.0 / n_uni.total) * (uy.n * 1.0 / n_uni.total))), 6) AS pmi "
+        "FROM bi_counts "
+        "JOIN uni_counts ux ON ux.term = string_split(bigram, ' ')[1] "
+        "JOIN uni_counts uy ON uy.term = string_split(bigram, ' ')[2] "
+        "CROSS JOIN n_bi CROSS JOIN n_uni "
+        "WHERE n_xy >= 5 ORDER BY n_xy DESC, bigram LIMIT 20"
+    ),
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """Top bigram collocations by frequency with pointwise mutual
+    information — the phrase-mining signal (PMI = how much more often
+    x,y co-occur than independence predicts). Unigram and bigram
+    counts are partial-aggregated explodes (shuffle carries |vocab|,
+    not tokens); the corpus totals are 1-row broadcast cross joins;
+    the unigram-count joins broadcast while the vocab fits and fall
+    back to shuffle joins via AQE beyond that. Final top-20 is a
+    TakeOrdered, not a global sort."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            ).alias("ts")
+        )
+    )
+    uni = toks.select(F.explode("ts").alias("term"))
+    uni_counts = uni.groupBy("term").agg(F.count("*").alias("n"))
+    n_uni = uni.agg(F.count("*").alias("uni_total"))
+    bi = toks.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i + 1), F.element_at("ts", i + 2)
+                ),
+            )
+        ).alias("bigram")
+    )
+    bi_counts = bi.groupBy("bigram").agg(F.count("*").alias("n_xy"))
+    n_bi = bi.agg(F.count("*").alias("bi_total"))
+    parts = F.split(F.col("bigram"), " ")
+    ux = uni_counts.select(F.col("term").alias("tx"), F.col("n").alias("nx"))
+    uy = uni_counts.select(F.col("term").alias("ty"), F.col("n").alias("ny"))
+    return (
+        bi_counts.filter(F.col("n_xy") >= 5)
+        .join(ux, parts.getItem(0) == F.col("tx"))
+        .join(uy, parts.getItem(1) == F.col("ty"))
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "bigram",
+            "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy") / F.col("bi_total"))
+                    / (
+                        (F.col("nx") / F.col("uni_total"))
+                        * (F.col("ny") / F.col("uni_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_xy").desc(), "bigram")
+        .limit(20)
+    )
