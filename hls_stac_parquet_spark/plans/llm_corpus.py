@@ -10,7 +10,7 @@ Scale shape: every per-document stage (quality, repetition,
 fingerprint) is a scan-side projection — the repetition gate is a
 higher-order function over the row's own sorted token array, NOT an
 explode+groupBy, so the ONLY shuffle in the whole plan is the
-fingerprint aggregate + self-join, keyed by a 32-char digest. No
+survivor-selection window, keyed by a 32-char digest. No
 stage collects to the driver; every expression is a built-in (zero
 Python UDFs), so the whole plan stays inside whole-stage codegen.
 """
@@ -46,7 +46,8 @@ def curate_corpus(
        exceeds ``top_word_frac_max`` of all words (the Gopher
        repetition filter); zero-shuffle HOF over the sorted tokens.
     3. **Dedup** — bag-of-words fingerprint groups; the minimum
-       doc_id per group survives. Digest-keyed shuffle only.
+       doc_id per group survives (window min over fp — the plan's
+       single digest-keyed shuffle).
     4. **Split** — train/test by multiplicative hash of the SURVIVOR
        id, so duplicate clusters can never straddle the split
        (test-set contamination by a train twin is impossible by
@@ -78,16 +79,16 @@ def curate_corpus(
         )
         .withColumn("fp", bow_fingerprint("text"))
     )
-    survivors = (
-        gated.groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .withColumnRenamed("fp", "s_fp")  # distinct lineage name for the self-join
-    )
+    # survivor = min doc_id per fingerprint, as a WINDOW over the gated
+    # frame: one fp-keyed shuffle total, and the scan-side projection
+    # above is evaluated once — the agg + self-join alternative pays
+    # two extra exchanges and re-runs the projection subtree per branch
+    from pyspark.sql.window import Window
+
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        gated.join(
-            survivors,
-            (F.col("fp") == F.col("s_fp")) & (F.col("doc_id") == F.col("keep_id")),
-        )
+        gated.withColumn("keep_id", keep)
+        .filter(F.col("doc_id") == F.col("keep_id"))
         .select(
             "doc_id",
             "fp",
