@@ -286,3 +286,117 @@ def q_hll_user_reach(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_profile_columns",
+    oracle=(
+        "SELECT 'l_quantity' AS col_name, count(*) AS n_rows, "
+        "count(*) - count(l_quantity) AS n_null, "
+        "count(DISTINCT l_quantity) AS n_distinct, "
+        "round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v, "
+        "round(avg(l_quantity), 6) AS mean_v FROM lineitem "
+        "UNION ALL "
+        "SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice), "
+        "count(DISTINCT l_extendedprice), round(min(l_extendedprice), 6), "
+        "round(max(l_extendedprice), 6), round(avg(l_extendedprice), 6) "
+        "FROM lineitem "
+        "UNION ALL "
+        "SELECT 'l_discount', count(*), count(*) - count(l_discount), "
+        "count(DISTINCT l_discount), round(min(l_discount), 6), "
+        "round(max(l_discount), 6), round(avg(l_discount), 6) FROM lineitem "
+        "UNION ALL "
+        "SELECT 'l_tax', count(*), count(*) - count(l_tax), "
+        "count(DISTINCT l_tax), round(min(l_tax), 6), round(max(l_tax), 6), "
+        "round(avg(l_tax), 6) FROM lineitem"
+    ),
+)
+def q_profile_columns(spark, sf_dir):
+    """Column-profiling pass — the data-quality report every ingest
+    runs first (row/null/distinct counts, min/max/mean per column).
+    ONE scan computes every per-column aggregate simultaneously
+    (4 columns × 6 metrics in a single partial-aggregable agg — the
+    naive per-column loop would rescan the table per column); the
+    wide 1-row result is then unpivoted JVM-side with stack(). The
+    exact distinct counts shuffle one value set per column; swap in
+    approx_count_distinct at the 100 TB tier when ±2% suffices."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(c).alias(f"{c}__dist"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, event_type, ts, event_id, "
+        "  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        "  THEN 1 ELSE 0 END AS chg "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "grp AS ("
+        "  SELECT user_id, event_type, ts, "
+        "  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg "
+        "  FROM marked), "
+        "segs AS ("
+        "  SELECT user_id, event_type, seg, min(ts) AS valid_from "
+        "  FROM grp GROUP BY user_id, event_type, seg) "
+        "SELECT user_id, event_type, valid_from, "
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) "
+        "AS valid_to "
+        "FROM segs"
+    ),
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 dimension build from an event stream: collapse each
+    user's event_type runs into validity intervals [valid_from,
+    valid_to), open-ended for the current state — the
+    slowly-changing-dimension snapshot a warehouse derives from CDC.
+    Gaps-and-islands (lag → change flag → running sum) plus a lead
+    for the closing edge; every window keys on user_id, so the whole
+    query is ONE user-keyed shuffle with in-partition sorts."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    segs = (
+        marked.withColumn("seg", F.sum("chg").over(w))
+        .groupBy("user_id", "event_type", "seg")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return segs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
