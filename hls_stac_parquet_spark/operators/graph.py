@@ -111,3 +111,115 @@ def connected_components(
             "rounds (graph diameter exceeds max_iter); raise max_iter"
         )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm). Same output contract as
+    :func:`connected_components`: ``(node, component)`` with
+    ``component`` = the smallest reachable node id.
+
+    Use this instead of min-label propagation when components can be
+    LONG CHAINS rather than small cliques (e.g. transitive near-dup
+    chains A~B~C~... from embedding similarity): label propagation
+    needs O(diameter) rounds, large-star/small-star contracts the
+    graph toward a star forest in O(log² n) rounds regardless of
+    diameter — a 10^6-long chain converges in ~20 rounds, not 10^6.
+
+    Per round: two (groupBy-min + join) shuffles, each keyed on node
+    id and carrying only (node, node) long pairs; the edge set can
+    only shrink or re-point (never densify beyond the original size
+    in undirected form), so round cost is bounded by the input edge
+    count. Every round ``localCheckpoint``s the edge frame — same
+    lineage-truncation argument as label propagation (each round
+    reads its predecessor twice).
+
+    large-star(u): every neighbor v > u re-points to m = min(N(u)∪{u})
+    small-star(u): every neighbor v ≤ u re-points to m (plus u itself)
+    Fixpoint = a star forest whose centers are component minima.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without a
+    fixpoint (cannot happen below ~log²|V| rounds of headroom).
+    """
+    # node universe from the RAW edge list (a self-loop-only node is
+    # still a node); then the canonical undirected set, self-loops
+    # dropped
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star: sym view, each strictly-larger neighbor joins
+        #    the neighborhood minimum (which includes u itself)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star on the large-star output: neighbors ≤ u (in the
+        #    canonical (u,v) v>u orientation, that's each v's smaller
+        #    neighbors {u}) plus v itself re-point to the minimum
+        msmall = large.groupBy(F.col("v").alias("c")).agg(
+            F.min("u").alias("m")
+        )
+        new_e = (
+            large.join(msmall, large.v == msmall.c)
+            .select(
+                F.least("u", "m").alias("nu"), F.greatest("u", "m").alias("nv")
+            )
+            .union(
+                msmall.select(
+                    F.col("m").alias("nu"), F.col("c").alias("nv")
+                )
+            )
+            .filter(F.col("nu") != F.col("nv"))
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stable = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if stable:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds"
+        )
+    # fixpoint e is a star forest (center=u=min, leaf=v); centers label
+    # themselves, isolated-after-contraction nodes are their own min
+    leaf_labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    return all_nodes.join(leaf_labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

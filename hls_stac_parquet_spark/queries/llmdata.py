@@ -1177,12 +1177,18 @@ def q_embedding_dedup(spark, sf_dir):
     it; at corpus scale the same chain runs off lsh_cosine_candidates
     / ivf_cosine_topk (operators/similarity.py) with identical
     downstream stages. Mirrors reference dedup intent at the
-    embedding level (no reference analog — LLM-pipeline extension)."""
-    from hls_stac_parquet_spark.operators.graph import connected_components
+    embedding level (no reference analog — LLM-pipeline extension).
+
+    Clustering uses the large-star/small-star variant: cosine
+    near-dup graphs form transitive CHAINS (A~B~C without A~C), so
+    component diameter grows with corpus size — star contraction
+    converges in O(log²) rounds where label propagation needs
+    O(diameter)."""
+    from hls_stac_parquet_spark.operators.graph import connected_components_star
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_above(emb, threshold=0.35).select("vec_a", "vec_b")
-    cc = connected_components(pairs, "vec_a", "vec_b").select(
+    cc = connected_components_star(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), F.col("component").alias("survivor")
     )
     return (

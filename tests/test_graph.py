@@ -6,9 +6,9 @@ import pytest
 from hls_stac_parquet_spark.operators.graph import connected_components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r.node: r.component for r in rows}
 
 
@@ -44,3 +44,42 @@ def test_non_convergence_raises(spark):
     # the same graph converges when max_iter is sufficient
     rows = connected_components(df, max_iter=15).collect()
     assert {r.component for r in rows} == {0}
+
+
+# --- large-star/small-star variant ------------------------------------------
+
+def _cc_star(spark, edges, **kw):
+    from hls_stac_parquet_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    return {r.node: r.component for r in connected_components_star(df, **kw).collect()}
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    """A 40-node chain converges in O(log^2) star rounds — far below a
+    max_iter that label propagation's O(diameter) would blow through."""
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc_star(spark, edges, max_iter=15)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_star_matches_label_propagation_on_random_graphs(spark):
+    """Both algorithms must produce the identical (node -> min id) map."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45 + 15 * trial)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        star = _cc_star(spark, edges)
+        prop = _cc(spark, edges, max_iter=60)
+        assert star == prop
+
+
+def test_star_self_loop_and_duplicates(spark):
+    got = _cc_star(spark, [(7, 7), (8, 9), (9, 8), (8, 9)])
+    assert got == {7: 7, 8: 8, 9: 8}
