@@ -400,3 +400,47 @@ def q_scd2_intervals(spark, sf_dir):
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle=(
+        "WITH steps AS ("
+        "  SELECT user_id, lag(event_type) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS ev_from, "
+        "  event_type AS ev_to FROM events), "
+        "counts AS ("
+        "  SELECT ev_from, ev_to, count(*) AS n FROM steps "
+        "  WHERE ev_from IS NOT NULL GROUP BY ev_from, ev_to) "
+        "SELECT ev_from, ev_to, n, "
+        "round(n * 1.0 / sum(n) OVER (PARTITION BY ev_from), 6) AS p "
+        "FROM counts"
+    ),
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model primitive (what follows what,
+    with what probability). The lag window keys on user_id (one
+    shuffle); the transition count is a partial-aggregable groupBy
+    over |event_types|² keys, and the row-normalization window runs
+    on that tiny aggregate, not the facts."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = t(spark, sf_dir, "events").select(
+        F.lag("event_type").over(w).alias("ev_from"),
+        F.col("event_type").alias("ev_to"),
+    )
+    counts = (
+        steps.filter(F.col("ev_from").isNotNull())
+        .groupBy("ev_from", "ev_to")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.select(
+        "ev_from",
+        "ev_to",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("ev_from")), 6
+        ).alias("p"),
+    )
