@@ -32,6 +32,7 @@ def curate_corpus(
     quality_min: float = 0.3,
     top_word_frac_max: float = 0.12,
     train_pct: int = 87,
+    observation=None,
 ) -> DataFrame:
     """Curate ``docs`` (doc_id, text, source, ...) into a training
     corpus frame: one row per SURVIVING document with its dedup
@@ -59,6 +60,11 @@ def curate_corpus(
     are per-row and cheap, dedup shuffles — filter-early shrinks the
     shuffle. At 100 TB each gate's selectivity shows up directly in
     the exchange sizes.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get gate
+    metrics (kept-row count, average quality) accumulated on the SAME
+    job — production pipelines monitor gate selectivity without paying
+    a second action.
     """
     # sorted tokens are let-bound into their own projection: an
     # inlined split() inside the HOF re-evaluates per lambda step
@@ -79,6 +85,15 @@ def curate_corpus(
         )
         .withColumn("fp", bow_fingerprint("text"))
     )
+    if observation is not None:
+        # gate metrics ride the job itself (df.observe accumulators) —
+        # no second action, no extra scan; after any action on the
+        # result, observation.get yields {n_gated, avg_quality}
+        gated = gated.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_gated"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
     # survivor = min doc_id per fingerprint, as a WINDOW over the gated
     # frame: one fp-keyed shuffle total, and the scan-side projection
     # above is evaluated once — the agg + self-join alternative pays

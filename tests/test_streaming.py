@@ -273,6 +273,9 @@ def test_transform_with_state_running_profile(spark, tmp_path):
     """transformWithStateInPandas running profile: two drains over a
     growing source must show RUNNING totals (state carries across
     micro-batches via the RocksDB store) and emit only touched keys."""
+    # the transformWithState state-server protocol speaks protobuf;
+    # absent in this sandbox (no installs) — runs on any real cluster
+    pytest.importorskip("google.protobuf")
     from hls_stac_parquet_spark.streaming.incremental import stream_running_profile
 
     src = str(tmp_path / "tws-events")
