@@ -55,8 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--end-date", type=dt.date.fromisoformat,
                     help="default: yesterday (UTC)")
 
+    p4 = sub.add_parser("export-training-shards")
+    p4.add_argument("src", help="documents parquet (curated or raw)")
+    p4.add_argument("dest")
+    p4.add_argument("--num-shards", type=int, default=16)
+    p4.add_argument("--curate", action="store_true",
+                    help="run the corpus-curation chain on src first")
+
     args = ap.parse_args(argv)
-    coll = COLLECTIONS[args.collection]
+    coll = COLLECTIONS[args.collection] if hasattr(args, "collection") else None
     spark = get_spark(f"hls-{args.cmd}")
 
     if args.cmd == "cache-daily-stac-json-links":
@@ -102,6 +109,32 @@ def main(argv: list[str] | None = None) -> int:
             endpoint=args.endpoint,
         )
         print(f"backfilled {len(written)} manifests ({start}..{end})")
+    elif args.cmd == "export-training-shards":
+        from pyspark.sql import functions as F
+
+        from hls_stac_parquet_spark.sinks.shards import (
+            shard_balance_report,
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet(args.src)
+        if args.curate:
+            from hls_stac_parquet_spark.plans.llm_corpus import curate_corpus
+
+            docs = curate_corpus(docs)
+        elif "n_tokens" not in docs.columns:
+            docs = docs.withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), " "))
+            )
+        manifest = write_training_shards(
+            docs, args.dest, num_shards=args.num_shards
+        )
+        rep = shard_balance_report(manifest)
+        print(
+            f"wrote {rep['n_shards']} shards, "
+            f"{rep['mean_tokens']:.0f} tokens/shard mean, "
+            f"rel spread {rep['rel_spread']:.3f}"
+        )
     return 0
 
 

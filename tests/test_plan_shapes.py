@@ -239,3 +239,19 @@ def test_autocorr_reuses_window_partitioning(spark):
     partitioning — exactly one Exchange in the plan."""
     plan = _plan(spark, "q_autocorr_lag1")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_pipeline_single_shuffle(spark):
+    """The whole curation chain must cost exactly ONE hash exchange
+    (the fingerprint-keyed survivor window) — every gate is a
+    scan-side projection and the agg+self-join shape (3 exchanges,
+    double projection evaluation) must not creep back."""
+    plan = _plan(spark, "q_corpus_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_user_shuffle(spark):
+    """All SCD2 windows key on user_id: one user-keyed exchange, plus
+    in-partition sorts only."""
+    plan = _plan(spark, "q_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1

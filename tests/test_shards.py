@@ -74,3 +74,23 @@ def test_curate_corpus_observe_metrics(spark):
     metrics = obs.get
     assert metrics["n_gated"] >= n_out > 0
     assert 0.0 < metrics["avg_quality"] <= 1.5
+
+
+def test_cli_export_training_shards(spark, tmp_path):
+    from hls_stac_parquet_spark.cli import main
+
+    dest = str(tmp_path / "cli-shards")
+    rc = main(
+        [
+            "export-training-shards",
+            f"{SF0001}/documents.parquet",
+            dest,
+            "--num-shards",
+            "4",
+            "--curate",
+        ]
+    )
+    assert rc == 0
+    back = read_training_shards(spark, dest)
+    assert back.select("shard").distinct().count() == 4
+    assert {"doc_id", "n_tokens", "split"} <= set(back.columns)
