@@ -450,3 +450,82 @@ def shared_window_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via prefix filtering
+    (Chaudhuri/Bayardo/Xiao's All-Pairs–PPJoin family — public
+    algorithms): identical output to :func:`ngram_jaccard_pairs`, but
+    the candidate stage scales.
+
+    Principle: order every document's shingle set by one global total
+    order and keep only the PREFIX of length |A| − ⌈τ·|A|⌉ + 1. Any
+    two sets with Jaccard ≥ τ MUST share at least one prefix element
+    (dropping more than |A| − ⌈τ·|A|⌉ elements can't leave enough
+    overlap), so bucketing on prefix shingles alone generates a
+    candidate superset — exactness preserved, candidate volume driven
+    by (1−τ)·|doc| instead of |doc|.
+
+    The total order here is (xxhash64(shingle), shingle) — computable
+    row-side with array_sort over a struct array, so prefix
+    construction is a pure scan-side projection: no global frequency
+    pre-pass, no extra shuffle. (Frequency-ascending order would
+    shrink candidates further at the cost of a vocab aggregate +
+    rejoin; hash order keeps the plan two shuffles total — bucket
+    groupBy + verify join.) Verification computes exact Jaccard from
+    the full shingle arrays with array_intersect — JVM higher-order
+    functions, no Python.
+    """
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("ts")).filter(F.size("ts") >= n)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ts", (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    docs = base.select(F.col(id_col), grams.alias("grams"))
+    ordered = F.array_sort(
+        F.transform(
+            "grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g"))
+        )
+    )
+    prefix_len = (
+        F.size("grams")
+        - F.ceil(F.size("grams") * F.lit(min_jaccard)).cast("int")
+        + F.lit(1)
+    )
+    prefixed = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(ordered, F.lit(1), prefix_len)).alias("p"),
+    ).select(F.col(id_col), F.col("p.g").alias("shingle"))
+
+    # exact: no bucket cap — a dropped bucket could drop a true pair
+    cand = bucket_pairs(prefixed, ["shingle"], id_col, max_bucket=None)
+
+    ga = docs.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
+    gb = docs.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
+    verified = (
+        cand.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("ga") + F.size("gb") - F.col("n_common")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

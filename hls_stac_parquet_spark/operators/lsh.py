@@ -19,15 +19,19 @@ def bucket_pairs(
     banded: DataFrame,
     bucket_cols: list[str],
     id_col: str,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """(bucket_cols..., id) rows → distinct (id_a < id_b) pairs that
-    co-occur in at least one bucket of size in [2, max_bucket]."""
+    co-occur in at least one bucket of size ≥ 2 (≤ ``max_bucket`` when
+    set — pass ``None`` for EXACT candidate generation, where dropping
+    a bucket would drop true pairs)."""
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
-        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .filter(F.size("_ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     ids = F.col("_ids")
     n = F.size(ids)
     # ordered index pairs (i < j), expanded row-side: the bucket is

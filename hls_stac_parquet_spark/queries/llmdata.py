@@ -26,6 +26,7 @@ from hls_stac_parquet_spark.operators.dedup import (
     dedup_exact,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_candidate_pairs,
 )
 from hls_stac_parquet_spark.operators.similarity import (
@@ -1306,4 +1307,26 @@ def q_pmi_bigrams(spark, sf_dir):
         )
         .orderBy(F.col("n_xy").desc(), "bigram")
         .limit(20)
+    )
+
+
+@query(
+    "q_jaccard_prefix_join",
+    oracle=(
+        "WITH " + _JACCARD_PAIRS_CTE + " "
+        "SELECT doc_a, doc_b, "
+        "round(n_common * 1.0 / (ca.n_shingles + cb.n_shingles - n_common), 6) "
+        "AS jaccard FROM common "
+        "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
+        "WHERE n_common / (ca.n_shingles + cb.n_shingles - n_common) >= 0.5"
+    ),
+)
+def q_jaccard_prefix_join(spark, sf_dir):
+    """EXACT Jaccard-threshold join via prefix filtering (All-Pairs /
+    PPJoin family) — same answer as q_ngram_jaccard, proven by the
+    shared oracle, but the candidate stage explodes only each doc's
+    (1−τ) hash-ordered prefix instead of every shingle: the exact
+    similarity join that still works when the quadratic path dies."""
+    return prefix_filter_jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=2, min_jaccard=0.5
     )

@@ -125,3 +125,26 @@ def test_shared_window_pairs_max_df_drops_stop_windows(spark):
         spark.createDataFrame(pdf), k=4, min_shared=1, max_df=4
     ).collect()
     assert out == []
+
+
+def test_prefix_filter_join_equals_quadratic_ground_truth(spark):
+    """Prefix filtering must return EXACTLY the pairs the quadratic
+    all-shingles join returns — it is an exact algorithm, not an
+    approximation (any miss means the prefix bound is broken)."""
+    from hls_stac_parquet_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=2, min_jaccard=0.5).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, n=2, min_jaccard=0.5).collect()
+    }
+    assert prefix == exact
+    assert exact  # non-vacuous: the fixture corpus has near-dup pairs
