@@ -444,3 +444,38 @@ def q_markov_transitions(spark, sf_dir):
             F.col("n") / F.sum("n").over(Window.partitionBy("ev_from")), 6
         ).alias("p"),
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+        "cover AS (SELECT user_id, "
+        "CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) "
+        "AS DATE) AS day FROM ud) "
+        "SELECT day, count(DISTINCT user_id) AS n_active FROM cover GROUP BY day"
+    ),
+)
+def q_rolling_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the rolling
+    reach metric. Distinct counts don't merge across window frames,
+    so the naive per-day recompute rescans 7× per day; instead each
+    (user, day) pair explodes into the ≤7 cover days it contributes
+    to, and ONE day-keyed distinct aggregate answers every day at
+    once — shuffle volume 7×|distinct (user,day)|, linear in the
+    data. The approximate twin at extreme scale is per-day HLL
+    sketches merged over the trailing window (see q_hll_user_reach
+    for the mergeable-sketch pattern)."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    return cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
