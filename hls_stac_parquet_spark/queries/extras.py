@@ -479,3 +479,88 @@ def q_rolling_active_users(spark, sf_dir):
     return cover.groupBy("day").agg(
         F.count_distinct("user_id").alias("n_active")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle=(
+        "WITH seg AS ("
+        "  SELECT user_id, value, ts, "
+        "  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+        "  FROM events), "
+        "w AS (SELECT user_id, value, "
+        "  date_diff('microsecond', ts, nxt) AS dur_us FROM seg "
+        "  WHERE nxt IS NOT NULL) "
+        "SELECT user_id, "
+        "round(sum(value * dur_us) / sum(dur_us), 6) AS twap "
+        "FROM w GROUP BY user_id HAVING sum(dur_us) > 0"
+    ),
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP) per user: each observation is
+    weighted by how long it remained the current value (duration to
+    the next event) — the correct mean for irregularly-sampled
+    series, where the arithmetic mean over-weights bursts. One
+    user-keyed window for the lead, then a partial-aggregable
+    weighted-sum groupBy that reuses the window's partitioning."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        ).alias("dur_us"),
+    )
+    return (
+        seg.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.sum("dur_us").alias("_total"),
+        )
+        .filter(F.col("_total") > 0)
+        .select("user_id", "twap")
+    )
+
+
+@query(
+    "q_hopping_window",
+    oracle=(
+        # base = ts floored to its 15-min slide mark (base <= ts);
+        # the 1h/15m hop covers exactly {base, base-15m, base-30m,
+        # base-45m}: every s in that set satisfies s <= ts < s + 1h
+        "WITH s0 AS ("
+        "  SELECT value, date_trunc('minute', ts) "
+        "  - to_minutes(CAST(extract(minute FROM ts) AS BIGINT) % 15) AS base "
+        "  FROM events), "
+        "hops AS ("
+        "  SELECT value, base - to_minutes(CAST(k * 15 AS BIGINT)) AS win_start "
+        "  FROM s0, (SELECT unnest([0, 1, 2, 3]) AS k)) "
+        "SELECT win_start, count(*) AS n_events, "
+        "round(sum(value), 2) AS sum_value FROM hops GROUP BY win_start"
+    ),
+)
+def q_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregate — 1-hour windows every 15
+    minutes, so each event lands in 4 overlapping windows. Spark's
+    window(ts, '1 hour', '15 minutes') generates the covering windows
+    scan-side (a 4-element explode, no self-join), then ONE window-
+    keyed partial-aggregable groupBy; the same expression runs under
+    Structured Streaming with a watermark. The oracle replays the
+    hop enumeration with generate_series."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "n_events", "sum_value"
+        )
+    )
