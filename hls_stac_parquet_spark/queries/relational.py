@@ -1789,3 +1789,26 @@ def q_min_max_norm(spark, sf_dir):
             (F.col("value") - mn) / F.nullif(mx - mn, F.lit(0.0)), 6
         ).alias("value_norm"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle=(
+        "SELECT event_id, CAST(props ->> '$.k' AS INT) AS k_val, "
+        "CAST(json_valid(props) AS BOOLEAN) AS is_valid FROM events"
+    ),
+)
+def q_variant_json(spark, sf_dir):
+    """Semi-structured access through Spark 4's VariantType:
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the open-format answer to
+    string-reparsing every get_json_object call (one parse, many
+    cheap typed reads; variant shredding pushes paths to the scan
+    when the source is variant-typed parquet)."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
+    )
