@@ -1320,6 +1320,11 @@ def q_pmi_bigrams(spark, sf_dir):
         "JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b "
         "WHERE n_common / (ca.n_shingles + cb.n_shingles - n_common) >= 0.5"
     ),
+    # exact-threshold path: prefix pruning needs a real vocabulary —
+    # this synthetic corpus draws from ~60 words, so every prefix
+    # shingle is corpus-wide and candidates degenerate to near-
+    # quadratic (same reason q_ngram_jaccard sits out the bench)
+    bench=False,
 )
 def q_jaccard_prefix_join(spark, sf_dir):
     """EXACT Jaccard-threshold join via prefix filtering (All-Pairs /
