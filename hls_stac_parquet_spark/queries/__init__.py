@@ -41,17 +41,52 @@ CONTRACT_QUERIES = [
 ]
 
 
-def _rotation_order() -> list[str]:
-    hist_path = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), "..", "..",
-        "CHECKED_HISTORY.json",
-    )
+def load_check_history() -> dict:
+    """Merged per-query driver-check history: CHECKED_HISTORY.json
+    plus any CORRECTNESS_r{N}.json not yet folded in (rotation stays
+    fresh even when scripts/update_history.py wasn't run)."""
+    root = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")
     hist: dict = {}
     try:
-        with open(hist_path) as f:
+        with open(_os.path.join(root, "CHECKED_HISTORY.json")) as f:
             hist = _json.load(f)
     except Exception:
         pass
+    # self-maintaining: fold in any driver CORRECTNESS_r{N}.json not yet
+    # merged into the history file (scripts/update_history.py is the
+    # durable merge; this keeps rotation fresh even if it wasn't run)
+    try:
+        import glob as _glob
+        import re as _re
+
+        for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+            m = _re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                corr = _json.load(f)
+            for name, row in corr.items():
+                ent = hist.setdefault(name, {"checked": [], "green": []})
+                if rnd not in ent["checked"]:
+                    ent["checked"].append(rnd)
+                ok = row.get("err") is None and all(
+                    v is not False
+                    for v in (
+                        row.get("rows_match"),
+                        row.get("schema_match"),
+                        row.get("hash_match"),
+                    )
+                )
+                if ok and rnd not in ent["green"]:
+                    ent["green"].append(rnd)
+    except Exception:
+        pass
+    return hist
+
+
+def _rotation_order() -> list[str]:
+    hist = load_check_history()
 
     def prio(name: str) -> tuple:
         ent = hist.get(name, {"checked": [], "green": []})

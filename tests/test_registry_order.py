@@ -17,16 +17,10 @@ def test_rotation_prefers_unverified_tail():
     """Behind the contract block: failed-last-round first (prove the
     fix), then never-checked, then verified (least-verified first) —
     so every registered query eventually earns a CORRECTNESS row."""
-    import json
-    import os
+    from hls_stac_parquet_spark.queries import load_check_history
 
-    hist_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "CHECKED_HISTORY.json"
-    )
-    try:
-        with open(hist_path) as f:
-            hist = json.load(f)
-    except FileNotFoundError:
+    hist = load_check_history()
+    if not hist:
         return  # fresh clone: nothing to assert beyond contract order
     tail = list(REGISTRY)[len(CONTRACT_QUERIES):]
 
