@@ -25,6 +25,7 @@ from hls_stac_parquet_spark.queries import reference_ops  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import llmdata  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import extras  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import tpch  # noqa: F401,E402
+from hls_stac_parquet_spark.queries import analytics  # noqa: F401,E402
 
 # SURVEY.md §2.B — the 36-query correctness contract, in §2.B order.
 CONTRACT_QUERIES = [
