@@ -255,3 +255,47 @@ def test_scd2_single_user_shuffle(spark):
     in-partition sorts only."""
     plan = _plan(spark, "q_scd2_intervals")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skyline_is_window_plus_broadcast(spark):
+    """The Pareto frontier must be the O(n log n) formulation: a
+    window over the distinct-price aggregate broadcast-joined back —
+    never the O(n²) NOT EXISTS self-join the oracle runs."""
+    plan = _plan(spark, "q_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_max_concurrency_day_partitioned_window(spark):
+    """The sweep-line running sum must partition by day (streams at
+    scale) — no global single-partition window, no pair join."""
+    plan = _plan(spark, "q_max_concurrency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partitionBy=[day" in plan.replace(" ", "").replace("#", "").lower() or "day" in plan.split("Window")[1][:200]
+
+
+def test_spell_variants_blocked_not_cartesian(spark):
+    """Fuzzy candidates must come from block-key equi-joins over the
+    vocab aggregate (head/tail char), never a cartesian vocab²."""
+    plan = _plan(spark, "q_spell_variants")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_model_joins_broadcast(spark):
+    """The bigram model is vocab²-bounded and must broadcast onto the
+    doc-bigram stream; the corpus explode is scanned once."""
+    plan = _plan(spark, "q_bigram_lm")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_single_pass_aggregate(spark):
+    """The audit is one partial+final aggregate over the scan; the
+    total is a broadcast single-row dim."""
+    plan = _plan(spark, "q_benford")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
