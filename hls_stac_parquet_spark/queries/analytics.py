@@ -381,6 +381,68 @@ def q_bigram_lm(spark, sf_dir):
 
 
 @query(
+    "q_interval_overlap_join",
+    oracle=(
+        "WITH p AS (SELECT user_id, event_id, ts AS s, "
+        "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
+        "  FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, event_id, ts AS s, "
+        "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
+        "  FROM events WHERE event_type = 'error') "
+        "SELECT p.user_id, p.event_id AS purchase_id, "
+        "  r.event_id AS error_id, "
+        "  CAST(date_diff('microsecond', greatest(p.s, r.s), "
+        "       least(p.e, r.e)) AS BIGINT) AS overlap_us "
+        "FROM p JOIN r ON p.user_id = r.user_id "
+        " AND date_diff('microsecond', greatest(p.s, r.s), least(p.e, r.e)) > 0"
+    ),
+)
+def q_interval_overlap_join(spark, sf_dir):
+    """Interval×interval overlap join: per user, purchase flows whose
+    [start, start + value minutes] window overlaps an error window —
+    the incident-correlation / booking-conflict join class (both sides
+    are intervals, so neither as-of nor point-in-range joins apply).
+
+    The oracle is the quadratic inequality join; the Spark side is
+    operators/intervals.interval_overlap_join — grid bucketization
+    (1 h cells): intervals explode onto the grid cells they touch,
+    candidates shuffle on (user, cell) equi-keys, and the anchor-cell
+    trick (keep a pair only in the cell of the later start) makes the
+    join exact with no dedup pass and no nested loop.  Overlap is
+    measured in MICROSECONDS — exact at storage precision on both
+    engines, where SECOND-granularity diffs disagree (boundary count
+    vs truncation).
+    """
+    from hls_stac_parquet_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = t(spark, sf_dir, "events")
+
+    def windows(etype):
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("s"),
+            F.timestamp_add(
+                "SECOND",
+                F.floor(F.col("value") * 60).cast("long"),
+                F.col("ts"),
+            ).alias("e"),
+        )
+
+    pairs = interval_overlap_join(
+        windows("purchase"), windows("error"), by=["user_id"]
+    )
+    return pairs.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("error_id"),
+        "overlap_us",
+    )
+
+
+@query(
     "q_benford",
     oracle=(
         "WITH digits AS (SELECT CAST(substr(printf('%.2f', o_totalprice), 1, 1) "
