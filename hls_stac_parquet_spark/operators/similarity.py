@@ -356,3 +356,170 @@ def lsh_cosine_candidates(
     return bucket_pairs(banded, ["band", "bucket"], "vec_id").select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
     )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codes: int = 16,
+    seed: int = 42,
+    train_sample: int = 10000,
+    lloyd_iters: int = 8,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: split the (unit-
+    normalized) vector into ``m`` contiguous subspaces and fit a
+    ``codes``-centroid k-means per subspace on a bounded deterministic
+    sample (same recipe as :func:`ivf_cosine_topk`'s quantizer —
+    training cost is constant in corpus size).
+
+    Returns the codebook tensor with shape (m, codes, dim/m).
+    """
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    X = X / xn[:, None]
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, codes, d_sub))
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        kk = min(codes, len(Xs))
+        centers = Xs[rng.choice(len(Xs), size=kk, replace=False)]
+        for _ in range(lloyd_iters):
+            # L2 assignment: argmin ||x-c||² = argmax (x·c - ||c||²/2)
+            scores = Xs @ centers.T - 0.5 * (centers**2).sum(axis=1)
+            owner = np.argmax(scores, axis=1)
+            for j in range(kk):
+                members = Xs[owner == j]
+                if len(members):
+                    centers[j] = members.mean(axis=0)
+        books[s, :kk] = centers
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` small codes (nearest codebook
+    centroid per subspace) — a pure map over Arrow batches, zero
+    shuffle. A 64-float embedding compresses to m bytes-ish of codes:
+    the representation that lets a 100 TB corpus's index fit hot
+    storage."""
+    from pyspark.sql.types import ArrayType, IntegerType as _Int
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf(ArrayType(_Int()))
+    def encode(col: pd.Series) -> pd.Series:
+        B = bc.value
+        m, _, d_sub = B.shape
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        out = np.zeros((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            Xs = mat[:, s * d_sub : (s + 1) * d_sub]
+            scores = Xs @ B[s].T - 0.5 * (B[s] ** 2).sum(axis=1)
+            out[:, s] = np.argmax(scores, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(id_col, encode(vec_col).alias("pq_codes"))
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    queries: "pd.DataFrame",
+    books: "np.ndarray",
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: for each query vector, the
+    approximate squared L2 distance to a coded corpus vector is the
+    sum of per-subspace lookup-table entries — the corpus is scanned
+    as codes only (no floats), one numpy gather per Arrow batch, then
+    a per-query top-k window.
+
+    ``queries`` is a small pandas frame (query_id, vector) — the
+    broadcast side by construction, mirroring the IVF probe fan-out.
+    """
+    from pyspark.sql.types import (
+        DoubleType as _Dbl,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    m, n_codes, d_sub = books.shape
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries["vector"]])
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    n_q = len(qmat)
+    # (n_q, m, codes) distance tables: ||q_s - c_{s,j}||²
+    tables = np.zeros((n_q, m, n_codes))
+    for s in range(m):
+        qs = qmat[:, s * d_sub : (s + 1) * d_sub]
+        diff = qs[:, None, :] - books[s][None, :, :]
+        tables[:, s, :] = (diff**2).sum(axis=2)
+    q_ids = queries["query_id"].to_numpy(dtype=np.int64)
+
+    spark = codes_df.sparkSession
+    bc_tables = spark.sparkContext.broadcast(tables)
+    bc_qids = spark.sparkContext.broadcast(q_ids)
+
+    out_schema = _ST(
+        [
+            _SF("query_id", _Long()),
+            _SF("neighbor_id", _Long()),
+            _SF("approx_dist", _Dbl()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = bc_tables.value  # (n_q, m, codes)
+        qid = bc_qids.value
+        nq, mm, _ = T.shape
+        sub = np.arange(mm)
+        for pdf in batches:
+            C = np.stack(pdf["pq_codes"].to_numpy())  # (n, m)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # gather: dist[q, i] = Σ_s T[q, s, C[i, s]]
+            dist = np.zeros((nq, len(ids)))
+            for q in range(nq):
+                dist[q] = T[q, sub, C].sum(axis=1)
+            for q in range(nq):
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), qid[q], dtype=np.int64),
+                        "neighbor_id": ids,
+                        "approx_dist": np.round(dist[q], round_digits),
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    scored = codes_df.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -16,7 +16,9 @@ from hls_stac_parquet_spark.functions.text import (
     TOKEN_PATTERN,
     doc_fingerprint,
     language_id,
+    punct_ratio,
     quality_score,
+    stopword_ratio,
     token_count,
     token_hashes,
     tokens,
@@ -118,6 +120,47 @@ def q_quality_score(spark, sf_dir):
     """Composite quality score (C4/Gopher-filter shape)."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "q_logistic_scorer",
+    oracle=(
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-("
+        "-1.2 + 0.8 * ln(1 + length(text)) "
+        "+ 2.5 * (" + _SW_RATIO_SQL + ") "
+        "- 3.0 * (" + _PUNCT_RATIO_SQL + ")))), 6) AS p_keep, "
+        "CAST(1.0 / (1.0 + exp(-("
+        "-1.2 + 0.8 * ln(1 + length(text)) "
+        "+ 2.5 * (" + _SW_RATIO_SQL + ") "
+        "- 3.0 * (" + _PUNCT_RATIO_SQL + ")))) >= 0.5 AS BOOLEAN) AS keep "
+        "FROM documents"
+    ),
+)
+def q_logistic_scorer(spark, sf_dir):
+    """Broadcast linear-model inference as pure SQL — a fastText/
+    logistic-regression-style quality classifier scored entirely
+    inside codegen (the production pattern for applying a trained
+    filter model to a 100 TB corpus: ship the weights as literals or
+    a broadcast dim, never ship the corpus to Python).
+
+    Features (doc length, stopword density, punctuation density) are
+    the same engine expressions the quality/lang-id queries use; the
+    logistic link runs per-row with zero shuffle.  Weights here are
+    fixed literals standing in for a trained model's coefficients.
+    """
+    c = F.col("text")
+    z = (
+        F.lit(-1.2)
+        + 0.8 * F.log(1 + F.length(c))
+        + 2.5 * stopword_ratio(c)
+        - 3.0 * punct_ratio(c)
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
     )
 
 
@@ -286,6 +329,80 @@ def q_ann_ivf(spark, sf_dir):
     the exact brute-force top-k is asserted in tests/test_similarity."""
     return ivf_cosine_topk(
         t(spark, sf_dir, "embeddings"), k=5, n_clusters=8, n_probe=3
+    )
+
+
+@query("q_pq_ann", oracle=None)  # seeded sample-trained codebooks — rows-only
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN, the compressed-index tier beyond
+    IVF/LSH: 64-float vectors encode to 16 six-bit codes (~21×
+    compression), queries scan CODES ONLY via asymmetric-distance
+    lookup tables (no corpus floats touched), then the ADC top-50
+    shortlist is re-ranked EXACTLY with a sparse join back to the
+    raw vectors — the standard two-stage production shape.  Recall@10
+    ≥ 0.8 vs the exact brute-force top-k is asserted in
+    tests/test_similarity.py (measured 0.96 at sf0.001).
+
+    Scale posture: codebooks train on a bounded sample (constant cost
+    in corpus size); encode is a shuffle-free Arrow map; the ADC scan
+    shuffles nothing and the re-rank join touches 50 rows per query.
+    """
+    import pandas as pd
+
+    from hls_stac_parquet_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=16, codes=64)
+    codes = pq_encode(emb, books)
+    qp = emb.orderBy("vec_id").limit(5).toPandas()
+    queries = pd.DataFrame(
+        {"query_id": qp["vec_id"], "vector": qp["embedding"]}
+    )
+    shortlist = pq_topk_adc(codes, queries, books, k=51).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    # exact re-rank: sparse equi-join back to raw vectors (50 rows per
+    # query — AQE broadcasts), cosine via JVM HOFs, window top-10
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in
+             zip(queries["query_id"], queries["vector"])],
+            "query_id bigint, qvec array<float>",
+        )
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "nvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nvec, "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn(
+            "cosine",
+            F.round(dot / (norm("qvec") * norm("nvec")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
     )
 
 

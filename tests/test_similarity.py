@@ -108,3 +108,32 @@ def test_ivf_recall_vs_brute_force(emb):
         got.setdefault(r.vec_id, []).append((r.rnk, r.neighbor_id))
     for vid, exp in exact.items():
         assert [n for _, n in sorted(got[vid])] == exp
+
+
+def test_pq_ann_rerank_recall(spark):
+    """Two-stage PQ (ADC shortlist → exact re-rank) must reach ≥ 0.8
+    recall@10 vs exact brute force, and codes must be valid."""
+    from hls_stac_parquet_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from hls_stac_parquet_spark.queries.registry import t
+    from tests.conftest import SF0001
+
+    emb = t(spark, SF0001, "embeddings")
+    books = pq_train_codebooks(emb, m=16, codes=64)
+    assert books.shape == (16, 64, 4)
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r.pq_codes) == 16 for r in codes)
+    assert all(0 <= c < 64 for r in codes for c in r.pq_codes)
+
+    ap = REGISTRY["q_pq_ann"].fn(spark, SF0001).toPandas()
+    gt = cosine_topk(emb, k=10).toPandas()
+    recalls = []
+    for q in ap.query_id.unique():
+        a = set(ap[ap.query_id == q].neighbor_id)
+        g = set(gt[gt.vec_id == q].neighbor_id)
+        recalls.append(len(a & g) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
