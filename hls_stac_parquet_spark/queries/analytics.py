@@ -529,6 +529,64 @@ def q_dow_seasonality(spark, sf_dir):
 
 
 @query(
+    "q_ewma",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_id, ts, value, "
+        "  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 "
+        "    AS i FROM events WHERE event_type = 'purchase') "
+        "SELECT user_id, event_id, value, round("
+        "  sum(value * pow(0.7, -i)) OVER w / sum(pow(0.7, -i)) OVER w, 6) "
+        "  AS ewma "
+        "FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY i "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per user (α = 0.3) — the
+    time-series smoother behind drift monitors and anomaly baselines.
+
+    EWMA's recursive definition doesn't fit SQL windows directly; the
+    prefix-sum identity does: with r = 1-α,
+    ewma_t = Σ x_i·r^(t-i) / Σ r^(t-i) = (Σ x_i·r^(-i)) / (Σ r^(-i))
+    — the r^t factors cancel, so two running sums over ONE user-keyed
+    window shuffle compute it exactly.  r^(-i) grows with series
+    length (double overflow past ~1900 points at r=0.7); per-key
+    series here are far shorter, and the production mitigation is
+    chunked re-basing of i.  Both engines evaluate the identical
+    formula with an identical total order (ts, event_id tiebreak).
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            - 1
+        ).alias("i"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wi = F.pow(F.lit(0.7), -F.col("i"))
+    return seq.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(
+            F.sum(F.col("value") * wi).over(w) / F.sum(wi).over(w), 6
+        ).alias("ewma"),
+    )
+
+
+@query(
     "q_bfs_reachability",
     oracle=(
         "WITH RECURSIVE "

@@ -299,3 +299,12 @@ def test_benford_single_pass_aggregate(spark):
     plan = _plan(spark, "q_benford")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_user_shuffle(spark):
+    """Both EWMA windows (row_number, running sums) must reuse ONE
+    user-keyed exchange — the prefix-sum identity costs the same
+    shuffle as any per-key window."""
+    plan = _plan(spark, "q_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
