@@ -327,3 +327,54 @@ def test_transform_with_state_running_profile(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cmr_stream_source_incremental_days(spark, tmp_path):
+    """The CMR streaming source's offset is a day cursor: the first
+    availableNow drain consumes every fixture day; a newly published
+    day file is consumed alone on the next trigger (exactly-once —
+    the checkpoint replaces the reference's skip-existing HEAD probe,
+    links.py:100-103)."""
+    import datetime as dt
+
+    from hls_stac_parquet_spark.sources.cmr import register_cmr_source
+    from tests.fixtures import make_fixtures
+
+    register_cmr_source(spark)
+    cmr_dir, _ = make_fixtures(
+        str(tmp_path),
+        days=[dt.date(2025, 10, 1), dt.date(2025, 10, 2)],
+        granules_per_day=3,
+    )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("cmr")
+            .option("fixture_dir", cmr_dir)
+            .load()
+            .select("id", "title", "time_start")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert got.select("id").distinct().count() == 3  # ids repeat per day
+
+    # a new day is published; only it is ingested on the next trigger
+    make_fixtures(
+        str(tmp_path), days=[dt.date(2025, 10, 3)], granules_per_day=3
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 9
+    days = {
+        r.time_start[:10]
+        for r in spark.read.parquet(out).select("time_start").collect()
+    }
+    assert days == {"2025-10-01", "2025-10-02", "2025-10-03"}
