@@ -1089,6 +1089,35 @@ def q_resize_raw_images(spark, sf_dir):
     )
 
 
+@query("q_pcm_audio_pipeline", oracle=None)
+def q_pcm_audio_pipeline(spark, sf_dir):
+    """Audio pipeline stage chain (multimodal): documents' text bytes
+    stand in for raw int16 PCM payloads; the REAL DSP runs — 16 kHz →
+    8 kHz linear-interpolation resample, then RMS/peak/zero-crossing
+    stats on the resampled waveform (operators/multimodal.pcm_stats).
+    Scalar-only output for the harness hash.  Rows-only check: the
+    byte-level DSP has no SQL expression; closed-form correctness
+    (sine RMS = A/√2, ZCR = 2f/rate) is pinned in
+    tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        pcm_stats,
+        resample_pcm,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    resampled = resample_pcm(media, src_rate=16000, dst_rate=8000)
+    return pcm_stats(resampled).select(
+        "media_id",
+        "n_samples",
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("peak").cast("double"), 6).alias("peak"),
+        F.round(F.col("zero_crossing_rate").cast("double"), 6).alias("zcr"),
+    )
+
+
 # --- round 2: repetition signals, incremental dedup, leakage-safe split ----
 
 _BOW_FP_SQL = (

@@ -142,3 +142,50 @@ def test_resize_images_shape_and_determinism(media):
     # no shuffle in the plan
     plan = resize_images(media, 8, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pcm_stats_sine_wave(spark):
+    """Known 440 Hz sine at 16 kHz: RMS = A/√2, ZCR = 2·f/rate —
+    real DSP math, verified against closed forms."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.multimodal import pcm_stats
+
+    rate, f, amp, secs = 16000, 440, 0.5, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    x = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    silent = np.zeros(1000, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(x.tobytes())), (2, bytearray(silent.tobytes()))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in pcm_stats(df).collect()}
+    assert rows[1].n_samples == rate
+    assert abs(rows[1].rms - amp / np.sqrt(2)) < 0.01
+    assert abs(rows[1].peak - amp) < 0.01
+    assert abs(rows[1].zero_crossing_rate - 2 * f / rate) < 0.005
+    assert rows[2].rms == 0.0 and rows[2].peak == 0.0
+
+
+def test_resample_pcm_halves_and_preserves_level(spark):
+    """16 kHz → 8 kHz halves the sample count and preserves RMS for a
+    band-limited signal; output bytes remain valid int16 PCM."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.multimodal import (
+        pcm_stats,
+        resample_pcm,
+    )
+
+    rate, f, amp = 16000, 440, 0.5
+    t = np.arange(rate) / rate
+    x = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(x.tobytes()))], "media_id long, content binary"
+    )
+    out = resample_pcm(df, src_rate=16000, dst_rate=8000)
+    row = out.collect()[0]
+    assert row.n_samples == 8000
+    stats = pcm_stats(out).collect()[0]
+    assert abs(stats.rms - amp / np.sqrt(2)) < 0.01
+    assert abs(stats.zero_crossing_rate - 2 * f / 8000) < 0.005
