@@ -1089,6 +1089,29 @@ def q_resize_raw_images(spark, sf_dir):
     )
 
 
+@query("q_bpe_train", oracle=None, bench=False)  # 20 jobs of per-round
+# fixed overhead at toy scale — the iterative shape, not plan waste
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (operators/tokenizer.py): one corpus
+    pass builds word frequencies, then 10 merge rounds run on the
+    vocabulary dim — pair-count aggregate, total-order argmax,
+    boundary-anchored regex merge, all JVM-side.  Rows-only: the
+    merge table is iterative (no SQL expression); exact equality with
+    a pure-Python reference BPE is pinned in tests/test_tokenizer.py.
+    """
+    from hls_stac_parquet_spark.operators.tokenizer import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    words = word_frequencies(t(spark, sf_dir, "documents"))
+    merges = bpe_train(words, num_merges=10)
+    return spark.createDataFrame(
+        [(r, l, x, l + x, c) for r, l, x, c in merges],
+        "rank int, left string, right string, merged string, pair_freq bigint",
+    )
+
+
 @query("q_pcm_audio_pipeline", oracle=None)
 def q_pcm_audio_pipeline(spark, sf_dir):
     """Audio pipeline stage chain (multimodal): documents' text bytes
