@@ -28,4 +28,15 @@ from hls_stac_parquet_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     ivf_cosine_topk,
     lsh_cosine_candidates,
+    pq_encode,
+    pq_topk_adc,
+    pq_train_codebooks,
+)
+from hls_stac_parquet_spark.operators.intervals import (  # noqa: F401
+    interval_overlap_join,
+)
+from hls_stac_parquet_spark.operators.tokenizer import (  # noqa: F401
+    bpe_segment,
+    bpe_train,
+    word_frequencies,
 )
