@@ -223,3 +223,69 @@ def connected_components_star(
     return all_nodes.join(leaf_labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (pass both
+    directions for an undirected graph).
+
+    Each round is the canonical two-step: join ranks onto edges
+    (contribution = rank/out-degree), then aggregate contributions per
+    destination — one keyed shuffle per step, never materializing
+    paths. Ranks are normalized so Σrank = |nodes| (the classic
+    1-based formulation: rank = (1-d) + d·Σ contrib). Dangling nodes
+    (out-degree 0) keep their (1-d) floor and leak mass, matching the
+    simple textbook variant; pass symmetric edges to avoid dangling
+    entirely.
+
+    The fixed iteration count bounds the job graph (each round
+    persists + materializes, so lineage stays shallow); convergence
+    at d=0.85 is ~|Δ| < 1e-3 after 8-10 rounds on most graphs —
+    tests/test_graph.py pins exact agreement with a numpy power
+    iteration on the same edges.
+    """
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks.count()
+
+    for _ in range(iterations):
+        contribs = (
+            edges.join(out_deg, src)
+            .join(
+                ranks.select(F.col("node").alias(src), "rank"), src
+            )
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        old = ranks
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        ranks.count()
+        old.unpersist()
+    nodes.unpersist()
+    return ranks

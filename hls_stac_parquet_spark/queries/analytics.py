@@ -528,6 +528,110 @@ def q_dow_seasonality(spark, sf_dir):
     )
 
 
+@query("q_pagerank", oracle=None, bench=False)  # iterative multi-job op,
+# same posture as q_bfs_reachability; exactness pinned vs numpy in tests
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the customer–supplier graph
+    (operators/graph.pagerank): 8 power-iteration rounds, each ONE
+    keyed shuffle (contribution join + destination aggregate) —
+    node-bounded state, the Pregel shape.  Rows-only (iterative, no
+    SQL expression); exact agreement with a dense numpy power
+    iteration is pinned in tests/test_graph.py.  Surfaces the
+    highest-centrality suppliers — the same operator ranks dedup-
+    cluster hubs or cross-document citation graphs in a corpus
+    pipeline.
+    """
+    from hls_stac_parquet_spark.operators.graph import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+    )
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=8)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q_dq_expectations",
+    oracle=(
+        "SELECT 'orders_custkey_fk' AS rule, CAST(("
+        "  SELECT count(*) FROM orders o WHERE NOT EXISTS ("
+        "    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+        ") AS BIGINT) AS n_violations "
+        "UNION ALL SELECT 'orders_totalprice_positive', CAST(("
+        "  SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT) "
+        "UNION ALL SELECT 'orders_orderdate_not_null', CAST(("
+        "  SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT) "
+        "UNION ALL SELECT 'orders_orderkey_unique', CAST(("
+        "  SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT) "
+        "UNION ALL SELECT 'lineitem_qty_in_range', CAST(("
+        "  SELECT count(*) FROM lineitem "
+        "  WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)"
+    ),
+)
+def q_dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectations report (the dbt-test /
+    Great-Expectations contract run): referential integrity, range,
+    non-null, and uniqueness rules evaluated as ONE result set.
+
+    Each rule compiles to the cheapest plan for its class — FK
+    integrity is a broadcast LEFT ANTI join count, scalar rules are
+    conditional aggregates sharing a single scan, uniqueness is a
+    count-vs-distinct delta — and the report is the union of
+    1-row aggregates, so the output is rule-count-sized no matter how
+    large the audited tables are.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    def one(rule, df):
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    fk = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    # the three scalar rules share ONE scan-agg and unpivot via
+    # stack() — re-selecting the agg per rule would rescan orders
+    scalar = o.agg(
+        F.count_if(F.col("o_totalprice") <= 0).alias("price"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("nulldate"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dupkey"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_totalprice_positive', CAST(price AS BIGINT), "
+            "'orders_orderdate_not_null', CAST(nulldate AS BIGINT), "
+            "'orders_orderkey_unique', CAST(dupkey AS BIGINT)) "
+            "AS (rule, n_violations)"
+        )
+    )
+    qty = li.agg(
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("n")
+    )
+    return (
+        one("orders_custkey_fk", fk)
+        .unionAll(scalar)
+        .unionAll(one("lineitem_qty_in_range", qty))
+    )
+
+
 @query(
     "q_ewma",
     oracle=(

@@ -83,3 +83,40 @@ def test_star_matches_label_propagation_on_random_graphs(spark):
 def test_star_self_loop_and_duplicates(spark):
     got = _cc_star(spark, [(7, 7), (8, 9), (9, 8), (8, 9)])
     assert got == {7: 7, 8: 8, 9: 8}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank must agree with a dense numpy power iteration
+    on the same graph (same damping, same iteration count, same
+    1-based normalization)."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.graph import pagerank
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2), (0, 3),
+    ]
+    # symmetric edges: no dangling nodes
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=10).collect()
+    }
+
+    n = 6
+    adj = np.zeros((n, n))
+    for a, b in sym:
+        adj[a][b] = 1
+    deg = adj.sum(axis=1)
+    ranks = np.ones(n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for a in range(n):
+            if deg[a]:
+                contrib += adj[a] * (ranks[a] / deg[a])
+        ranks = 0.15 + 0.85 * contrib
+    for i in range(n):
+        assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+    # normalization: Σrank ≈ n for a symmetric (dangling-free) graph
+    assert abs(sum(got.values()) - n) < 1e-6
