@@ -288,6 +288,43 @@ def q_hll_user_reach(spark, sf_dir):
     )
 
 
+@query("q_hll_overlap", oracle=None)  # DataSketches estimates — engine-specific
+def q_hll_overlap(spark, sf_dir):
+    """Audience-overlap estimation by inclusion–exclusion over HLL
+    sketches: |A∩B| ≈ |A| + |B| − |A∪B|, where each term is a sketch
+    estimate and the union is a sketch MERGE — so pairwise overlaps
+    across any number of segments come from one fact pass that builds
+    per-segment sketches, never a per-pair distinct join.  The exact
+    alternative (semi-join + countDistinct per pair) rescans the fact
+    table O(segments²) times at 100 TB.  Rows-only; the
+    inclusion–exclusion error bound vs exact intersections is
+    property-tested in tests/test_sketches.py."""
+    ev = t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("seg_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("seg_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    est = lambda c: F.hll_sketch_estimate(c)  # noqa: E731
+    union_est = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b")
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.round(est(F.col("sk_a")), 1).alias("est_a"),
+        F.round(est(F.col("sk_b")), 1).alias("est_b"),
+        F.round(
+            est(F.col("sk_a")) + est(F.col("sk_b")) - union_est, 1
+        ).alias("est_overlap"),
+    )
+
+
 @query(
     "q_profile_columns",
     oracle=(

@@ -308,3 +308,30 @@ def test_ewma_single_user_shuffle(spark):
     plan = _plan(spark, "q_ewma")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_dq_expectations_plan(spark):
+    """FK check is a broadcast anti join; scalar rules share one
+    scan-agg (stack unpivot) — never one scan per rule."""
+    plan = _plan(spark, "q_dq_expectations")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # 4 scans total: orders (FK probe), customer (broadcast dim),
+    # orders (scalar rules), lineitem — NOT one scan per rule (5 rules)
+    assert plan.count("FileScan parquet") <= 4
+
+
+def test_tuning_arithmetic():
+    from hls_stac_parquet_spark.tuning import (
+        MIB,
+        recommended_conf,
+        recommended_shuffle_partitions,
+    )
+
+    # 100 TB shuffle on 8000 cores: ~819k partitions, whole waves
+    p = recommended_shuffle_partitions(100 * 1024 * 1024 * MIB, 8000)
+    assert p % 8000 == 0 and p >= 800_000
+    # tiny job never drops below one full wave
+    assert recommended_shuffle_partitions(1, 32) == 32
+    conf = recommended_conf(10 * 1024 * MIB, 32)
+    assert int(conf["spark.sql.shuffle.partitions"]) % 32 == 0

@@ -55,3 +55,34 @@ def test_hll_union_equals_single_pass(spark):
     m = {r["event_type"]: r["est"] for r in merged.collect()}
     s = {r["event_type"]: r["est"] for r in single.collect()}
     assert m == s
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark):
+    """Sketch-estimated pairwise overlap must land within 5% of the
+    exact |A∩B| for every segment pair (HLL lgConfigK=12 error ~1.6%
+    per term; inclusion-exclusion compounds three terms)."""
+    from pyspark.sql import functions as F
+
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from hls_stac_parquet_spark.queries.registry import t
+    from tests.conftest import SF0001
+
+    est = {
+        (r.seg_a, r.seg_b): r.est_overlap
+        for r in REGISTRY["q_hll_overlap"].fn(spark, SF0001).collect()
+    }
+    ev = t(spark, SF0001, "events")
+    users = {
+        r.event_type: set(
+            x.user_id
+            for x in ev.filter(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        for r in ev.select("event_type").distinct().collect()
+    }
+    assert len(est) == len(users) * (len(users) - 1) // 2
+    for (sa, sb), e in est.items():
+        exact = len(users[sa] & users[sb])
+        assert abs(e - exact) <= max(0.05 * exact, 5), (sa, sb, e, exact)
