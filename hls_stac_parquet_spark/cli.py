@@ -55,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--end-date", type=dt.date.fromisoformat,
                     help="default: yesterday (UTC)")
 
+    p5 = sub.add_parser(
+        "stream-daily-ingest",
+        help="incremental catch-up ingest via the streaming CMR source "
+             "(checkpoint = skip-existing; re-run to drain new days)",
+    )
+    p5.add_argument("collection", choices=sorted(COLLECTIONS))
+    p5.add_argument("fixture_dir", help="CMR day-file directory")
+    p5.add_argument("dest", help="output parquet path")
+    p5.add_argument("--checkpoint", help="default: <dest>/_checkpoint")
+
     p4 = sub.add_parser("export-training-shards")
     p4.add_argument("src", help="documents parquet (curated or raw)")
     p4.add_argument("dest")
@@ -109,6 +119,27 @@ def main(argv: list[str] | None = None) -> int:
             endpoint=args.endpoint,
         )
         print(f"backfilled {len(written)} manifests ({start}..{end})")
+    elif args.cmd == "stream-daily-ingest":
+        from hls_stac_parquet_spark.sources.cmr import register_cmr_source
+
+        register_cmr_source(spark)
+        q = (
+            spark.readStream.format("cmr")
+            .option("fixture_dir", args.fixture_dir)
+            .option("collection_concept_id", coll.concept_id)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", args.dest)
+            .option(
+                "checkpointLocation",
+                args.checkpoint or f"{args.dest}/_checkpoint",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.dest).count()
+        print(f"ingested; {n} granule rows at {args.dest}")
     elif args.cmd == "export-training-shards":
         from pyspark.sql import functions as F
 
