@@ -1,0 +1,125 @@
+"""Randomized property tests (hypothesis): exactness claims that the
+fixture corpora exercise only partially get adversarial random inputs
+here — each property compares a Spark operator against an independent
+reference computation (naive join, pandas ewm, pure-Python BPE).
+
+Example counts are deliberately small: each example is a Spark job,
+so the budget goes to input diversity, not repetition.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def _intervals(draw):
+    n = draw(st.integers(2, 24))
+    out = []
+    for i in range(n):
+        key = draw(st.integers(0, 2))
+        start_s = draw(st.integers(0, 72 * 3600))
+        dur_s = draw(st.integers(0, 10 * 3600))
+        out.append(
+            (
+                i,
+                key,
+                _EPOCH + dt.timedelta(seconds=start_s),
+                _EPOCH + dt.timedelta(seconds=start_s + dur_s),
+            )
+        )
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_intervals(), st.sampled_from([600, 3600, 86400]))
+def test_interval_overlap_grid_exactness_random(spark, rows, grid):
+    """Grid-bucketized overlap join == naive quadratic join for
+    random keys/starts/durations at any grid width (incl. degenerate
+    zero-length and multi-day intervals)."""
+    from pyspark.sql import functions as F
+
+    from hls_stac_parquet_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame(
+        rows, "iv_id long, k long, s timestamp_ntz, e timestamp_ntz"
+    )
+    got = sorted(
+        (r.iv_id, r.r_iv_id, r.overlap_us)
+        for r in interval_overlap_join(
+            df, df, by=["k"], grid_seconds=grid
+        ).collect()
+    )
+    want = []
+    for a_id, ak, as_, ae in rows:
+        for b_id, bk, bs, be in rows:
+            if ak != bk:
+                continue
+            lo, hi = max(as_, bs), min(ae, be)
+            ov = int((hi - lo).total_seconds() * 1_000_000)
+            if ov > 0:
+                want.append((a_id, b_id, ov))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_matches_pandas_random(spark, values):
+    """The prefix-sum EWMA identity == pandas ewm(adjust=True) for
+    random series (pandas computes the textbook recursive form)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "i long, value double"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wi = F.pow(F.lit(0.7), -F.col("i"))
+    got = [
+        r.ewma
+        for r in df.select(
+            "i", (F.sum(F.col("value") * wi).over(w) / F.sum(wi).over(w)).alias("ewma")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(values).ewm(alpha=0.3, adjust=True).mean().tolist()
+    for g, x in zip(got, want):
+        assert abs(g - x) <= 1e-6 * max(1.0, abs(x)), (g, x)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdxy", min_size=1, max_size=6),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_matches_reference_random(spark, word_freqs):
+    """Spark BPE merge learning == the pure-Python reference for
+    random word multisets (exercises ties, runs, and suffix traps the
+    fixture corpus lacks)."""
+    from hls_stac_parquet_spark.operators.tokenizer import bpe_train
+    from tests.test_tokenizer import _py_bpe
+
+    words = spark.createDataFrame(
+        list(word_freqs.items()), "word string, freq long"
+    )
+    got = bpe_train(words, num_merges=3)
+    want, _ = _py_bpe(word_freqs, 3)
+    assert got == want
