@@ -90,13 +90,59 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+
+    # Full per-query detail goes to a FILE; the stdout line must stay
+    # SHORT. Round 1 evidence (BENCH_r01.json): the driver stores only a
+    # 2000-char tail of stdout and the 91-query JSON line was truncated
+    # mid-dict ("parsed": null despite rc=0). With 153 bench queries the
+    # full dict is ~3.7 KB — guaranteed to truncate. So: print the
+    # total + a curated headline subset (< ~1.5 KB), and write the whole
+    # timing map to BENCH_DETAIL.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    headline = [
+        "q_tpch_q3",
+        "q_tpch_q5",
+        "q_hash_agg",
+        "q_join_inner_hash",
+        "q_window_rank",
+        "q_sort_global",
+        "q_sessionize",
+        "q_funnel",
+        "q_dedup_exact",
+        "q_minhash_dedup",
+        "q_cosine_topk",
+        "q_tfidf",
+        "q_text_stats",
+        "q_hilbert_key",
+        "q_tumbling_window_agg",
+        "q_ann_ivf",
+    ]
     line = json.dumps(
         {
             "metric": "headline_query_set_total",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {n: timings[n] for n in headline if n in timings},
             "sf": sf_val,
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
         }
     )
     # restore the real stdout and emit the one JSON line

@@ -1,0 +1,539 @@
+"""Statistical-inference and spatial-analytics queries: correlation
+matrix, cumulative distinct users, trimmed/winsorized robust means,
+chi-square and Welch-t A/B tests, market-basket lift, broadcast
+haversine k-NN, and time-to-convert latency.
+
+These extend the engine the same way the reference's completeness /
+partition-stats checks do (/root/reference/src/hls_stac_parquet/
+write.py:172-202 computes set-difference audits over grouped keys):
+each is an audit/inference pass over a keyed aggregate, built so the
+expensive part is ONE partial-aggregate shuffle and every later stage
+runs over a small derived table (broadcast-joined or window-over-
+aggregate).  All are exact and DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hls_stac_parquet_spark.queries.registry import query, t
+
+
+@query(
+    "q_corr_matrix",
+    oracle=(
+        "WITH c AS (SELECT "
+        "  corr(l_quantity, l_extendedprice) AS qty_price, "
+        "  corr(l_quantity, l_discount)      AS qty_disc, "
+        "  corr(l_quantity, l_tax)           AS qty_tax, "
+        "  corr(l_extendedprice, l_discount) AS price_disc, "
+        "  corr(l_extendedprice, l_tax)      AS price_tax, "
+        "  corr(l_discount, l_tax)           AS disc_tax "
+        "FROM lineitem) "
+        "SELECT pair, round(r, 6) AS r FROM ("
+        "  SELECT 'qty_price' AS pair, qty_price AS r FROM c UNION ALL "
+        "  SELECT 'qty_disc', qty_disc FROM c UNION ALL "
+        "  SELECT 'qty_tax', qty_tax FROM c UNION ALL "
+        "  SELECT 'price_disc', price_disc FROM c UNION ALL "
+        "  SELECT 'price_tax', price_tax FROM c UNION ALL "
+        "  SELECT 'disc_tax', disc_tax FROM c)"
+    ),
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    measures, emitted in long form (pair, r).
+
+    All six correlations ride ONE partial-aggregate pass (Catalyst
+    fuses the six `corr` aggregates into a single hash-aggregate over
+    the scan), then a 1-row stack — the canonical single-shuffle
+    feature-screening pass; group cardinality 1, so scale-up only
+    widens the map side.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price"),
+        F.corr("l_quantity", "l_discount").alias("qty_disc"),
+        F.corr("l_quantity", "l_tax").alias("qty_tax"),
+        F.corr("l_extendedprice", "l_discount").alias("price_disc"),
+        F.corr("l_extendedprice", "l_tax").alias("price_tax"),
+        F.corr("l_discount", "l_tax").alias("disc_tax"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 'qty_price', qty_price, 'qty_disc', qty_disc, "
+            "'qty_tax', qty_tax, 'price_disc', price_disc, "
+            "'price_tax', price_tax, 'disc_tax', disc_tax) AS (pair, r)"
+        )
+    ).select("pair", F.round("r", 6).alias("r"))
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle=(
+        "WITH first_seen AS ("
+        "  SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
+        "  FROM events GROUP BY user_id), "
+        "per_day AS ("
+        "  SELECT first_day AS day, count(*) AS new_users "
+        "  FROM first_seen GROUP BY first_day) "
+        "SELECT day, new_users, "
+        "  sum(new_users) OVER (ORDER BY day "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users "
+        "FROM per_day"
+    ),
+)
+def q_cumulative_distinct(spark, sf_dir):
+    """Daily cumulative distinct users — running COUNT(DISTINCT) made
+    scale-safe by the first-touch identity: a user contributes to the
+    cumulative count exactly on their first-seen day, so cumulative
+    distinct == prefix-sum of first-seen counts.
+
+    One user-keyed aggregate (the only real shuffle) reduces events to
+    one row per user; everything after runs over the ~days-sized
+    aggregate, where the single-partition window is free.  The naive
+    formulation (distinct over an expanding window) is quadratic and
+    un-shardable; this one is linear and survives any scale.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@query(
+    "q_trimmed_mean",
+    oracle=(
+        "WITH ranked AS ("
+        "  SELECT l_returnflag, l_extendedprice, "
+        "    row_number() OVER (PARTITION BY l_returnflag "
+        "                       ORDER BY l_extendedprice) AS rn, "
+        "    count(*) OVER (PARTITION BY l_returnflag) AS n "
+        "  FROM lineitem), "
+        "kept AS ("
+        "  SELECT l_returnflag, l_extendedprice FROM ranked "
+        "  WHERE rn > floor(0.1 * n) AND rn <= n - floor(0.1 * n)), "
+        "bounds AS ("
+        "  SELECT l_returnflag, min(l_extendedprice) AS lo, "
+        "         max(l_extendedprice) AS hi FROM kept GROUP BY l_returnflag) "
+        "SELECT r.l_returnflag, "
+        "  round(avg(CASE WHEN r.rn > floor(0.1*r.n) "
+        "                  AND r.rn <= r.n - floor(0.1*r.n) "
+        "            THEN r.l_extendedprice END), 6) AS trimmed_mean, "
+        "  round(avg(least(greatest(r.l_extendedprice, b.lo), b.hi)), 6) "
+        "    AS winsorized_mean "
+        "FROM ranked r JOIN bounds b USING (l_returnflag) "
+        "GROUP BY r.l_returnflag"
+    ),
+)
+def q_trimmed_mean(spark, sf_dir):
+    """10% two-sided trimmed mean and winsorized mean per return flag
+    — robust central tendency for corpora with heavy-tailed junk
+    (doc lengths, fetch latencies).
+
+    Exact by construction: a per-group rank (one shuffle on the group
+    key) defines the kept band; the winsorized clamp bounds come from
+    a tiny per-group aggregate joined back by broadcast.  Value ties
+    at the trim boundary are safe — row_number may permute equal
+    values, but the kept *multiset* is unchanged.  At 100 TB the sort
+    is per-group (parallel across the 3 flags' hash partitions); for
+    million-group workloads the same shape holds with no change.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    in_band = (F.col("rn") > F.floor(0.1 * F.col("n"))) & (
+        F.col("rn") <= F.col("n") - F.floor(0.1 * F.col("n"))
+    )
+    bounds = (
+        ranked.filter(in_band)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.avg(F.when(in_band, F.col("l_extendedprice"))), 6
+            ).alias("trimmed_mean"),
+            F.round(
+                F.avg(
+                    F.least(
+                        F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                        F.col("hi"),
+                    )
+                ),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@query(
+    "q_chi2_conversion",
+    oracle=(
+        "WITH per_user AS ("
+        "  SELECT user_id, CAST(user_id % 2 AS INT) AS variant, "
+        "    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "         AS INT) AS converted "
+        "  FROM events GROUP BY user_id), "
+        "cells AS ("
+        "  SELECT variant, converted, CAST(count(*) AS DOUBLE) AS obs "
+        "  FROM per_user GROUP BY variant, converted), "
+        "tot AS (SELECT sum(obs) AS n FROM cells), "
+        "margins AS ("
+        "  SELECT c.variant, c.converted, c.obs, "
+        "    sum(c.obs) OVER (PARTITION BY c.variant) AS row_tot, "
+        "    sum(c.obs) OVER (PARTITION BY c.converted) AS col_tot "
+        "  FROM cells c) "
+        "SELECT round(sum((m.obs - m.row_tot * m.col_tot / t.n) "
+        "  * (m.obs - m.row_tot * m.col_tot / t.n) "
+        "  / (m.row_tot * m.col_tot / t.n)), 6) AS chi2, "
+        "  CAST(max(t.n) AS BIGINT) AS n_users "
+        "FROM margins m, tot t"
+    ),
+)
+def q_chi2_conversion(spark, sf_dir):
+    """Chi-square independence test on a 2x2 A/B contingency table
+    (variant = user_id parity, outcome = ever purchased).
+
+    Experiment readout as a dataflow: one user-keyed aggregate
+    (the only event-scale shuffle), then the contingency table is 4
+    rows — margins, expected counts, and the statistic all run on the
+    driver-sized aggregate.  The canonical shape for metric audits
+    over petabyte event logs: statistics on tiny derived tables, never
+    on the raw stream.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("int").alias("converted")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    cells = per_user.groupBy("variant", "converted").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    wv = Window.partitionBy("variant")
+    wc = Window.partitionBy("converted")
+    wall = Window.partitionBy()
+    m = (
+        cells.withColumn("row_tot", F.sum("obs").over(wv))
+        .withColumn("col_tot", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(wall))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.round(F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6).alias(
+            "chi2"
+        ),
+        F.max("n").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "q_welch_ttest",
+    oracle=(
+        "WITH g AS ("
+        "  SELECT CAST(user_id % 2 AS INT) AS variant, "
+        "    avg(value) AS m, var_samp(value) AS v, "
+        "    CAST(count(*) AS DOUBLE) AS n "
+        "  FROM events WHERE event_type = 'purchase' GROUP BY variant), "
+        "w AS (SELECT "
+        "  max(CASE WHEN variant = 1 THEN m END) AS m1, "
+        "  max(CASE WHEN variant = 0 THEN m END) AS m0, "
+        "  max(CASE WHEN variant = 1 THEN v END) AS v1, "
+        "  max(CASE WHEN variant = 0 THEN v END) AS v0, "
+        "  max(CASE WHEN variant = 1 THEN n END) AS n1, "
+        "  max(CASE WHEN variant = 0 THEN n END) AS n0 FROM g) "
+        "SELECT round((m1 - m0) / sqrt(v1/n1 + v0/n0), 6) AS t_stat, "
+        "  round((v1/n1 + v0/n0) * (v1/n1 + v0/n0) / "
+        "    ((v1/n1)*(v1/n1)/(n1-1) + (v0/n0)*(v0/n0)/(n0-1)), 6) AS df, "
+        "  round(m1 - m0, 6) AS mean_diff FROM w"
+    ),
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on purchase value between the
+    two hash-assigned variants, with Welch–Satterthwaite degrees of
+    freedom.
+
+    Same scale posture as q_chi2_conversion: sufficient statistics
+    (mean, sample variance, count) reduce in one partial-aggregate
+    shuffle; the test statistic is arithmetic over a 2-row table
+    pivoted to one row.  var_samp has identical semantics in Spark
+    and DuckDB, so the oracle is exact to rounding.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.withColumn("variant", (F.col("user_id") % 2).cast("int")).groupBy(
+        "variant"
+    ).agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count("*").cast("double").alias("n"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("variant") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 1, F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("variant") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+    )
+    se2_1 = F.col("v1") / F.col("n1")
+    se2_0 = F.col("v0") / F.col("n0")
+    se2 = se2_1 + se2_0
+    return w.select(
+        F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                se2_1 * se2_1 / (F.col("n1") - 1)
+                + se2_0 * se2_0 / (F.col("n0") - 1)
+            ),
+            6,
+        ).alias("df"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("mean_diff"),
+    )
+
+
+@query(
+    "q_market_basket",
+    oracle=(
+        "WITH od AS ("
+        "  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "part_orders AS ("
+        "  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_orders_part "
+        "  FROM od GROUP BY l_partkey), "
+        "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders "
+        "  FROM od), "
+        "pairs AS ("
+        "  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "    CAST(count(*) AS DOUBLE) AS n_ab "
+        "  FROM od a JOIN od b ON a.l_orderkey = b.l_orderkey "
+        "   AND a.l_partkey < b.l_partkey "
+        "  GROUP BY part_a, part_b) "
+        "SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_together, "
+        "  round(p.n_ab * n.n_orders / (pa.n_orders_part * pb.n_orders_part), 6) "
+        "    AS lift "
+        "FROM pairs p, n "
+        "JOIN part_orders pa ON pa.l_partkey = p.part_a "
+        "JOIN part_orders pb ON pb.l_partkey = p.part_b "
+        "WHERE p.n_ab >= 2 "
+        "ORDER BY n_together DESC, lift DESC, part_a, part_b LIMIT 20"
+    ),
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket pair mining with lift: part pairs that co-occur
+    in ≥2 orders, ranked by co-occurrence then lift.
+
+    The pair generation is a self-join BLOCKED BY ORDER KEY — baskets
+    are small (TPC-H ~4 lines/order), so the join output is
+    Σ|basket|² ≈ 4·|lineitem|, linear in practice, co-partitioned on
+    l_orderkey (one shuffle each side, no broadcast of the fact
+    table).  Per-part support is a second small aggregate joined back
+    — AQE broadcasts it while the part dimension is small and falls
+    back to shuffle join when it isn't.  The n_ab ≥ 2 support
+    threshold is the standard a-priori prune that keeps the ranked
+    output bounded at scale.
+    """
+    od = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_orders = od.groupBy("l_partkey").agg(
+        F.count("*").cast("double").alias("n_orders_part")
+    )
+    n_orders = od.select("l_orderkey").distinct().count()
+    a = od.alias("a")
+    b = od.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    pa = part_orders.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders_part").alias("na"),
+    )
+    pb = part_orders.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders_part").alias("nb"),
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_together"),
+            F.round(
+                F.col("n_ab") * F.lit(float(n_orders)) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("n_together"), F.desc("lift"), "part_a", "part_b"
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "q_geo_knn",
+    oracle=(
+        "WITH cust AS ("
+        "  SELECT c_custkey, "
+        "    CAST((c_custkey * 9301 + 49297) % 18000 AS DOUBLE)/100 - 90 AS lat, "
+        "    CAST((c_custkey * 7919 + 104729) % 36000 AS DOUBLE)/100 - 180 AS lon "
+        "  FROM customer WHERE c_custkey % 10 = 0), "
+        "supp AS ("
+        "  SELECT s_suppkey, "
+        "    CAST((s_suppkey * 9301 + 49297) % 18000 AS DOUBLE)/100 - 90 AS lat, "
+        "    CAST((s_suppkey * 7919 + 104729) % 36000 AS DOUBLE)/100 - 180 AS lon "
+        "  FROM supplier), "
+        "dists AS ("
+        "  SELECT c.c_custkey, s.s_suppkey, "
+        "    round(2 * 6371.0088 * asin(sqrt("
+        "      sin(radians(s.lat - c.lat)/2) * sin(radians(s.lat - c.lat)/2) "
+        "      + cos(radians(c.lat)) * cos(radians(s.lat)) "
+        "      * sin(radians(s.lon - c.lon)/2) * sin(radians(s.lon - c.lon)/2)"
+        "    )), 3) AS dist_km "
+        "  FROM cust c, supp s), "
+        "ranked AS ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rnk "
+        "  FROM dists) "
+        "SELECT c_custkey, s_suppkey, dist_km, CAST(rnk AS INT) AS rnk "
+        "FROM ranked WHERE rnk <= 3"
+    ),
+)
+def q_geo_knn(spark, sf_dir):
+    """Haversine 3-nearest-suppliers per customer over synthetic
+    deterministic coordinates (integer LCG on the keys, identical in
+    both engines) — the station-assignment / tile-matching shape the
+    reference's MGRS→lat/lon path feeds
+    (/root/reference/src/hls_stac_parquet/write.py:37-88).
+
+    The reference set (suppliers) is a small dimension, so the
+    scale-right plan is a BROADCAST nearest-neighbor join: fact side
+    streams, per-customer top-3 is a window over ≤|supp| candidate
+    rows, shuffled once on c_custkey.  For large×large spatial joins
+    the engine's grid-blocked interval join (operators/intervals.py)
+    is the declared path; distances round to 3 decimals before
+    ranking so the rank cut is float-stable across engines
+    (tie-broken by supplier key).
+    """
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (((F.col("c_custkey") * 9301 + 49297) % 18000).cast("double") / 100 - 90).alias("clat"),
+            (((F.col("c_custkey") * 7919 + 104729) % 36000).cast("double") / 100 - 180).alias("clon"),
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 9301 + 49297) % 18000).cast("double") / 100 - 90).alias("slat"),
+        (((F.col("s_suppkey") * 7919 + 104729) % 36000).cast("double") / 100 - 180).alias("slon"),
+    )
+    dlat = F.radians(F.col("slat") - F.col("clat")) / 2
+    dlon = F.radians(F.col("slon") - F.col("clon")) / 2
+    hav = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians("clat")) * F.cos(
+        F.radians("slat")
+    ) * F.sin(dlon) * F.sin(dlon)
+    dists = cust.join(F.broadcast(supp)).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q_time_to_convert",
+    oracle=(
+        "WITH per_user AS ("
+        "  SELECT user_id, "
+        "    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view, "
+        "    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase "
+        "  FROM events GROUP BY user_id), "
+        "conv AS ("
+        "  SELECT user_id, "
+        "    CAST(floor(date_diff('microsecond', first_view, first_purchase) "
+        "         / 1000000.0) AS BIGINT) AS secs "
+        "  FROM per_user "
+        "  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL "
+        "    AND first_purchase > first_view) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+        "  round(avg(secs), 4) AS avg_secs, "
+        "  round(median(secs), 4) AS median_secs, "
+        "  CAST(min(secs) AS BIGINT) AS min_secs, "
+        "  CAST(max(secs) AS BIGINT) AS max_secs "
+        "FROM conv"
+    ),
+)
+def q_time_to_convert(spark, sf_dir):
+    """View→purchase conversion latency: per user, seconds between
+    first view and first purchase (when the purchase follows), then
+    count/avg/median/min/max across converters.
+
+    One user-keyed conditional-min aggregate collapses the event log;
+    the latency distribution summary (including the exact
+    interpolated median, identical semantics in Spark and DuckDB)
+    runs over the per-user table.  This is the funnel-latency
+    companion to q_funnel: same single-shuffle posture.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        # floor of the µs-exact delta — DuckDB's date_diff('second')
+        # counts boundary CROSSINGS, Spark's timestampdiff(SECOND)
+        # floors; µs diff + explicit floor is identical in both.
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)")
+            / 1000000.0
+        ).cast("bigint").alias("secs")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.avg("secs"), 4).alias("avg_secs"),
+        F.round(F.median("secs"), 4).alias("median_secs"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )

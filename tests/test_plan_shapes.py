@@ -335,3 +335,56 @@ def test_tuning_arithmetic():
     assert recommended_shuffle_partitions(1, 32) == 32
     conf = recommended_conf(10 * 1024 * MIB, 32)
     assert int(conf["spark.sql.shuffle.partitions"]) % 32 == 0
+
+
+def test_corr_matrix_single_scan_agg(spark):
+    """All six correlations must fuse into ONE aggregate over one
+    scan — not one scan-agg per pair."""
+    plan = _plan(spark, "q_corr_matrix")
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_distinct_no_expanding_distinct(spark):
+    """The running distinct must be the first-touch prefix-sum: two
+    keyed aggregates, then a window over the days-sized table — no
+    join of the fact table to itself."""
+    plan = _plan(spark, "q_cumulative_distinct")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_trimmed_mean_broadcast_bounds(spark):
+    """Winsor clamp bounds are a tiny per-group dim and must
+    broadcast onto the ranked stream."""
+    plan = _plan(spark, "q_trimmed_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_blocked_self_join(spark):
+    """Pair generation must be an equi-join on l_orderkey (SortMerge
+    or Hash), never a cartesian/nested-loop product."""
+    plan = _plan(spark, "q_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" in plan
+
+
+def test_geo_knn_broadcasts_station_dim(spark):
+    """The supplier reference set is a small dim: the NN join must be
+    a broadcast (nested-loop over the broadcast side is fine — it's
+    the documented small-dim tier), with the only exchange keyed on
+    the fact side for the top-3 window."""
+    plan = _plan(spark, "q_geo_knn")
+    assert "Broadcast" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ab_tests_single_event_shuffle(spark):
+    """chi2/welch: sufficient statistics reduce in one event-scale
+    aggregate; everything after runs on the tiny derived table."""
+    for name in ("q_chi2_conversion", "q_welch_ttest", "q_time_to_convert"):
+        plan = _plan(spark, name)
+        assert plan.count("FileScan parquet") == 1, name
+        assert "CartesianProduct" not in plan, name
