@@ -131,16 +131,18 @@ def bpe_segment(
     df: DataFrame,
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply a learned merge table to a corpus: per word, replay the
     merges in rank order (same separator-string trick, chained
     replaces — one codegen'd projection, zero shuffle) and emit the
-    segmented symbol array."""
+    segmented symbol array. ``id_cols`` carries document keys through
+    for per-document token accounting."""
     word = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
     out = df.select("*", word).filter(F.col("word") != "")
     syms = F.concat_ws(SEP, F.split("word", ""))
     for _, left, right, _ in merges:
         syms = F.regexp_replace(syms, _pair_regex(left, right), _repl(left + right))
     return out.select(
-        "word", F.split(syms, SEP).alias("pieces")
+        *(id_cols or []), "word", F.split(syms, SEP).alias("pieces")
     )

@@ -1112,6 +1112,42 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
+@query("q_bpe_encode", oracle=None, bench=False)  # shares bpe_train's
+# iterative training prelude; the encode itself is one codegen'd pass
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the TRAINED BPE merges — the encode
+    half of the tokenizer lifecycle (train → encode → pack): per
+    document, words segment by replaying the 10 learned merges as a
+    chained boundary-anchored regex projection (zero shuffle, zero
+    Python in the per-word path), then one doc-keyed aggregate yields
+    token accounting (words, BPE pieces, chars-per-piece fertility).
+    Rows-only: the merge replay is iterative-rule application, not a
+    SQL expression; piece-level exactness vs a pure-Python greedy BPE
+    is pinned in tests/test_tokenizer.py.
+    """
+    from hls_stac_parquet_spark.operators.tokenizer import (
+        bpe_segment,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(word_frequencies(docs), num_merges=10)
+    seg = bpe_segment(docs, merges, id_cols=["doc_id"])
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+            F.round(
+                F.sum(F.aggregate("pieces", F.lit(0), lambda a, p: a + F.length(p)))
+                / F.sum(F.size("pieces")),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )
+
+
 @query("q_pcm_audio_pipeline", oracle=None)
 def q_pcm_audio_pipeline(spark, sf_dir):
     """Audio pipeline stage chain (multimodal): documents' text bytes

@@ -537,3 +537,50 @@ def q_time_to_convert(spark, sf_dir):
         F.min("secs").cast("bigint").alias("min_secs"),
         F.max("secs").cast("bigint").alias("max_secs"),
     )
+
+
+@query(
+    "q_linreg_by_group",
+    oracle=(
+        "WITH x AS ("
+        "  SELECT event_type, value, "
+        "    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) "
+        "      / 86400000000.0 AS day_x "
+        "  FROM events) "
+        "SELECT event_type, "
+        "  CAST(regr_count(value, day_x) AS BIGINT) AS n, "
+        "  round(regr_slope(value, day_x), 6) AS slope_per_day, "
+        "  round(regr_intercept(value, day_x), 4) AS intercept, "
+        "  round(regr_r2(value, day_x), 6) AS r2 "
+        "FROM x GROUP BY event_type"
+    ),
+)
+def q_linreg_by_group(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (slope/day,
+    intercept, R²) via the built-in regression aggregates — drift
+    detection as one grouped aggregate.
+
+    regr_slope/intercept/r2 reduce to sufficient statistics (Σx, Σy,
+    Σxy, Σx², n) with map-side partial aggregation, so the whole
+    regression is ONE shuffle of 5 doubles per group — the textbook
+    scale shape for fitting millions of per-key models.  x is days
+    since epoch derived from the µs-exact NTZ delta (identical
+    arithmetic in DuckDB), keeping slopes in a round-stable range.
+    """
+    ev = t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "value",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
+            / 86400000000.0
+        ).alias("day_x"),
+    )
+    return x.groupBy("event_type").agg(
+        F.expr("regr_count(value, day_x)").cast("bigint").alias("n"),
+        F.round(F.expr("regr_slope(value, day_x)"), 6).alias("slope_per_day"),
+        F.round(F.expr("regr_intercept(value, day_x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(value, day_x)"), 6).alias("r2"),
+    )

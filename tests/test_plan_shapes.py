@@ -388,3 +388,19 @@ def test_ab_tests_single_event_shuffle(spark):
         plan = _plan(spark, name)
         assert plan.count("FileScan parquet") == 1, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Wedge + closure joins must be equi-joins on node keys — no
+    cartesian/nested-loop fallback."""
+    plan = _plan(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linreg_single_grouped_agg(spark):
+    """All regr_* aggregates must fuse into one grouped aggregate
+    over one scan (sufficient-statistics reduction)."""
+    plan = _plan(spark, "q_linreg_by_group")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

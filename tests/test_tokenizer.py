@@ -83,3 +83,15 @@ def test_bpe_segment_round_trip(spark):
     seg = bpe_segment(docs.limit(50), merges)
     for r in seg.collect():
         assert "".join(r.pieces) == r.word
+
+
+def test_bpe_segment_keeps_id_cols(spark):
+    """bpe_segment with id_cols carries the document key so encode
+    accounting can group per doc; piece arrays reconstruct the word."""
+    docs = t(spark, SF0001, "documents").limit(20)
+
+    merges = bpe_train(word_frequencies(docs), num_merges=5)
+    seg = bpe_segment(docs, merges, id_cols=["doc_id"])
+    assert seg.columns == ["doc_id", "word", "pieces"]
+    rows = seg.collect()
+    assert rows and all("".join(r.pieces) == r.word for r in rows)
