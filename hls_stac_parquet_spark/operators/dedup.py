@@ -128,8 +128,11 @@ def _minhash_sig_bands(
         total = int(lengths.sum())
         sig = np.tile(empty_sig, (n, 1))
         if total:
-            flat = np.fromiter(
-                (h for row in hash_arrays for h in row), dtype=np.int64, count=total
+            # rows arrive as numpy arrays from Arrow — concatenate at
+            # C speed (one call per ROW) instead of np.fromiter's
+            # per-ELEMENT Python generator
+            flat = np.concatenate(
+                [np.asarray(row, dtype=np.int64) for row in hash_arrays]
             )
             # (n_shingles, num_hashes): a_i·h31 + b_i fits int64
             perms = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
@@ -250,9 +253,7 @@ def simhash(
         total = int(lengths.sum())
         if total == 0:
             return pd.Series(np.zeros(len(hashes), dtype=np.int64))
-        flat = np.fromiter(
-            (h for row in hashes for h in row), dtype=np.int64, count=total
-        )
+        flat = np.concatenate([np.asarray(row, dtype=np.int64) for row in hashes])
         # (n_tokens, bits) ±1 matrix, summed per document via reduceat
         signs = ((flat[:, None] & masks) != 0).astype(np.int32) * 2 - 1
         offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
