@@ -872,3 +872,53 @@ def q_triangle_count(spark, sf_dir):
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.count("*").cast("bigint").alias("n_triangles"),
     )
+
+
+@query(
+    "q_pattern_sequence",
+    oracle=(
+        "WITH seq AS ("
+        "  SELECT user_id, count(*) AS n_events, "
+        "    string_agg(event_type, ',' ORDER BY ts, event_id) AS path "
+        "  FROM events GROUP BY user_id) "
+        "SELECT user_id, CAST(n_events AS BIGINT) AS n_events "
+        "FROM seq "
+        "WHERE regexp_matches(path, 'view.*click.*purchase')"
+    ),
+)
+def q_pattern_sequence(spark, sf_dir):
+    """Ordered event-pattern detection (MATCH_RECOGNIZE-lite): users
+    whose event history contains view → … → click → … → purchase in
+    that order.
+
+    Each user's history collapses to ONE ordered path string in a
+    single user-keyed aggregate — sort_array over (ts, event_id,
+    type) structs gives a total order without a window pass — and the
+    sequence pattern is a regex over the path, evaluated in codegen.
+    Histories stay bounded per user, so the row-side array sort is
+    O(events·log events) within each user and nothing but (user,
+    path) ever shuffles.  Arbitrary patterns (negation, bounded gaps)
+    drop into the same shape by editing the regex, which is the point:
+    sequence mining as one aggregate, not an iterative join chain.
+    """
+    ev = t(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+        )
+    )
+    return seq.filter(
+        F.col("path").rlike("view.*click.*purchase")
+    ).select("user_id", "n_events")

@@ -404,3 +404,11 @@ def test_linreg_single_grouped_agg(spark):
     plan = _plan(spark, "q_linreg_by_group")
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pattern_sequence_single_user_shuffle(spark):
+    """Path construction must be ONE user-keyed aggregate (sort_array
+    over structs, no window pass) with the regex in the projection."""
+    plan = _plan(spark, "q_pattern_sequence")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
