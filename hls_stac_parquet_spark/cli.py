@@ -65,6 +65,29 @@ def main(argv: list[str] | None = None) -> int:
     p5.add_argument("dest", help="output parquet path")
     p5.add_argument("--checkpoint", help="default: <dest>/_checkpoint")
 
+    p6 = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over a testdata/warehouse directory (each "
+             "<name>.parquet registers as temp view <name>)",
+    )
+    p6.add_argument("statement", help="ANSI SQL (Spark dialect)")
+    p6.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="directory of <table>.parquet files")
+    p6.add_argument("--out", help="write result parquet here instead of stdout")
+    p6.add_argument("--limit", type=int, default=20,
+                    help="stdout row cap (ignored with --out)")
+
+    p7 = sub.add_parser(
+        "run-query",
+        help="run a registered engine query (SURVEY §2 surface) by name",
+    )
+    p7.add_argument("name", help="registry name, e.g. q_tpch_q5")
+    p7.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p7.add_argument("--out", help="write result parquet here instead of stdout")
+    p7.add_argument("--limit", type=int, default=20)
+    p7.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
+
     p4 = sub.add_parser("export-training-shards")
     p4.add_argument("src", help="documents parquet (curated or raw)")
     p4.add_argument("dest")
@@ -140,6 +163,34 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = spark.read.parquet(args.dest).count()
         print(f"ingested; {n} granule rows at {args.dest}")
+    elif args.cmd == "sql":
+        import glob
+        import os
+
+        for path in sorted(glob.glob(os.path.join(args.sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        df = spark.sql(args.statement)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+    elif args.cmd == "run-query":
+        from hls_stac_parquet_spark.queries import REGISTRY
+
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; {len(REGISTRY)} registered "
+                  f"(see SURVEY.md §2)", file=sys.stderr)
+            return 2
+        df = REGISTRY[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        elif args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
     elif args.cmd == "export-training-shards":
         from pyspark.sql import functions as F
 

@@ -86,3 +86,30 @@ def test_read_back_clustered_order_within_files(spark, pipeline_out):
     df = read_geoparquet(spark, pipeline_out["gpq"], "HLSL30_2.0")
     assert df.count() > 0
     assert "hilbert_idx" in df.columns
+
+
+def test_cli_sql_adhoc(capsys):
+    from hls_stac_parquet_spark.cli import main as cli_main
+
+    rc = cli_main([
+        "sql",
+        "SELECT count(*) AS n FROM region",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    assert "5" in capsys.readouterr().out
+
+
+def test_cli_run_query_by_name(capsys, tmp_path):
+    from hls_stac_parquet_spark.cli import main as cli_main
+
+    out = str(tmp_path / "res")
+    rc = cli_main([
+        "run-query", "q_distinct",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out,
+    ])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    # unknown name is a clean error, not a traceback
+    assert cli_main(["run-query", "q_nope"]) == 2
