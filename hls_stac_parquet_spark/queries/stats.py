@@ -584,3 +584,148 @@ def q_linreg_by_group(spark, sf_dir):
         F.round(F.expr("regr_intercept(value, day_x)"), 4).alias("intercept"),
         F.round(F.expr("regr_r2(value, day_x)"), 6).alias("r2"),
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=(
+        "WITH va AS ("
+        "  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "  WHERE o_orderkey % 100 != 0), "
+        "vb AS ("
+        "  SELECT o_orderkey, o_orderstatus, "
+        "    CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2) "
+        "         ELSE o_totalprice END AS o_totalprice "
+        "  FROM orders), "
+        "j AS ("
+        "  SELECT coalesce(va.o_orderkey, vb.o_orderkey) AS o_orderkey, "
+        "    CASE WHEN va.o_orderkey IS NULL THEN 'added' "
+        "         WHEN vb.o_orderkey IS NULL THEN 'removed' "
+        "         WHEN va.o_orderstatus IS DISTINCT FROM vb.o_orderstatus "
+        "           OR va.o_totalprice IS DISTINCT FROM vb.o_totalprice "
+        "           THEN 'changed' "
+        "         ELSE 'unchanged' END AS status "
+        "  FROM va FULL OUTER JOIN vb ON va.o_orderkey = vb.o_orderkey) "
+        "SELECT status, count(*) AS n, "
+        "  CAST(min(o_orderkey) AS BIGINT) AS min_key, "
+        "  CAST(max(o_orderkey) AS BIGINT) AS max_key "
+        "FROM j GROUP BY status"
+    ),
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two table versions (the CDC audit every
+    warehouse runs after a load): full outer join on the key classifies
+    every row added / removed / changed / unchanged, then a tiny status
+    rollup.
+
+    The versions here are derived deterministically from orders (A
+    drops every 100th key, B re-prices every 7th) so the oracle builds
+    the identical pair.  Change detection is null-safe column compare
+    (IS DISTINCT FROM) — at width, swap in a single xxhash64 over the
+    non-key columns so only (key, row-hash) shuffles through the join;
+    the join itself is key-partitioned on both sides, AQE handles the
+    version-size asymmetry.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    va = o.filter(F.col("o_orderkey") % 100 != 0)
+    vb = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a = va.alias("a")
+    b = vb.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+            | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "q_dedup_time_window",
+    oracle=(
+        "WITH lagged AS ("
+        "  SELECT event_id, user_id, event_type, ts, "
+        "    lag(ts) OVER (PARTITION BY user_id, event_type "
+        "                  ORDER BY ts, event_id) AS prev_ts "
+        "  FROM events) "
+        "SELECT event_id, user_id, event_type, ts FROM lagged "
+        "WHERE prev_ts IS NULL "
+        "   OR date_diff('microsecond', prev_ts, ts) > 3600000000"
+    ),
+)
+def q_dedup_time_window(spark, sf_dir):
+    """Time-windowed log dedup: within each (user, event_type) stream,
+    drop events that repeat within one hour of the previous kept...
+    precisely, of the previous EVENT (lag-based throttle — the
+    standard O(1)-state formulation used for at-least-once delivery
+    logs; a strict anchor-based throttle needs a session scan and is
+    what streaming/dropDuplicatesWithinWatermark provides).
+
+    One keyed window (shuffle on user+type), µs-exact gap compare —
+    identical semantics in the DuckDB oracle.  State per row is a
+    single timestamp regardless of partition size.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    return lagged.filter(
+        F.col("prev_ts").isNull() | (gap_us > 3600000000)
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "q_mom_growth",
+    oracle=(
+        "WITH m AS ("
+        "  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+        "    round(sum(o_totalprice), 2) AS revenue "
+        "  FROM orders GROUP BY month) "
+        "SELECT month, revenue, "
+        "  round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month)) "
+        "        / lag(revenue) OVER (ORDER BY month), 4) AS pct_change "
+        "FROM m"
+    ),
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the reporting staple: one
+    month-keyed aggregate (partial map-side sums), then lag/pct-change
+    over the months-sized result where the single-partition window is
+    free.  DuckDB's date_trunc returns DATE; the oracle casts to
+    TIMESTAMP to match Spark's date_trunc month semantics.
+    """
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.withColumn(
+        "pct_change",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4),
+    )

@@ -412,3 +412,17 @@ def test_pattern_sequence_single_user_shuffle(spark):
     plan = _plan(spark, "q_pattern_sequence")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan parquet") == 1
+
+
+def test_snapshot_diff_key_partitioned_join(spark):
+    """Version compare must be an equi-join on the key (SMJ/SHJ under
+    AQE), never nested-loop; one scan per version."""
+    plan = _plan(spark, "q_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_time_window_single_keyed_window(spark):
+    plan = _plan(spark, "q_dedup_time_window")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
