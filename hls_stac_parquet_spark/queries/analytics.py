@@ -867,11 +867,12 @@ def q_triangle_count(spark, sf_dir):
         e3,
         (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
     )
-    n_edges = edges.count()
-    return tri.agg(
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
-        F.count("*").cast("bigint").alias("n_triangles"),
-    )
+    # edge total as a broadcast 1-row dim: one lazy plan, no eager
+    # driver-side count job at build time
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles")).join(
+        F.broadcast(n_edges)
+    ).select("n_edges", "n_triangles")
 
 
 @query(

@@ -355,7 +355,11 @@ def q_market_basket(spark, sf_dir):
     part_orders = od.groupBy("l_partkey").agg(
         F.count("*").cast("double").alias("n_orders_part")
     )
-    n_orders = od.select("l_orderkey").distinct().count()
+    # scalar total as a broadcast 1-row dim — keeps the whole query one
+    # lazy plan (no eager driver-side count job at build time)
+    n_orders = od.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
     a = od.alias("a")
     b = od.alias("b")
     pairs = (
@@ -382,12 +386,13 @@ def q_market_basket(spark, sf_dir):
     return (
         pairs.join(pa, "part_a")
         .join(pb, "part_b")
+        .join(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             F.col("n_ab").cast("bigint").alias("n_together"),
             F.round(
-                F.col("n_ab") * F.lit(float(n_orders)) / (F.col("na") * F.col("nb")),
+                F.col("n_ab") * F.col("n_orders") / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
         )
