@@ -40,3 +40,10 @@ from hls_stac_parquet_spark.operators.tokenizer import (  # noqa: F401
     bpe_train,
     word_frequencies,
 )
+from hls_stac_parquet_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    connected_components_star,
+    pagerank,
+    triangle_count,
+)
+from hls_stac_parquet_spark.operators.diff import snapshot_diff  # noqa: F401

@@ -289,3 +289,46 @@ def pagerank(
         old.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count via the edge-iterator / adjacency-
+    intersection algorithm (one row: n_edges, n_triangles).
+
+    Input may be directed/duplicated; edges are canonicalized to
+    low-key → high-key and deduplicated, so each undirected edge and
+    each triangle counts once. Each surviving edge (a,b) joins the
+    forward-adjacency lists N⁺(a), N⁺(b) (|V|-row dim, built in one
+    groupBy) and contributes |N⁺(a) ∩ N⁺(b)| closing vertices —
+    equi-joins on node ids only, and no materialized wedge relation
+    (the Σ_v in(v)·out(v) blow-up of the naive two-join plan). At
+    100 TB, degree orientation (edges point at the higher-degree
+    endpoint) bounds list length on hub nodes; AQE skew-join covers
+    mild skew under key orientation.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    adj = e.groupBy("_a").agg(F.sort_array(F.collect_set("_b")).alias("ns"))
+    na = adj.select(F.col("_a").alias("_ja"), F.col("ns").alias("na"))
+    nb = adj.select(F.col("_a").alias("_jb"), F.col("ns").alias("nb"))
+    per_edge = (
+        e.join(na, F.col("_a") == F.col("_ja"))
+        .join(nb, F.col("_b") == F.col("_jb"))
+        .select(F.size(F.array_intersect("na", "nb")).alias("n_closing"))
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        per_edge.agg(
+            F.coalesce(F.sum("n_closing"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            )
+        )
+        .join(F.broadcast(n_edges))
+        .select("n_edges", "n_triangles")
+    )

@@ -641,26 +641,10 @@ def q_snapshot_diff(spark, sf_dir):
             F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
         ).otherwise(F.col("o_totalprice")),
     )
-    a = va.alias("a")
-    b = vb.alias("b")
-    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
-    status = (
-        F.when(F.col("a.o_orderkey").isNull(), "added")
-        .when(F.col("b.o_orderkey").isNull(), "removed")
-        .when(
-            ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
-            | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice")),
-            "changed",
-        )
-        .otherwise("unchanged")
-    )
+    from hls_stac_parquet_spark.operators.diff import snapshot_diff
+
     return (
-        j.select(
-            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-                "o_orderkey"
-            ),
-            status.alias("status"),
-        )
+        snapshot_diff(va, vb, ["o_orderkey"])
         .groupBy("status")
         .agg(
             F.count("*").alias("n"),

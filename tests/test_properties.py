@@ -123,3 +123,65 @@ def test_bpe_matches_reference_random(spark, word_freqs):
     got = bpe_train(words, num_merges=3)
     want, _ = _py_bpe(word_freqs, 3)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """triangle_count == brute-force enumeration over all node
+    triples, for arbitrary small graphs (self-loops and duplicate /
+    reversed edges included — the operator canonicalizes)."""
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in canon for v in e})
+    import itertools
+
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in canon and (b, c) in canon and (a, c) in canon
+    )
+    from hls_stac_parquet_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == expect
+    assert row.n_edges == len(canon)
+
+
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=25),
+    st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=25),
+)
+@settings(max_examples=12, deadline=None)
+def test_snapshot_diff_matches_dict_diff(spark, olds, news):
+    """snapshot_diff status per key == the obvious dict comparison."""
+    from hls_stac_parquet_spark.operators.diff import snapshot_diff
+
+    oldf = spark.createDataFrame(
+        [(k, v) for k, v in olds.items()] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    newf = spark.createDataFrame(
+        [(k, v) for k, v in news.items()] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(oldf, newf, ["k"], ["v"]).collect()
+    }
+    for k in set(olds) | set(news):
+        if k not in olds:
+            expect = "added"
+        elif k not in news:
+            expect = "removed"
+        elif olds[k] != news[k]:
+            expect = "changed"
+        else:
+            expect = "unchanged"
+        assert got[k] == expect, (k, got.get(k), expect)
