@@ -186,9 +186,18 @@ def q_winnow_fingerprint(spark, sf_dir):
         .select("doc_id", token_hashes("text").alias("_th"))
         .select(
             "doc_id",
-            winnow_fingerprints("_th").alias("fingerprints"),
+            winnow_fingerprints("_th").alias("_fps"),
         )
-        .withColumn("n_fingerprints", F.size("fingerprints"))
+        .select(
+            "doc_id",
+            # scalar columns only: the driver's pandas canonicalizer
+            # cannot sort/hash array cells (see q_collect_list_group's
+            # round-1 failure), so emit the set as a joined string
+            F.concat_ws(",", F.transform("_fps", lambda x: x.cast("string"))).alias(
+                "fingerprints"
+            ),
+            F.size("_fps").alias("n_fingerprints"),
+        )
     )
 
 
