@@ -1549,3 +1549,121 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         t(spark, sf_dir, "documents"), n=2, min_jaccard=0.5
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=(
+        "WITH grams AS ("
+        "  SELECT doc_id, unnest(list_distinct(list_transform("
+        "    generate_series(1, len(ts) - 2), "
+        "    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g "
+        "  FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) "
+        "  WHERE len(ts) >= 3), "
+        "df AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "  round(avg(CASE WHEN n_docs = 1 THEN 1.0 ELSE 0.0 END), 6) "
+        "    AS novelty "
+        "FROM grams JOIN df USING (g) GROUP BY doc_id"
+    ),
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a document's
+    distinct trigrams that appear in NO other document — the
+    memorization/boilerplate risk signal corpus curation ranks by
+    (novelty ≈ 1 means unique prose; ≈ 0 means template text).
+
+    One explode builds distinct (doc, gram) postings; the gram
+    document-frequency aggregate joins back on the gram key (both
+    sides hash-partitioned on gram, AQE-adaptive) and a doc-keyed
+    rollup emits the novelty share.  Shuffles carry grams and ids,
+    never full documents.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ts") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("ts", i.cast("int")),
+                            F.element_at("ts", (i + 1).cast("int")),
+                            F.element_at("ts", (i + 2).cast("int")),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("n_docs") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_vocab_growth",
+    oracle=(
+        "WITH terms AS ("
+        "  SELECT DISTINCT doc_id, term FROM ("
+        "    SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+        "    FROM documents) WHERE term != ''), "
+        "first_doc AS ("
+        "  SELECT term, min(doc_id) AS first_doc_id FROM terms GROUP BY term), "
+        "new_terms AS ("
+        "  SELECT first_doc_id AS doc_id, count(*) AS n_new "
+        "  FROM first_doc GROUP BY first_doc_id) "
+        "SELECT d.doc_id, coalesce(n.n_new, 0) AS n_new_terms, "
+        "  sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN new_terms n USING (doc_id)"
+    ),
+)
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): distinct terms seen after
+    each document, in doc_id order — the corpus-diversity diagnostic
+    (a flattening curve means new data adds no new language).
+
+    The first-touch identity again (cf. q_cumulative_distinct), keyed
+    on TERMS: a term grows the vocabulary exactly once, at its
+    minimum doc_id, so cumulative distinct == prefix sum of per-doc
+    first-occurrence counts.  Two keyed aggregates on the postings;
+    the window runs over the |docs|-sized result.  The naive
+    expanding-distinct is quadratic and un-shardable.
+    """
+    terms = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    first_doc = terms.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_terms = first_doc.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    docs = t(spark, sf_dir, "documents").select("doc_id").distinct()
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_terms")
+        )
+        .withColumn("vocab_size", F.sum("n_new_terms").over(w))
+    )

@@ -718,3 +718,100 @@ def q_mom_growth(spark, sf_dir):
         "pct_change",
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle=(
+        "WITH first_seen AS ("
+        "  SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
+        "  FROM events GROUP BY user_id), "
+        "daily AS ("
+        "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+        "SELECT d.day, "
+        "  CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS new_users, "
+        "  CAST(sum(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS returning_users "
+        "FROM daily d JOIN first_seen f USING (user_id) GROUP BY d.day"
+    ),
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily active users split new vs returning — the growth-
+    accounting companion to q_cumulative_distinct.
+
+    Two aggregates off one scan (per-user first day; distinct
+    user-days), joined on user_id — the first-seen dim is |users|-
+    sized, so AQE broadcasts it while it fits and shuffle-joins
+    beyond; the day rollup then runs over |user-days|.  No expanding
+    windows, no per-day rescans.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).cast("bigint").alias("new_users"),
+            F.sum(
+                F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+            ).cast("bigint").alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "q_stickiness",
+    oracle=(
+        "WITH du AS ("
+        "  SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "
+        "    CAST(ts AS DATE) AS day, user_id FROM events), "
+        "dau AS ("
+        "  SELECT month, day, count(*) AS dau FROM du GROUP BY month, day), "
+        "mau AS ("
+        "  SELECT month, count(DISTINCT user_id) AS mau FROM du GROUP BY month) "
+        "SELECT d.month, round(avg(d.dau), 4) AS avg_dau, "
+        "  CAST(max(m.mau) AS BIGINT) AS mau, "
+        "  round(avg(d.dau) / max(m.mau), 6) AS stickiness "
+        "FROM dau d JOIN mau m USING (month) GROUP BY d.month"
+    ),
+)
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard tracks.
+
+    Single pass: one distinct (month, day, user) reduction (the only
+    event-scale shuffle), then ONE month aggregate computes all three
+    sufficient statistics — |user-days| (plain count), distinct days,
+    distinct users (Spark plans the two distincts as one Expand over
+    the reduction, still a single scan).  avg_dau ≡ user_days /
+    n_days because Σ_days dau = |user-days|; a two-branch dau⋈mau
+    formulation re-scans and re-distincts the fact table per branch
+    (column pruning makes the subtrees non-identical, so AQE cannot
+    reuse the exchange — measured, 4 scans).
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    m = du.groupBy("month").agg(
+        F.count("*").alias("user_days"),
+        F.count_distinct("day").alias("n_days"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    avg_dau = F.col("user_days") / F.col("n_days")
+    return m.select(
+        "month",
+        F.round(avg_dau, 4).alias("avg_dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -429,3 +429,18 @@ def test_dedup_time_window_single_keyed_window(spark):
     plan = _plan(spark, "q_dedup_time_window")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan parquet") == 1
+
+
+def test_vocab_growth_no_expanding_distinct(spark):
+    """Vocabulary growth must be the first-touch prefix sum — no
+    self-join of the postings, window only over the docs-sized
+    aggregate."""
+    plan = _plan(spark, "q_vocab_growth")
+    assert "CartesianProduct" not in plan
+
+
+def test_stickiness_single_distinct_reduction(spark):
+    """DAU and MAU both derive from ONE distinct (month,day,user)
+    reduction of the scan."""
+    plan = _plan(spark, "q_stickiness")
+    assert plan.count("FileScan parquet") == 1
