@@ -1667,3 +1667,50 @@ def q_vocab_growth(spark, sf_dir):
         )
         .withColumn("vocab_size", F.sum("n_new_terms").over(w))
     )
+
+
+@query(
+    "q_zipf_slope",
+    oracle=(
+        "WITH tf AS ("
+        "  SELECT term, count(*) AS freq FROM ("
+        "    SELECT unnest(str_split(lower(text), ' ')) AS term "
+        "    FROM documents) WHERE term != '' GROUP BY term), "
+        "ranked AS ("
+        "  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk "
+        "  FROM tf) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+        "  round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope, "
+        "  round(regr_r2(ln(freq), ln(rnk)), 6) AS r2 "
+        "FROM ranked"
+    ),
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the term-frequency distribution: OLS slope
+    of ln(freq) on ln(rank) (natural language ≈ −1; synthetic or
+    templated corpora deviate) — a one-number corpus-health
+    diagnostic.
+
+    One corpus explode + term aggregate (the only fact-scale
+    shuffle); the rank is a window over the |vocab|-sized aggregate
+    with a total tiebreak, and the regression reduces to sufficient
+    statistics map-side.  ln() (not log10) on both engines.
+    """
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rnk))"), 6
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 6).alias("r2"),
+    )

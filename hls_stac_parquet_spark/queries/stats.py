@@ -815,3 +815,65 @@ def q_stickiness(spark, sf_dir):
         F.col("mau").cast("bigint").alias("mau"),
         F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "q_churn",
+    oracle=(
+        "WITH mu AS ("
+        "  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, "
+        "    user_id FROM events), "
+        "weeks AS (SELECT DISTINCT week FROM mu), "
+        "nxt AS ("
+        "  SELECT week, lead(week) OVER (ORDER BY week) AS next_week "
+        "  FROM weeks) "
+        "SELECT mu.week, CAST(count(*) AS BIGINT) AS active_users, "
+        "  CAST(sum(CASE WHEN r.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS churned, "
+        "  round(avg(CASE WHEN r.user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+        "    AS churn_rate "
+        "FROM mu JOIN nxt USING (week) "
+        "LEFT JOIN mu r ON r.week = nxt.next_week AND r.user_id = mu.user_id "
+        "WHERE nxt.next_week IS NOT NULL "
+        "GROUP BY mu.week"
+    ),
+)
+def q_churn(spark, sf_dir):
+    """Weekly churn: of each week's active users, how many are absent
+    the following observed week (weekly because the synthetic event
+    log spans one calendar month; the shape is grain-agnostic).
+
+    One distinct (week, user) reduction off the scan; the weeks dim
+    (lead over a handful of rows) broadcasts back, and the presence
+    probe is a LEFT join of week-actives against next-week-actives on
+    (next_week, user) — both sides are the same |week-actives| table,
+    hash-partitioned on user, so the probe is one co-keyed shuffle,
+    not a per-week rescan.
+    """
+    ev = t(spark, sf_dir, "events")
+    mu = ev.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).distinct()
+    weeks = mu.select("week").distinct()
+    wm = Window.orderBy("week")
+    nxt = weeks.withColumn("next_week", F.lead("week").over(wm)).filter(
+        F.col("next_week").isNotNull()
+    )
+    cur = mu.join(F.broadcast(nxt), "week")
+    r = mu.select(
+        F.col("week").alias("next_week"), F.col("user_id").alias("r_user")
+    )
+    probe = cur.join(
+        r,
+        (cur.next_week == r.next_week) & (cur.user_id == F.col("r_user")),
+        "left",
+    )
+    return probe.groupBy(cur.week).agg(
+        F.count("*").cast("bigint").alias("active_users"),
+        F.sum(F.when(F.col("r_user").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("churned"),
+        F.round(
+            F.avg(F.when(F.col("r_user").isNull(), 1.0).otherwise(0.0)), 6
+        ).alias("churn_rate"),
+    )
