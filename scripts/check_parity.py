@@ -3,10 +3,17 @@
 gate does) at a chosen scale factor.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
+       python scripts/check_parity.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes a machine-readable record (per-query
+status + sweep metadata) — the committed LOCAL_PARITY.json is this
+sweep's evidence for registry entries the driver's 50-query window
+has not reached yet.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -17,25 +24,53 @@ from hls_stac_parquet_spark.testing import check_query  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from hls_stac_parquet_spark.queries import REGISTRY
 
-    names = sys.argv[2:] or list(REGISTRY)
+    names = argv[1:] or list(REGISTRY)
     spark = get_spark("parity-check")
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         try:
             r = check_query(spark, sf_dir, name)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: EXCEPTION {e}")
             failed.append(name)
+            results[name] = {"status": "exception", "detail": str(e)[:300]}
             continue
         status = "ok   " if r.match else "FAIL "
         extra = r.detail or f"{r.spark_rows} rows"
         print(f"{status}{name}: {extra}")
         if not r.match:
             failed.append(name)
+        results[name] = {
+            "status": "ok" if r.match else "fail",
+            "oracle": REGISTRY[name].oracle is not None,
+            "spark_rows": r.spark_rows,
+            "oracle_rows": r.oracle_rows,
+            **({"detail": r.detail} if not r.match else {}),
+        }
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_passed": len(names) - len(failed),
+                    "failed": failed,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failed else 0
 
 
