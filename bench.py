@@ -98,8 +98,11 @@ def main() -> None:
     # full dict is ~3.7 KB — guaranteed to truncate. So: print the
     # total + a curated headline subset (< ~1.5 KB), and write the whole
     # timing map to BENCH_DETAIL.json next to this script.
+    # dev-loop subset runs must not clobber the committed full-sweep
+    # artifact with a partial timing map
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL.json" if not only else "BENCH_DETAIL.partial.json",
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -142,7 +145,7 @@ def main() -> None:
             "queries": {n: timings[n] for n in headline if n in timings},
             "sf": sf_val,
             "n_queries": len(timings),
-            "detail": "BENCH_DETAIL.json",
+            "detail": os.path.basename(detail_path),
         }
     )
     # restore the real stdout and emit the one JSON line

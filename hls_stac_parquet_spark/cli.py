@@ -96,6 +96,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="run the corpus-curation chain on src first")
 
     args = ap.parse_args(argv)
+    if args.cmd == "run-query":
+        # validate BEFORE paying JVM/session startup — a typo'd name
+        # should fail instantly
+        from hls_stac_parquet_spark.queries import REGISTRY
+
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; {len(REGISTRY)} registered "
+                  f"(see SURVEY.md §2)", file=sys.stderr)
+            return 2
     coll = COLLECTIONS[args.collection] if hasattr(args, "collection") else None
     spark = get_spark(f"hls-{args.cmd}")
 
@@ -179,10 +188,6 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "run-query":
         from hls_stac_parquet_spark.queries import REGISTRY
 
-        if args.name not in REGISTRY:
-            print(f"unknown query {args.name!r}; {len(REGISTRY)} registered "
-                  f"(see SURVEY.md §2)", file=sys.stderr)
-            return 2
         df = REGISTRY[args.name].fn(spark, args.sf_dir)
         if args.explain:
             df.explain("formatted")

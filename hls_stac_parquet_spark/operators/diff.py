@@ -43,15 +43,18 @@ def snapshot_diff(
         old = old.select(*key_cols, F.xxhash64(*compare_cols).alias("_h"))
         new = new.select(*key_cols, F.xxhash64(*compare_cols).alias("_h"))
         compare_cols = ["_h"]
-    a = old.alias("a")
-    b = new.alias("b")
+    # explicit presence markers — inferring presence from key nullity
+    # would misclassify rows whose key column is itself NULL
+    a = old.withColumn("_present", F.lit(True)).alias("a")
+    b = new.withColumn("_present", F.lit(True)).alias("b")
     cond = None
     for k in key_cols:
-        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        # null-safe: a NULL key in both versions is the SAME row
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
         cond = c if cond is None else (cond & c)
     j = a.join(b, cond, "full_outer")
-    a_key = F.col(f"a.{key_cols[0]}")
-    b_key = F.col(f"b.{key_cols[0]}")
+    a_key = F.col("a._present")
+    b_key = F.col("b._present")
     differs = None
     for c in compare_cols:
         d = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))

@@ -53,3 +53,29 @@ def bucket_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def self_join_pairs(
+    postings: DataFrame, bucket_cols: list[str], id_col: str
+) -> DataFrame:
+    """(bucket_cols..., id) rows → one (id_a < id_b) row per
+    co-occurrence (multiplicity preserved — count the output to get
+    pair support).
+
+    Complementary strategy to :func:`bucket_pairs`: a co-partitioned
+    equi-self-join on the bucket key. For SMALL buckets (market
+    baskets, ~4 ids) the codegen'd join beats bucket_pairs'
+    interpreted higher-order-function expansion (measured ~2× at
+    sf0.1); for large buckets the in-row expansion avoids the join's
+    second exchange. Pick by bucket-size profile.
+    """
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cond = None
+    for c in bucket_cols:
+        eq = F.col(f"a.{c}") == F.col(f"b.{c}")
+        cond = eq if cond is None else (cond & eq)
+    cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )

@@ -851,14 +851,10 @@ def q_triangle_count(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = od.alias("a")
-    b = od.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+
+    edges = self_join_pairs(od, ["l_orderkey"], "l_partkey").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return triangle_count(edges)
 

@@ -1558,7 +1558,7 @@ def q_jaccard_prefix_join(spark, sf_dir):
         "  SELECT doc_id, unnest(list_distinct(list_transform("
         "    generate_series(1, len(ts) - 2), "
         "    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g "
-        "  FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) "
+        "  FROM (SELECT doc_id, str_split(lower(text), ' ') AS ts FROM documents) "
         "  WHERE len(ts) >= 3), "
         "df AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
@@ -1619,7 +1619,7 @@ def q_ngram_novelty(spark, sf_dir):
     oracle=(
         "WITH terms AS ("
         "  SELECT DISTINCT doc_id, term FROM ("
-        "    SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+        "    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term "
         "    FROM documents) WHERE term != ''), "
         "first_doc AS ("
         "  SELECT term, min(doc_id) AS first_doc_id FROM terms GROUP BY term), "

@@ -360,17 +360,12 @@ def q_market_basket(spark, sf_dir):
     n_orders = od.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n_orders")
     )
-    a = od.alias("a")
-    b = od.alias("b")
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        self_join_pairs(od, ["l_orderkey"], "l_partkey")
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("id_a").alias("part_a"), F.col("id_b").alias("part_b")
         )
         .agg(F.count("*").cast("double").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)

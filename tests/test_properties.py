@@ -166,11 +166,11 @@ def test_snapshot_diff_matches_dict_diff(spark, olds, news):
     from hls_stac_parquet_spark.operators.diff import snapshot_diff
 
     oldf = spark.createDataFrame(
-        [(k, v) for k, v in olds.items()] or [(None, None)], "k long, v long"
-    ).filter("k IS NOT NULL")
+        [(k, v) for k, v in olds.items()] or [(-999, -999)], "k long, v long"
+    ).filter("k != -999")
     newf = spark.createDataFrame(
-        [(k, v) for k, v in news.items()] or [(None, None)], "k long, v long"
-    ).filter("k IS NOT NULL")
+        [(k, v) for k, v in news.items()] or [(-999, -999)], "k long, v long"
+    ).filter("k != -999")
     got = {
         r.k: r.status
         for r in snapshot_diff(oldf, newf, ["k"], ["v"]).collect()
@@ -185,3 +185,19 @@ def test_snapshot_diff_matches_dict_diff(spark, olds, news):
         else:
             expect = "unchanged"
         assert got[k] == expect, (k, got.get(k), expect)
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL keys must diff correctly: presence comes from explicit
+    markers, not key nullity, and NULL==NULL joins null-safely."""
+    from hls_stac_parquet_spark.operators.diff import snapshot_diff
+
+    oldf = spark.createDataFrame([(None, 1), (2, 5)], "k long, v long")
+    newf = spark.createDataFrame([(None, 1), (3, 7)], "k long, v long")
+    got = {r.k: r.status for r in snapshot_diff(oldf, newf, ["k"], ["v"]).collect()}
+    assert got == {None: "unchanged", 2: "removed", 3: "added"}
+
+    old2 = spark.createDataFrame([(None, 1)], "k long, v long")
+    new2 = spark.createDataFrame([(None, 9)], "k long, v long")
+    got2 = {r.k: r.status for r in snapshot_diff(old2, new2, ["k"], ["v"]).collect()}
+    assert got2 == {None: "changed"}
