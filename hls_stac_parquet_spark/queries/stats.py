@@ -872,3 +872,50 @@ def q_churn(spark, sf_dir):
             F.avg(F.when(F.col("r_user").isNull(), 1.0).otherwise(0.0)), 6
         ).alias("churn_rate"),
     )
+
+
+@query(
+    "q_rolling_corr",
+    oracle=(
+        "WITH daily AS ("
+        "  SELECT CAST(ts AS DATE) AS day, "
+        "    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+        "      AS DOUBLE) AS n_views, "
+        "    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "      AS DOUBLE) AS n_purchases "
+        "  FROM events GROUP BY day) "
+        "SELECT day, CAST(n_views AS BIGINT) AS n_views, "
+        "  CAST(n_purchases AS BIGINT) AS n_purchases, "
+        "  round(corr(n_views, n_purchases) OVER ("
+        "    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
+        "    AS corr7 "
+        "FROM daily"
+    ),
+)
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-7-day rolling correlation between daily view and
+    purchase volumes — the co-movement diagnostic for metric pairs
+    (did the funnel decouple this week?).
+
+    One day-keyed aggregate is the only event-scale shuffle; the
+    windowed corr runs over the days-sized series where the bounded
+    frame costs O(1) state per row.  corr interpolates identically in
+    both engines and yields NULL for frames with <2 points or zero
+    variance on either side — no special-casing needed.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("n_purchases"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_views").cast("bigint").alias("n_views"),
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.round(F.corr("n_views", "n_purchases").over(w), 6).alias("corr7"),
+    )
