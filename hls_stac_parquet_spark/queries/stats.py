@@ -1,7 +1,9 @@
-"""Statistical-inference and spatial-analytics queries: correlation
-matrix, cumulative distinct users, trimmed/winsorized robust means,
-chi-square and Welch-t A/B tests, market-basket lift, broadcast
-haversine k-NN, and time-to-convert latency.
+"""Statistical-inference, growth-accounting, and spatial-analytics
+queries: correlation matrix (global and rolling), cumulative distinct
+users, new-vs-returning / stickiness / churn, trimmed/winsorized
+robust means, chi-square and Welch-t A/B tests, per-group OLS,
+market-basket lift, snapshot diff, time-windowed dedup, broadcast
+haversine k-NN, month-over-month growth, and time-to-convert latency.
 
 These extend the engine the same way the reference's completeness /
 partition-stats checks do (/root/reference/src/hls_stac_parquet/
