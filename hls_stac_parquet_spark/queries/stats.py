@@ -921,3 +921,157 @@ def q_rolling_corr(spark, sf_dir):
         F.col("n_purchases").cast("bigint").alias("n_purchases"),
         F.round(F.corr("n_views", "n_purchases").over(w), 6).alias("corr7"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle=(
+        "WITH w AS ("
+        "  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt "
+        "  FROM lineitem), "
+        "ranked AS ("
+        "  SELECT l_returnflag, v, wt, "
+        "    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, "
+        "    sum(wt) OVER (PARTITION BY l_returnflag) AS tw "
+        "  FROM w) "
+        "SELECT l_returnflag, round(min(v), 2) AS weighted_median "
+        "FROM ranked WHERE cw >= tw / 2 GROUP BY l_returnflag"
+    ),
+)
+def q_weighted_median(spark, sf_dir):
+    """Weighted median per group (price weighted by quantity) — the
+    robust center for importance-weighted corpora (sample weights,
+    token counts), where the plain median over-counts light rows.
+
+    Lower weighted median: smallest v whose cumulative weight reaches
+    half the total.  One per-group sort window carries the running
+    weight (same single-shuffle shape as q_trimmed_mean); the
+    selection is a filter + min over the qualifying suffix.  The
+    (v, wt) tie-broken cumulative order is identical in both engines,
+    and the boundary is weight arithmetic, not position arithmetic —
+    no interpolation ambiguity.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_all = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("cw", F.sum("wt").over(wc)).withColumn(
+        "tw", F.sum("wt").over(wt_all)
+    )
+    return (
+        ranked.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+    )
+
+
+@query(
+    "q_auc",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT value AS score, "
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label "
+        "  FROM events WHERE event_type IN ('purchase', 'view')), "
+        "ranked AS ("
+        "  SELECT label, avg(rn) OVER (PARTITION BY score) AS avg_rank "
+        "  FROM (SELECT score, label, row_number() OVER (ORDER BY score) AS rn "
+        "        FROM scored)), "
+        "agg AS ("
+        "  SELECT CAST(sum(label) AS DOUBLE) AS n_pos, "
+        "    CAST(count(*) - sum(label) AS DOUBLE) AS n_neg, "
+        "    sum(CASE WHEN label = 1 THEN avg_rank ELSE 0 END) AS pos_rank_sum "
+        "  FROM ranked) "
+        "SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, "
+        "  round((pos_rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6) "
+        "    AS auc FROM agg"
+    ),
+)
+def q_auc(spark, sf_dir):
+    """Exact ROC-AUC of `value` as a purchase-vs-view discriminator
+    via the rank-sum (Mann–Whitney U) identity — the model-evaluation
+    aggregate, tie-corrected with average ranks.
+
+    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻): one global sort window
+    assigns ranks (at 100 TB, a range-partitioned sort — no single-
+    partition collapse), a per-score window averages tied ranks, and
+    the statistic reduces in one aggregate.  No pairwise comparisons
+    — the naive O(n⁺·n⁻) definition is the oracle semantics, not the
+    plan.
+    """
+    scored = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "label"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy("score"))
+    ).withColumn("avg_rank", F.avg("rn").over(Window.partitionBy("score")))
+    return ranked.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+                - F.sum("label") * (F.sum("label") + 1) / 2
+            )
+            / (F.sum("label") * (F.count("*") - F.sum("label"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT value / (SELECT max(value) FROM events WHERE event_type IN ('purchase', 'view')) AS p, "
+        "    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y "
+        "  FROM events WHERE event_type IN ('purchase', 'view')) "
+        "SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, "
+        "  CAST(count(*) AS BIGINT) AS n, "
+        "  round(avg(p), 6) AS mean_pred, "
+        "  round(avg(y), 6) AS frac_positive "
+        "FROM scored GROUP BY bin"
+    ),
+)
+def q_calibration_bins(spark, sf_dir):
+    """Calibration / reliability bins: decile-bucketed predicted
+    score vs observed positive rate — the companion diagnostic to
+    q_auc (a model can rank well and still be miscalibrated).
+
+    The score normalizer is a broadcast 1-row aggregate; binning is a
+    row-local expression, so the whole diagnostic is one grouped
+    aggregate over the scan with a 10-row output.  least(…, 9) pins
+    p = 1.0 into the top bin identically in both engines.
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    mx = ev.agg(F.max("value").alias("_mx"))
+    scored = ev.join(F.broadcast(mx)).select(
+        (F.col("value") / F.col("_mx")).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("frac_positive"),
+        )
+    )

@@ -444,3 +444,18 @@ def test_stickiness_single_distinct_reduction(spark):
     reduction of the scan."""
     plan = _plan(spark, "q_stickiness")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_auc_no_pairwise_join(spark):
+    """AUC must be the rank-sum identity — windows + one aggregate,
+    never a positives×negatives join."""
+    plan = _plan(spark, "q_auc")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_single_group_shuffle(spark):
+    """Running weight and total weight share ONE group-keyed
+    exchange; selection is filter + min on top."""
+    plan = _plan(spark, "q_weighted_median")
+    assert plan.count("Exchange hashpartitioning") == 1
