@@ -999,12 +999,17 @@ def q_auc(spark, sf_dir):
     via the rank-sum (Mann–Whitney U) identity — the model-evaluation
     aggregate, tie-corrected with average ranks.
 
-    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻): one global sort window
-    assigns ranks (at 100 TB, a range-partitioned sort — no single-
-    partition collapse), a per-score window averages tied ranks, and
-    the statistic reduces in one aggregate.  No pairwise comparisons
-    — the naive O(n⁺·n⁻) definition is the oracle semantics, not the
-    plan.
+    AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).  Global ranks are
+    assigned SCALABLY — an unpartitioned row_number window would
+    funnel every row through one partition, so instead: range-
+    partition by score, rank locally within each range partition,
+    and add broadcast per-partition offsets (prefix sums over the
+    #partitions-sized count dim).  Equal scores land in one range
+    partition (range boundaries compare by value), so per-score
+    average ranks — the tie correction — come from a score-keyed
+    aggregate, and the statistic reduces in one pass.  No pairwise
+    comparisons — the naive O(n⁺·n⁻) definition is the oracle
+    semantics, not the plan.
     """
     scored = (
         t(spark, sf_dir, "events")
@@ -1016,18 +1021,35 @@ def q_auc(spark, sf_dir):
             ),
         )
     )
-    ranked = scored.withColumn(
-        "rn", F.row_number().over(Window.orderBy("score"))
-    ).withColumn("avg_rank", F.avg("rn").over(Window.partitionBy("score")))
-    return ranked.agg(
-        F.sum("label").cast("bigint").alias("n_pos"),
-        (F.count("*") - F.sum("label")).cast("bigint").alias("n_neg"),
+    part = scored.repartitionByRange(F.col("score")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("pid", "_off")
+    w_local = Window.partitionBy("pid").orderBy("score")
+    ranked = (
+        part.withColumn("rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("_off") + F.col("rn_local"))
+    )
+    per_score = ranked.groupBy("score").agg(
+        F.avg("rn").alias("avg_rank"),
+        F.sum("label").alias("pos_s"),
+        F.count("*").alias("n_s"),
+    )
+    n_pos = F.sum("pos_s")
+    n_neg = F.sum(F.col("n_s") - F.col("pos_s"))
+    return per_score.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
         F.round(
-            (
-                F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
-                - F.sum("label") * (F.sum("label") + 1) / 2
-            )
-            / (F.sum("label") * (F.count("*") - F.sum("label"))),
+            (F.sum(F.col("pos_s") * F.col("avg_rank")) - n_pos * (n_pos + 1) / 2)
+            / (n_pos * n_neg),
             6,
         ).alias("auc"),
     )

@@ -446,12 +446,20 @@ def test_stickiness_single_distinct_reduction(spark):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_auc_no_pairwise_join(spark):
-    """AUC must be the rank-sum identity — windows + one aggregate,
-    never a positives×negatives join."""
+def test_auc_scalable_rank_no_pairwise_join(spark):
+    """AUC must be the rank-sum identity with RANGE-PARTITIONED rank
+    assignment: the only join is the broadcast per-partition offset
+    dim, the local rank window partitions by pid (no unpartitioned
+    window funneling all rows through one task), and there is never
+    a positives×negatives pair join."""
     plan = _plan(spark, "q_auc")
-    assert "Join" not in plan
+    plan_lower = plan.lower()
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # only the broadcast offset dim
+    assert "rangepartitioning" in plan_lower
+    # the row-level rank window is pid-partitioned — an unpartitioned
+    # row_number over the fact rows would read 'windowspecdefinition(score'
+    assert "windowspecdefinition(score" not in plan_lower
 
 
 def test_weighted_median_single_group_shuffle(spark):
