@@ -1692,9 +1692,13 @@ def q_zipf_slope(spark, sf_dir):
     diagnostic.
 
     One corpus explode + term aggregate (the only fact-scale
-    shuffle); the rank is a window over the |vocab|-sized aggregate
-    with a total tiebreak, and the regression reduces to sufficient
-    statistics map-side.  ln() (not log10) on both engines.
+    shuffle); ranks over the |vocab|-sized aggregate are assigned the
+    scale-safe way — range-partition by (freq desc, term), rank
+    locally per partition, add broadcast prefix-sum offsets — because
+    a web-scale vocabulary is itself billions of rows and an
+    unpartitioned rank window would funnel them through one task.
+    The regression reduces to sufficient statistics map-side.
+    ln() (not log10) on both engines.
     """
     tf = (
         t(spark, sf_dir, "documents")
@@ -1705,8 +1709,20 @@ def q_zipf_slope(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "term")
-    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    part = tf.repartitionByRange(F.desc("freq"), F.col("term")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("pid", "_off")
+    w_local = Window.partitionBy("pid").orderBy(F.desc("freq"), "term")
+    ranked = (
+        part.withColumn("rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rnk", F.col("_off") + F.col("rn_local"))
+    )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_terms"),
         F.round(
