@@ -72,14 +72,24 @@ def load_check_history() -> dict:
                 ent = hist.setdefault(name, {"checked": [], "green": []})
                 if rnd not in ent["checked"]:
                     ent["checked"].append(rnd)
-                ok = row.get("err") is None and all(
-                    v is not False
-                    for v in (
-                        row.get("rows_match"),
-                        row.get("schema_match"),
-                        row.get("hash_match"),
+                # A rows-only query (no oracle_sql entry) gets a driver row
+                # with err == "no_oracle" and only spark_rows populated —
+                # that IS the driver's rows-only pass, so count it green.
+                # Without this, rows-only queries land in tier 0
+                # ("checked-but-failed") forever and clog the rotation.
+                if row.get("err") == "no_oracle":
+                    ok = (row.get("spark_rows") or 0) >= 0 and row.get(
+                        "spark_rows"
+                    ) is not None
+                else:
+                    ok = row.get("err") is None and all(
+                        v is not False
+                        for v in (
+                            row.get("rows_match"),
+                            row.get("schema_match"),
+                            row.get("hash_match"),
+                        )
                     )
-                )
                 if ok and rnd not in ent["green"]:
                     ent["green"].append(rnd)
     except Exception:
@@ -87,8 +97,21 @@ def load_check_history() -> dict:
     return hist
 
 
+# North-star LLM-data operators (BASELINE.json mandate): when they have
+# no driver-green row yet, they rotate into the window before the rest
+# of the never-checked tail.
+PRIORITY_QUERIES = [
+    "q_corpus_pipeline", "q_dedup_clusters", "q_dedup_survivors",
+    "q_tfidf", "q_bm25", "q_embedding_dedup", "q_substring_dup_pairs",
+    "q_cosine_pairs", "q_simhash_dedup", "q_train_test_split",
+    "q_jaccard_prefix_join", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint",
+]
+
+
 def _rotation_order() -> list[str]:
     hist = load_check_history()
+    prio_rank = {n: i for i, n in enumerate(PRIORITY_QUERIES)}
 
     def prio(name: str) -> tuple:
         ent = hist.get(name, {"checked": [], "green": []})
@@ -98,7 +121,8 @@ def _rotation_order() -> list[str]:
             tier = 1  # never driver-checked — rotate in
         else:
             tier = 2 + len(ent["green"])  # verified; least-verified first
-        return (tier, name)
+        # within a tier, flagship LLM-data queries come first
+        return (tier, prio_rank.get(name, len(PRIORITY_QUERIES)), name)
 
     rest = sorted((n for n in REGISTRY if n not in CONTRACT_QUERIES), key=prio)
     return [n for n in CONTRACT_QUERIES if n in REGISTRY] + rest
