@@ -297,14 +297,17 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Input may be directed/duplicated; edges are canonicalized to
     low-key → high-key and deduplicated, so each undirected edge and
-    each triangle counts once. Each surviving edge (a,b) joins the
-    forward-adjacency lists N⁺(a), N⁺(b) (|V|-row dim, built in one
-    groupBy) and contributes |N⁺(a) ∩ N⁺(b)| closing vertices —
-    equi-joins on node ids only, and no materialized wedge relation
-    (the Σ_v in(v)·out(v) blow-up of the naive two-join plan). At
-    100 TB, degree orientation (edges point at the higher-degree
-    endpoint) bounds list length on hub nodes; AQE skew-join covers
-    mild skew under key orientation.
+    each triangle counts once. Edges are then DEGREE-ORIENTED: each
+    undirected edge points at its higher-degree endpoint (ties broken
+    by node id), which bounds every adjacency list at O(√|E|) — a
+    power-law hub's neighborhood is split across its low-degree
+    neighbors instead of collecting into one collect_set array, so no
+    single task owns a hub at 100 TB scale. Each oriented edge (u,v)
+    then joins the out-adjacency lists N⁺(u), N⁺(v) and contributes
+    |N⁺(u) ∩ N⁺(v)| closing vertices; every triangle {x,y,z} with
+    rank(x)<rank(y)<rank(z) is counted exactly once, at its (x,y)
+    edge. Equi-joins on node ids only; no materialized wedge relation
+    (the Σ_v in(v)·out(v) blow-up of the naive two-join plan).
     """
     e = (
         edges.select(
@@ -313,13 +316,36 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
+        .persist()
     )
-    adj = e.groupBy("_a").agg(F.sort_array(F.collect_set("_b")).alias("ns"))
-    na = adj.select(F.col("_a").alias("_ja"), F.col("ns").alias("na"))
-    nb = adj.select(F.col("_a").alias("_jb"), F.col("ns").alias("nb"))
+    # one aggregate over both endpoints → undirected degree per node
+    deg = (
+        e.select(F.explode(F.array("_a", "_b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
+    # rank(u) < rank(v) iff deg(u) < deg(v), ties by id; _a < _b always,
+    # so _a is the lower-ranked endpoint iff _da <= _db.
+    oriented = (
+        e.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(F.col("_da") <= F.col("_db"), F.col("_a"))
+            .otherwise(F.col("_b"))
+            .alias("_u"),
+            F.when(F.col("_da") <= F.col("_db"), F.col("_b"))
+            .otherwise(F.col("_a"))
+            .alias("_v"),
+        )
+    )
+    adj = oriented.groupBy("_u").agg(F.collect_set("_v").alias("ns"))
+    na = adj.select(F.col("_u").alias("_ju"), F.col("ns").alias("na"))
+    nb = adj.select(F.col("_u").alias("_jv"), F.col("ns").alias("nb"))
     per_edge = (
-        e.join(na, F.col("_a") == F.col("_ja"))
-        .join(nb, F.col("_b") == F.col("_jb"))
+        oriented.join(na, F.col("_u") == F.col("_ju"))
+        .join(nb, F.col("_v") == F.col("_jv"))
         .select(F.size(F.array_intersect("na", "nb")).alias("n_closing"))
     )
     n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))

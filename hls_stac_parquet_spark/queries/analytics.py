@@ -831,18 +831,18 @@ def q_triangle_count(spark, sf_dir):
     an edge joins parts that share an order) — the classic clustering
     / community-density primitive.
 
-    Edges are oriented low-key → high-key so each triangle is counted
-    exactly once as (a<b<c), then counted edge-iterator style: join
-    each edge to the forward-adjacency lists of BOTH endpoints and
-    sum |N⁺(a) ∩ N⁺(b)| row-side — equi-joins on node ids only, no
-    cartesian, and crucially no materialized wedge relation (the
-    Σ_v in(v)·out(v) intermediate that makes the naive two-join plan
-    blow up). Edge derivation reuses the order-key-blocked self-join
-    (Σ basket² ≈ linear). At 100 TB the standard hardening is
-    degree-based orientation (point edges at the higher-degree
-    endpoint) to bound adjacency-list length on hub nodes;
-    key-orientation keeps the oracle 1:1 while AQE's skew-join
-    handles the synthetic data's mild skew.
+    Edges are canonicalized then DEGREE-ORIENTED (each edge points at
+    its higher-degree endpoint, ties by id), so every adjacency list
+    is bounded at O(√|E|) — a power-law hub's neighborhood never
+    collects into one collect_set array / one task. Counting is
+    edge-iterator style: join each oriented edge to the out-adjacency
+    lists of BOTH endpoints and sum |N⁺(u) ∩ N⁺(v)| row-side —
+    equi-joins on node ids only, no cartesian, and crucially no
+    materialized wedge relation (the Σ_v in(v)·out(v) intermediate
+    that makes the naive two-join plan blow up). Edge derivation
+    reuses the order-key-blocked self-join (Σ basket² ≈ linear). The
+    degree dim is |V| rows — AQE broadcasts it when small and shuffles
+    it when not, so the same plan holds at 100 TB.
     """
     from hls_stac_parquet_spark.operators.graph import triangle_count
 

@@ -156,6 +156,23 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     assert row.n_edges == len(canon)
 
 
+def test_triangle_count_hub_graph(spark):
+    """A star hub plus a triangle fan: degree orientation points every
+    leaf edge AT the hub, so no adjacency list ever holds the hub's
+    whole neighborhood (the 100 TB skew hazard). Counts stay exact."""
+    hub = 0
+    leaves = list(range(1, 101))
+    edges = [(hub, v) for v in leaves]
+    # fan of triangles: consecutive leaf pairs joined → 50 triangles
+    edges += [(leaves[i], leaves[i + 1]) for i in range(0, 100, 2)]
+    from hls_stac_parquet_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_edges == 150
+    assert row.n_triangles == 50
+
+
 @given(
     st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=25),
     st.dictionaries(st.integers(0, 30), st.integers(0, 3), max_size=25),
