@@ -464,7 +464,15 @@ def q_geo_knn(spark, sf_dir):
     hav = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians("clat")) * F.cos(
         F.radians("slat")
     ) * F.sin(dlon) * F.sin(dlon)
-    dists = cust.join(F.broadcast(supp)).select(
+    from hls_stac_parquet_spark.tuning import guarded_broadcast
+
+    dists = cust.join(
+        guarded_broadcast(
+            supp,
+            max_rows=5_000_000,
+            alternative="operators.intervals grid-blocked join",
+        )
+    ).select(
         "c_custkey",
         "s_suppkey",
         F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("dist_km"),

@@ -64,3 +64,24 @@ def recommended_conf(
             DEFAULT_TARGET_PARTITION_BYTES
         ),
     }
+
+
+def guarded_broadcast(df, max_rows: int, alternative: str):
+    """``F.broadcast(df)`` with a row-count check first.
+
+    A broadcast dim that silently outgrows executor memory is the
+    classic small-dim-that-wasn't failure at 100 TB; this refuses with
+    a routed error naming the large×large alternative instead of
+    OOM-ing mid-stage. The count is one cheap job on the dim side
+    (metadata-only for plain parquet scans).
+    """
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"broadcast refused: dimension side has {n} rows > "
+            f"max_rows={max_rows}; use {alternative} (the large-scale "
+            "path) or raise the cap explicitly"
+        )
+    return F.broadcast(df)

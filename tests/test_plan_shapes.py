@@ -467,3 +467,21 @@ def test_weighted_median_single_group_shuffle(spark):
     exchange; selection is filter + min on top."""
     plan = _plan(spark, "q_weighted_median")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_guarded_broadcast_refuses_oversized_dim(spark):
+    """q_geo_knn's station dim is broadcast only while it is actually
+    small; the guard refuses with a routed error instead of OOM-ing."""
+    import pytest
+
+    from hls_stac_parquet_spark.tuning import guarded_broadcast
+
+    dim = spark.range(100)
+    with pytest.raises(ValueError, match="broadcast refused"):
+        guarded_broadcast(dim, max_rows=10, alternative="grid-blocked join")
+    # under the cap it returns a broadcastable df usable in a join
+    out = spark.range(5).join(
+        guarded_broadcast(dim, max_rows=1000, alternative="n/a"),
+        "id",
+    )
+    assert out.count() == 5
