@@ -19,6 +19,7 @@ def snapshot_diff(
     key_cols: list[str],
     compare_cols: list[str] | None = None,
     hash_compare: bool = False,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Row-level diff of ``new`` against ``old`` keyed on ``key_cols``.
 
@@ -26,6 +27,13 @@ def snapshot_diff(
     ``status`` column: 'added' (key only in new), 'removed' (only in
     old), 'changed' (both, any compare column differs — null-safe),
     'unchanged'.
+
+    CONTRACT: ``key_cols`` must uniquely identify a row within each
+    version — with duplicate keys the full outer join fans out to a
+    per-key cross product and emits multiple (possibly inconsistent)
+    status rows for that key. Pass ``check_unique=True`` to verify
+    (one aggregate per side) and fail fast with the offending count
+    instead.
 
     Plan: ONE key-partitioned full outer join; change detection is a
     null-safe compare of ``compare_cols`` (default: all shared
@@ -38,6 +46,21 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
+
+    if check_unique:
+        for side, df in (("old", old), ("new", new)):
+            dups = (
+                df.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dups:
+                raise ValueError(
+                    f"snapshot_diff: {side} version has {dups} duplicate "
+                    f"key group(s) on {key_cols}; diff statuses would fan "
+                    "out — dedup the input or fix the key"
+                )
 
     if hash_compare:
         old = old.select(*key_cols, F.xxhash64(*compare_cols).alias("_h"))

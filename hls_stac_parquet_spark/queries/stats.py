@@ -987,7 +987,8 @@ def q_weighted_median(spark, sf_dir):
         "WITH scored AS ("
         "  SELECT value AS score, "
         "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label "
-        "  FROM events WHERE event_type IN ('purchase', 'view')), "
+        "  FROM events WHERE event_type IN ('purchase', 'view') "
+        "    AND value IS NOT NULL), "
         "ranked AS ("
         "  SELECT label, avg(rn) OVER (PARTITION BY score) AS avg_rank "
         "  FROM (SELECT score, label, row_number() OVER (ORDER BY score) AS rn "
@@ -1022,6 +1023,11 @@ def q_auc(spark, sf_dir):
     scored = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
+        # NULL scores are excluded, not silently ranked: Spark's
+        # default NULLS FIRST vs the oracle's NULLS LAST would
+        # otherwise diverge, and an AUC over unscored rows is
+        # ill-defined anyway
+        .filter(F.col("value").isNotNull())
         .select(
             F.col("value").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(

@@ -13,6 +13,7 @@ has not reached yet.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -24,15 +25,20 @@ from hls_stac_parquet_spark.testing import check_query  # noqa: E402
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", metavar="OUT", dest="json_out", default=None,
+                    help="also write a machine-readable sweep record")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*", metavar="query",
+                    help="subset of registry names (default: all)")
+    args = ap.parse_args()
+    json_out, sf_dir = args.json_out, args.sf_dir
     from hls_stac_parquet_spark.queries import REGISTRY
 
-    names = argv[1:] or list(REGISTRY)
+    names = args.queries or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
     spark = get_spark("parity-check")
     failed = []
     results: dict[str, dict] = {}

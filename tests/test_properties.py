@@ -218,3 +218,70 @@ def test_snapshot_diff_null_keys(spark):
     new2 = spark.createDataFrame([(None, 9)], "k long, v long")
     got2 = {r.k: r.status for r in snapshot_diff(old2, new2, ["k"], ["v"]).collect()}
     assert got2 == {None: "changed"}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 5)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_range_partitioned_global_rank_invariant(spark, rows):
+    """q_auc / q_zipf_slope assign global ranks as range-partition →
+    local row_number → broadcast prefix-sum offsets. That relies on
+    spark_partition_id() increasing along the repartitionByRange sort
+    order and equal keys never straddling a range boundary — Spark
+    RangePartitioning behavior, not documented API. Pin it: the
+    composed rank must equal a plain unpartitioned row_number for
+    arbitrary (dup-heavy) inputs, independent of the oracle sweep."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "score int, tie int")
+    part = df.repartitionByRange(8, F.col("score"), F.col("tie")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("pid", "_off")
+    w_local = Window.partitionBy("pid").orderBy("score", "tie")
+    composed = (
+        part.withColumn("rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select("score", "tie", (F.col("_off") + F.col("rn_local")).alias("rn"))
+    )
+    plain = df.select(
+        "score",
+        "tie",
+        F.row_number().over(Window.orderBy("score", "tie")).alias("rn"),
+    )
+    got = sorted(map(tuple, composed.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    # ranks within an equal (score, tie) group are interchangeable;
+    # compare the multiset of (key → sorted rank list)
+    from collections import defaultdict
+
+    def bykey(pairs):
+        d = defaultdict(list)
+        for s, t_, r in pairs:
+            d[(s, t_)].append(r)
+        return {k: sorted(v) for k, v in d.items()}
+
+    assert bykey(got) == bykey(want)
+
+
+def test_snapshot_diff_check_unique_raises(spark):
+    """Duplicate keys fan the outer join out to a cross product —
+    check_unique=True fails fast instead."""
+    import pytest
+
+    from hls_stac_parquet_spark.operators.diff import snapshot_diff
+
+    oldf = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    newf = spark.createDataFrame([(1, 3)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        snapshot_diff(oldf, newf, ["k"], ["v"], check_unique=True)
