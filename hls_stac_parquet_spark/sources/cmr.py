@@ -236,35 +236,71 @@ class CmrStreamReader(SimpleDataSourceStreamReader):
 
     Use with ``spark.readStream.format("cmr")`` +
     ``Trigger.AvailableNow`` for catch-up-then-stop daily ingest.
-    Offsets are ``{"next_day": "YYYY-MM-DD"}``; each microbatch
-    consumes every fixture day ≥ the cursor that exists at read time.
+    Offsets are ``{"next_day": "YYYY-MM-DD"}``.
+
+    Two modes, mirroring the batch reader:
+
+    - ``fixture_dir`` (offline/tests): each microbatch consumes every
+      fixture day ≥ the cursor that exists at read time.
+    - ``endpoint`` (live): each trigger polls the catalog for the
+      COMPLETE UTC days ≥ the cursor (a day is complete once it is
+      strictly before today — in-flight days are never consumed, so
+      replay between committed offsets stays deterministic as long as
+      the catalog is append-only for past days, the same assumption
+      the reference's daily batch makes). ``start_day`` is required;
+      ``max_days_per_batch`` (default 30) bounds a catch-up batch.
     """
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.options = options
         self.fixture_dir = options.get("fixture_dir")
-        if not self.fixture_dir:
+        self.endpoint = options.get("endpoint")
+        if not self.fixture_dir and not self.endpoint:
             raise ValueError(
-                "cmr streaming needs fixture_dir (offline mode); live "
-                "endpoint streaming would poll the catalog per trigger"
+                "cmr streaming needs fixture_dir (offline) or endpoint "
+                "(live polling)"
             )
         self.start_day = options.get("start_day", "")
+        if self.endpoint and not self.fixture_dir and not self.start_day:
+            raise ValueError("endpoint-mode cmr streaming needs start_day")
+        self.max_days_per_batch = max(
+            1, int(options.get("max_days_per_batch", 30))
+        )
+        # test seam: pin "today" so complete-day cutoff is deterministic
+        self._today_override = options.get("clock_today")
         # reuse the batch reader's row conversion + residual filters
         self._batch = CmrReader(schema, options)
 
-    def _available_days(self) -> list[str]:
-        return sorted(
-            f[:-5]
-            for f in os.listdir(self.fixture_dir)
-            if f.endswith(".json")
-        )
+    def _today(self) -> str:
+        if self._today_override:
+            return self._today_override
+        return dt.datetime.now(dt.timezone.utc).date().isoformat()
+
+    def _available_days(self, cursor: str) -> list[str]:
+        """Days ≥ cursor ready to consume, in order, capped per batch."""
+        if self.fixture_dir:
+            days = sorted(
+                f[:-5]
+                for f in os.listdir(self.fixture_dir)
+                if f.endswith(".json")
+            )
+            days = [d for d in days if d >= cursor]
+        else:
+            if not cursor:
+                return []
+            today = self._today()
+            days, d = [], dt.date.fromisoformat(cursor)
+            while d.isoformat() < today:
+                days.append(d.isoformat())
+                d += dt.timedelta(days=1)
+        return days[: self.max_days_per_batch]
 
     def initialOffset(self) -> dict:
         return {"next_day": self.start_day}
 
     def read(self, start: dict):
-        days = [d for d in self._available_days() if d >= start["next_day"]]
+        days = self._available_days(start["next_day"])
         if not days:
             return [], start
         end = {"next_day": (
@@ -273,11 +309,20 @@ class CmrStreamReader(SimpleDataSourceStreamReader):
         return self._rows(days), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        days = [
-            d
-            for d in self._available_days()
-            if start["next_day"] <= d < end["next_day"]
-        ]
+        # replay: re-fetch exactly the committed [start, end) day range
+        if self.fixture_dir:
+            days = sorted(
+                f[:-5]
+                for f in os.listdir(self.fixture_dir)
+                if f.endswith(".json")
+            )
+        else:
+            days, d = [], dt.date.fromisoformat(start["next_day"])
+            last = dt.date.fromisoformat(end["next_day"])
+            while d < last:
+                days.append(d.isoformat())
+                d += dt.timedelta(days=1)
+        days = [d for d in days if start["next_day"] <= d < end["next_day"]]
         return self._rows(days)
 
     def _rows(self, days: list[str]) -> list:
@@ -286,7 +331,10 @@ class CmrStreamReader(SimpleDataSourceStreamReader):
         # manifests are control-plane-sized by construction
         rows: list = []
         for day in days:
-            rows.extend(self._batch._read_fixture(day))
+            if self.fixture_dir:
+                rows.extend(self._batch._read_fixture(day))
+            else:
+                rows.extend(self._batch._read_http(day))
         return rows
 
 

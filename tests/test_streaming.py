@@ -378,3 +378,95 @@ def test_cmr_stream_source_incremental_days(spark, tmp_path):
         for r in spark.read.parquet(out).select("time_start").collect()
     }
     assert days == {"2025-10-01", "2025-10-02", "2025-10-03"}
+
+
+def test_cmr_stream_endpoint_mode_polls_complete_days(spark, tmp_path):
+    """Endpoint-mode streaming: the day cursor advances over COMPLETE
+    UTC days only, each day fetched via the batch reader's paginated
+    HTTP scan against a local catalog server; a later trigger (with
+    the pinned clock advanced) consumes exactly the newly completed
+    day. This is the reference's live E3 daily feed as a Structured
+    Streaming source (infrastructure/lambda/batch_publisher.py:121-169)."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    from hls_stac_parquet_spark.sources.cmr import register_cmr_source
+
+    calls = []
+
+    class _CatalogHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            temporal = q.get("temporal[]", [""])[0]
+            day = temporal[:10]
+            calls.append(day)
+            entries = [
+                {
+                    "id": f"G{day}-{i}",
+                    "title": f"granule {i}",
+                    "collection_concept_id": "C2021957657-LPCLOUD",
+                    "time_start": f"{day}T00:0{i}:00.000Z",
+                    "time_end": f"{day}T00:0{i}:30.000Z",
+                }
+                for i in range(2)
+            ]
+            body = _json.dumps({"feed": {"entry": entries}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CatalogHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/search/granules.json"
+    try:
+        register_cmr_source(spark)
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+        def drain(today):
+            q = (
+                spark.readStream.format("cmr")
+                .option("endpoint", endpoint)
+                .option("start_day", "2025-10-01")
+                .option("clock_today", today)
+                .load()
+                .select("id", "title", "time_start")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # today = Oct 3 → Oct 1 and Oct 2 are complete; Oct 3 is not
+        drain("2025-10-03")
+        got = spark.read.parquet(out)
+        assert got.count() == 4
+        days = {r.time_start[:10] for r in got.select("time_start").collect()}
+        assert days == {"2025-10-01", "2025-10-02"}
+
+        # clock advances one day → exactly Oct 3 is consumed next
+        drain("2025-10-04")
+        got = spark.read.parquet(out)
+        assert got.count() == 6
+        days = {r.time_start[:10] for r in got.select("time_start").collect()}
+        assert days == {"2025-10-01", "2025-10-02", "2025-10-03"}
+        assert set(calls) == {"2025-10-01", "2025-10-02", "2025-10-03"}
+    finally:
+        srv.shutdown()
+
+
+def test_cmr_stream_endpoint_mode_requires_start_day(spark):
+    import pytest
+
+    from hls_stac_parquet_spark.sources.cmr import CmrStreamReader
+    from hls_stac_parquet_spark.model import CMR_GRANULE_SCHEMA
+
+    with pytest.raises(ValueError, match="start_day"):
+        CmrStreamReader(CMR_GRANULE_SCHEMA, {"endpoint": "http://x/search"})
