@@ -36,11 +36,24 @@ def asof_join(
     right_ts_col: str | None = None,
     matched_ts_alias: str = "matched_ts",
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the payload of the
     latest right row of the same ``by`` key with ``right.ts <= left.ts``
     (``<`` when ``inclusive=False``); left rows with no prior right row
     keep NULL payloads (ASOF LEFT semantics).
+
+    ``direction`` selects which right row matches:
+
+    - ``"backward"`` (default): latest right row at/before left.ts;
+    - ``"forward"``: earliest right row at/after left.ts
+      (strictly after when ``inclusive=False``);
+    - ``"nearest"``: whichever of the two is closer in time, ties
+      (equal distance, including an exact-ts match at distance 0)
+      resolving backward. Still ONE shuffle + ONE partition sort:
+      both candidates come from the same sorted window pass (carry-
+      forward ``last`` + carry-backward ``first``), never a second
+      join.
 
     Every non-key, non-ts right column becomes a payload column carried
     onto the matched left rows; the matched right timestamp itself is
@@ -58,16 +71,27 @@ def asof_join(
     tail row appended, then union — same semantics, bounded partitions.
     """
     by = list(by)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     rts = right_ts_col or ts_col
     payload = [c for c in right.columns if c not in by and c != rts]
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
 
-    # side ordering makes ties resolve to "matched" (inclusive) or
-    # "not matched" (exclusive): the side that must win at equal ts
-    # sorts first so last() has (inclusive) / hasn't (exclusive) seen it
-    right_side, left_side = (0, 1) if inclusive else (1, 0)
+    # Side ordering within an equal-ts group decides tie visibility.
+    # backward carries with last() over (preceding, current): the right
+    # row is visible at equal ts iff it sorts BEFORE the left row.
+    # forward carries with first() over (current, following): visible
+    # at equal ts iff it sorts AFTER the left row. nearest uses
+    # backward-inclusive + forward-exclusive in one pass (an exact-ts
+    # match is distance 0 and wins via the backward arm anyway).
+    if direction == "forward" and inclusive:
+        left_side, right_side = 0, 1
+    elif direction == "forward":
+        left_side, right_side = 1, 0
+    else:  # backward / nearest
+        right_side, left_side = (0, 1) if inclusive else (1, 0)
 
     # The whole right payload rides in ONE struct column so last(...,
     # ignorenulls=True) carries the matched row as a unit. Per-column
@@ -100,17 +124,33 @@ def asof_join(
         ).alias("_asof_payload"),
     )
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_asof_ts", "_asof_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = Window.partitionBy(*by).orderBy("_asof_ts", "_asof_side")
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    if direction == "backward":
+        carried_payload = F.last("_asof_payload", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        carried_payload = F.first("_asof_payload", ignorenulls=True).over(w_fwd)
+    else:  # nearest: both arms off the SAME sorted partition pass
+        back = F.last("_asof_payload", ignorenulls=True).over(w_back)
+        fwd = F.first("_asof_payload", ignorenulls=True).over(w_fwd)
+        # subtraction yields a comparable day-time interval for
+        # timestamp/timestamp_ntz columns and a numeric for numeric ts
+        # columns (NTZ is not castable to double in Spark 4)
+        back_dist = F.col("_asof_ts") - back[matched_ts_alias]
+        fwd_dist = fwd[matched_ts_alias] - F.col("_asof_ts")
+        carried_payload = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(back_dist <= fwd_dist, back)
+            .otherwise(fwd)
+        )
     carried = l_tagged.unionByName(r_tagged).select(
         *by,
         "_asof_ts",
         "_asof_side",
         *[c for c in left.columns if c not in by and c != ts_col],
-        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
+        carried_payload.alias("_asof_payload"),
     )
     # field access on a NULL struct yields NULL — unmatched left rows
     # keep NULL payloads, preserving ASOF LEFT semantics.

@@ -133,6 +133,58 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+@query(
+    "q_asof_nearest",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "     r AS (SELECT user_id, ts, max(event_id) AS near_click_id "
+        "           FROM events WHERE event_type = 'click' "
+        "           GROUP BY user_id, ts), "
+        "cand AS ("
+        "  SELECT l.event_id, l.user_id, l.ts, l.value, "
+        "    (SELECT max(r.ts) FROM r WHERE r.user_id = l.user_id "
+        "       AND r.ts <= l.ts) AS bts, "
+        "    (SELECT min(r.ts) FROM r WHERE r.user_id = l.user_id "
+        "       AND r.ts > l.ts) AS fts "
+        "  FROM l), "
+        "picked AS ("
+        "  SELECT event_id, user_id, ts, value, "
+        "    CASE WHEN bts IS NULL THEN fts "
+        "         WHEN fts IS NULL THEN bts "
+        "         WHEN ts - bts <= fts - ts THEN bts ELSE fts END AS mts "
+        "  FROM cand) "
+        "SELECT p.user_id, p.ts, p.event_id, p.value, "
+        "       p.mts AS near_click_ts, r.near_click_id "
+        "FROM picked p LEFT JOIN r "
+        "  ON r.user_id = p.user_id AND r.ts = p.mts"
+    ),
+)
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: each purchase matched to the
+    CLOSEST click of the same user in either time direction (ties at
+    equal distance resolve backward). The oracle is the naive
+    correlated-subquery formulation; the Spark side is
+    operators/asof.py's one-pass merge — both the carry-forward
+    (last preceding) and carry-backward (first following) candidates
+    come from the SAME user-keyed sort, so nearest costs exactly what
+    backward costs: one shuffle, one partition sort, no second join.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("near_click_id"))
+    )
+    return asof_join(
+        purchases, clicks, by=["user_id"], ts_col="ts",
+        matched_ts_alias="near_click_ts", direction="nearest",
+    )
+
+
 @query("q_approx_percentile", oracle=None)  # sketch-based — engine-specific
 def q_approx_percentile(spark, sf_dir):
     """Approximate percentiles (the declared scale path for

@@ -97,3 +97,79 @@ def test_asof_one_shuffle_plan(sides):
     plan = asof_join(left, right, by=["k"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_inclusive(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts): (r.matched_ts, r.r_val)
+        for r in asof_join(left, right, by=["k"], direction="forward").collect()
+    }
+    # k=1: ts=5 → next right at 10; ts=10 → inclusive match at 10;
+    # ts=20 → nothing after. k=2: ts=7 → inclusive 7. k=3: no rights.
+    assert got[(1, _ts(5))] == (_ts(10), 100)
+    assert got[(1, _ts(10))] == (_ts(10), 100)
+    assert got[(1, _ts(20))] == (None, None)
+    assert got[(2, _ts(7))] == (_ts(7), 70)
+    assert got[(3, _ts(1))] == (None, None)
+
+
+def test_asof_forward_exclusive(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts): (r.matched_ts, r.r_val)
+        for r in asof_join(
+            left, right, by=["k"], direction="forward", inclusive=False
+        ).collect()
+    }
+    assert got[(1, _ts(10))] == (None, None)  # strictly after 10: nothing
+    assert got[(2, _ts(7))] == (_ts(9), 90)
+
+
+def test_asof_nearest(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts): (r.matched_ts, r.r_val)
+        for r in asof_join(left, right, by=["k"], direction="nearest").collect()
+    }
+    # k=1 ts=5: back=4 (dist 1) vs fwd=10 (dist 5) → 4
+    assert got[(1, _ts(5))] == (_ts(4), 40)
+    # k=1 ts=10: exact match, distance 0 → 10
+    assert got[(1, _ts(10))] == (_ts(10), 100)
+    # k=1 ts=20: only backward exists → 10
+    assert got[(1, _ts(20))] == (_ts(10), 100)
+    # k=2 ts=7: exact → 7
+    assert got[(2, _ts(7))] == (_ts(7), 70)
+    # k=3: no rights at all → NULL
+    assert got[(3, _ts(1))] == (None, None)
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [_ts(10)], "l_val": ["x"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [_ts(7), _ts(13)], "r_val": [1, 2]})
+    )
+    row = asof_join(left, right, by=["k"], direction="nearest").collect()[0]
+    assert row.matched_ts == _ts(7) and row.r_val == 1
+
+
+def test_asof_nearest_one_shuffle_plan(sides):
+    """nearest must cost what backward costs: ONE keyed exchange, no
+    second join for the forward candidate."""
+    left, right = sides
+    plan = (
+        asof_join(left, right, by=["k"], direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan.replace("Joined", "")
+
+
+def test_asof_bad_direction_raises(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, by=["k"], direction="sideways")
