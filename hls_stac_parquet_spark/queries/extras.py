@@ -201,6 +201,25 @@ def q_approx_percentile(spark, sf_dir):
     )
 
 
+@query("q_tdigest_quantiles", oracle=None)  # sketch estimate — engine-specific
+def q_tdigest_quantiles(spark, sf_dir):
+    """Mergeable t-digest (k0) quantiles per return flag — the
+    PERSISTABLE quantile sketch: unlike percentile_approx, the digest
+    rows themselves (operators/sketches.py) can be stored per
+    day/source and re-merged later without rescanning facts, the same
+    rollup contract as the HLL reach sketches. Plan: mapInPandas
+    partition-local compression (only K-length arrays shuffle) + one
+    grouped merge. Rows-only for the driver; the ≤2/k rank-error
+    bound and merge≡single-pass property are asserted in
+    tests/test_sketches.py."""
+    from hls_stac_parquet_spark.operators.sketches import tdigest_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    return tdigest_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95], k=200
+    )
+
+
 def _exact_median(df, group_col, val_col, out_name):
     """Per-group exact interpolated median via the same sort-based
     window scheme as q_percentile (no value-map aggregate buffer)."""

@@ -86,3 +86,74 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark):
     for (sa, sb), e in est.items():
         exact = len(users[sa] & users[sb])
         assert abs(e - exact) <= max(0.05 * exact, 5), (sa, sb, e, exact)
+
+
+def test_tdigest_rank_error_bound(spark):
+    """The k0 digest's documented bound: ≤ ~2/k rank error after one
+    partition compression + one merge. Random lognormal data, k=100,
+    assert observed rank error ≤ 0.03 at every requested quantile."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.sketches import tdigest_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(0.0, 1.5, 20000)
+    df = spark.createDataFrame(
+        [(int(i % 3), float(v)) for i, v in enumerate(vals)], "g int, v double"
+    ).repartition(16)
+    got = {
+        r.g: (r.q_10, r.q_50, r.q_95)
+        for r in tdigest_quantiles(df, ["g"], "v", [0.1, 0.5, 0.95], k=100).collect()
+    }
+    for g in range(3):
+        data = np.sort(vals[np.arange(len(vals)) % 3 == g])
+        n = len(data)
+        for est, q in zip(got[g], (0.1, 0.5, 0.95)):
+            rank = np.searchsorted(data, est) / n
+            assert abs(rank - q) <= 0.03, (g, q, est, rank)
+
+
+def test_tdigest_merge_equals_single_pass(spark):
+    """Persist-then-rollup: digests built per day and re-merged must
+    estimate within the same bound as a single-pass digest — the
+    mergeability contract."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.sketches import (
+        merge_digest_tables,
+        tdigest_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(100.0, 15.0, 12000)
+    df = spark.createDataFrame(
+        [(int(i % 4), float(v)) for i, v in enumerate(vals)],
+        "day int, v double",
+    )
+    # per-day digests (group = day), then re-merge ignoring day
+    from hls_stac_parquet_spark.operators.sketches import _compress
+    daily = df.groupBy("day").applyInPandas(
+        _daily_digest_builder(), "day int, means array<double>, weights array<double>"
+    ).withColumn("all", F.lit(1))
+    merged = merge_digest_tables(daily, ["all"], [0.5], k=100).collect()[0]
+    exact = float(np.median(vals))
+    data = np.sort(vals)
+    rank = np.searchsorted(data, merged.q_50) / len(data)
+    assert abs(rank - 0.5) <= 0.03, (merged.q_50, exact, rank)
+
+
+def _daily_digest_builder():
+    import numpy as np
+    import pandas as pd
+
+    from hls_stac_parquet_spark.operators.sketches import _compress
+
+    def build(key, pdf):
+        vals = pdf["v"].to_numpy(dtype=np.float64)
+        m, w = _compress(vals, np.ones_like(vals), 100)
+        return pd.DataFrame(
+            [(key[0], list(m), list(w))], columns=["day", "means", "weights"]
+        )
+
+    return build
