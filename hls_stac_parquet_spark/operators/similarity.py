@@ -162,6 +162,140 @@ def cosine_pairs_above(
     return df.select(id_col, vec_col).mapInPandas(gen, _PAIRS_SCHEMA)
 
 
+def _train_spherical_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    train_sample: int,
+    lloyd_iters: int,
+) -> "np.ndarray":
+    """Unit-norm centroid matrix from a bounded deterministic sample.
+
+    Top-N by ``xxhash64(id)`` is a takeOrdered (per-partition heap +
+    merge), not a global sort; training cost stays constant as the
+    corpus grows — the standard sample-trained IVF recipe."""
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    X = X / xn[:, None]
+    n_clusters = min(n_clusters, len(X))
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    for _ in range(lloyd_iters):
+        owner = np.argmax(X @ centers.T, axis=1)
+        for j in range(n_clusters):
+            members = X[owner == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    cnorm = np.linalg.norm(centers, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    return centers / cnorm[:, None]
+
+
+def ivf_cosine_pairs_above(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_digits: int = 6,
+    train_sample: int = 10000,
+    lloyd_iters: int = 8,
+) -> DataFrame:
+    """Blocked near-duplicate pair generation: all (a < b) pairs with
+    cosine ≥ threshold, searched only WITHIN shared IVF cells — the
+    100 TB scale path for embedding dedup, replacing
+    :func:`cosine_pairs_above`'s broadcast GEMM (which caps the corpus
+    at executor memory).
+
+    Each vector lands in its nearest cell (corpus role) and fans out
+    to its ``n_probe`` nearest cells (probe role); a cogrouped numpy
+    GEMM per cell emits local pairs, deduped across cells with one
+    ``dropDuplicates``. Cost ∝ Σ_cell |corpus_c| × |probes_c| — never
+    all-pairs. Approximate: a pair straddling cells that probing
+    doesn't bridge is missed; recall vs the exact operator is
+    property-tested (tests/test_similarity.py), and ``n_probe`` is
+    the recall/cost dial.
+    """
+    spark = df.sparkSession
+    centers = _train_spherical_kmeans(
+        df, id_col, vec_col, n_clusters, seed, train_sample, lloyd_iters
+    )
+    bc_centers = spark.sparkContext.broadcast(centers)
+
+    from pyspark.sql.types import ArrayType
+
+    def _unit_rows(pdf_col) -> "np.ndarray":
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    @F.pandas_udf(IntegerType())
+    def assign(col: pd.Series) -> pd.Series:
+        sims = _unit_rows(col) @ bc_centers.value.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(col: pd.Series) -> pd.Series:
+        sims = _unit_rows(col) @ bc_centers.value.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
+    # the probe side ALIASES its columns: both cogroup branches derive
+    # from the same df, and Spark's self-cogroup attribute dedup can
+    # prune shared-lineage columns out of the right-side pandas frame
+    # (observed on parquet scans) — fresh names force fresh attributes
+    probes = df.select(
+        F.col(id_col).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.explode(probe(vec_col)).alias("cluster"),
+    )
+
+    def search(key, corpus_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+        )
+        if len(corpus_pdf) == 0 or len(probe_pdf) == 0:
+            return empty
+        r_ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
+        q_ids = probe_pdf["p_id"].to_numpy(dtype=np.int64)
+        sims = np.round(
+            _unit_rows(probe_pdf["p_vec"]) @ _unit_rows(corpus_pdf[vec_col]).T,
+            round_digits,
+        )
+        qi, ri = np.nonzero(sims >= threshold)
+        keep = q_ids[qi] < r_ids[ri]  # a<b: each pair once per cell
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": q_ids[qi[keep]],
+                "vec_b": r_ids[ri[keep]],
+                "cosine": sims[qi[keep], ri[keep]],
+            }
+        )
+
+    local = (
+        corpus.groupBy("cluster")
+        .cogroup(probes.groupBy("cluster"))
+        .applyInPandas(search, _PAIRS_SCHEMA)
+    )
+    # the same pair can surface in several probed cells
+    return local.dropDuplicates(["vec_a", "vec_b"])
+
+
 def ivf_cosine_topk(
     df: DataFrame,
     k: int = 5,
@@ -199,30 +333,9 @@ def ivf_cosine_topk(
     :func:`cosine_topk` ground truth (tests/test_similarity.py).
     """
     spark = df.sparkSession
-    # Deterministic bounded training sample: top-N by hash of id is a
-    # takeOrdered (per-partition heap + merge), not a global sort.
-    sample = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(train_sample)
-        .toPandas()
+    centers = _train_spherical_kmeans(
+        df, id_col, vec_col, n_clusters, seed, train_sample, lloyd_iters
     )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    xn = np.linalg.norm(X, axis=1)
-    xn[xn == 0] = 1.0
-    X = X / xn[:, None]
-    n_clusters = min(n_clusters, len(X))
-    rng = np.random.default_rng(seed)
-    centers = X[rng.choice(len(X), size=n_clusters, replace=False)]
-    for _ in range(lloyd_iters):
-        owner = np.argmax(X @ centers.T, axis=1)
-        for j in range(n_clusters):
-            members = X[owner == j]
-            if len(members):
-                centers[j] = members.mean(axis=0)
-    cnorm = np.linalg.norm(centers, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    centers = centers / cnorm[:, None]
     bc_centers = spark.sparkContext.broadcast(centers)
 
     from pyspark.sql.types import ArrayType
@@ -245,8 +358,13 @@ def ivf_cosine_topk(
         return pd.Series(list(top))
 
     corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
+    # aliased probe columns: see ivf_cosine_pairs_above — self-cogroup
+    # attribute dedup can prune shared-lineage columns from the right
+    # pandas frame on parquet scans
     probes = df.select(
-        id_col, vec_col, F.explode(probe(vec_col)).alias("cluster")
+        F.col(id_col).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.explode(probe(vec_col)).alias("cluster"),
     )
 
     def search(key, corpus_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -255,9 +373,9 @@ def ivf_cosine_topk(
                 {"vec_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"vec_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64})
         r_ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
-        q_ids = probe_pdf[id_col].to_numpy(dtype=np.int64)
+        q_ids = probe_pdf["p_id"].to_numpy(dtype=np.int64)
         sims = np.round(
-            _unit_rows(probe_pdf[vec_col]) @ _unit_rows(corpus_pdf[vec_col]).T,
+            _unit_rows(probe_pdf["p_vec"]) @ _unit_rows(corpus_pdf[vec_col]).T,
             round_digits,
         )
         out_q, out_n, out_s = [], [], []

@@ -1417,6 +1417,41 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
+@query("q_semantic_dedup_blocked", oracle=None)  # approximate (IVF recall)
+def q_semantic_dedup_blocked(spark, sf_dir):
+    """The 100 TB tier of q_embedding_dedup: candidate pairs come from
+    IVF-cell-blocked search (operators/similarity.py::
+    ivf_cosine_pairs_above — cogrouped per-cell GEMMs, cost
+    ∝ Σ_cell |corpus_c|×|probe_c|, never all-pairs and never a
+    broadcast of the corpus matrix), then the identical downstream
+    chain: star-contraction connected components → survivor map.
+    Approximate where the exact query is quadratic: a cross-cell pair
+    that probing doesn't bridge is missed; recall vs the exact pair
+    set is property-tested (tests/test_similarity.py). Rows-only for
+    the driver."""
+    from hls_stac_parquet_spark.operators.graph import connected_components_star
+    from hls_stac_parquet_spark.operators.similarity import (
+        ivf_cosine_pairs_above,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = ivf_cosine_pairs_above(
+        emb, threshold=0.35, n_clusters=8, n_probe=3
+    ).select("vec_a", "vec_b")
+    cc = connected_components_star(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("survivor")
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("survivor", "vec_id").alias("survivor_id"),
+            (F.coalesce("survivor", "vec_id") != F.col("vec_id")).alias("is_dup"),
+        )
+    )
+
+
 @query(
     "q_weighted_sample",
     oracle=(

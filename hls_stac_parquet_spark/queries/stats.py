@@ -1111,3 +1111,140 @@ def q_calibration_bins(spark, sf_dir):
             F.round(F.avg("y"), 6).alias("frac_positive"),
         )
     )
+
+
+@query(
+    "q_outlier_iqr",
+    oracle=(
+        "WITH fences AS ("
+        "  SELECT l_returnflag, "
+        "    quantile_cont(l_extendedprice, 0.25) AS q1, "
+        "    quantile_cont(l_extendedprice, 0.75) AS q3 "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l.l_returnflag, "
+        "  round(f.q1, 4) AS q1, round(f.q3, 4) AS q3, "
+        "  CAST(count(*) FILTER (WHERE l.l_extendedprice "
+        "    > f.q3 + 1.5 * (f.q3 - f.q1)) AS BIGINT) AS n_high, "
+        "  CAST(count(*) FILTER (WHERE l.l_extendedprice "
+        "    < f.q1 - 1.5 * (f.q3 - f.q1)) AS BIGINT) AS n_low "
+        "FROM lineitem l JOIN fences f USING (l_returnflag) "
+        "GROUP BY l.l_returnflag, f.q1, f.q3"
+    ),
+)
+def q_outlier_iqr(spark, sf_dir):
+    """Tukey IQR-fence outlier report per group — the standard robust
+    anomaly screen (z-scores break under heavy tails; quartile fences
+    don't). One grouped exact-quantile aggregate produces the ~|groups|
+    fence dim, broadcast back onto the fact scan for a single
+    conditional-count pass — the fact table never shuffles twice, and
+    the fence dim is groups-sized regardless of fact cardinality.
+    Spark `percentile` ≡ DuckDB `quantile_cont` (both exact
+    interpolated)."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("_q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("_q1"), 4).alias("q1"),
+            F.round(F.first("_q3"), 4).alias("q3"),
+            F.count_if(
+                F.col("l_extendedprice") > F.col("_q3") + 1.5 * iqr
+            ).cast("bigint").alias("n_high"),
+            F.count_if(
+                F.col("l_extendedprice") < F.col("_q1") - 1.5 * iqr
+            ).cast("bigint").alias("n_low"),
+        )
+    )
+
+
+@query(
+    "q_decayed_counts",
+    oracle=(
+        "WITH mx AS (SELECT max(ts) AS mts FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "  round(sum(exp(-0.05 * (epoch_us(mts) - epoch_us(ts)) "
+        "    / 86400000000.0)), 4) AS decayed_count "
+        "FROM events, mx GROUP BY event_type"
+    ),
+)
+def q_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed event counts per type (half-life
+    ≈ 14 days at λ=0.05/day) — the freshness-weighted popularity
+    aggregate used for trending/ranking features. The decay reduces
+    map-side (exp of the µs-exact age), so the shuffle carries one
+    partial sum per (partition, type): fact rows never move. The
+    reference timestamp is a broadcast 1-row max dim."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_mts"))
+    age_days = (
+        F.expr("timestampdiff(MICROSECOND, ts, _mts)").cast("double")
+        / 86400000000.0
+    )
+    return (
+        ev.join(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.exp(-0.05 * age_days)), 4).alias("decayed_count"),
+        )
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle=(
+        "WITH ops AS ("
+        "  SELECT user_id, ts, event_id, value, "
+        "    CASE event_type WHEN 'signup' THEN 'I' "
+        "      WHEN 'purchase' THEN 'U' ELSE 'D' END AS op "
+        "  FROM events WHERE event_type IN ('signup', 'purchase', 'error')), "
+        "latest AS ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "  FROM ops) "
+        "SELECT user_id, op AS final_op, ts AS op_ts, "
+        "  round(value, 4) AS final_value "
+        "FROM latest WHERE rn = 1 AND op <> 'D'"
+    ),
+)
+def q_cdc_apply(spark, sf_dir):
+    """Apply a change-log to produce final table state — the CDC
+    materialization semantic: signup=insert, purchase=update,
+    error=delete; the LAST op per key wins and a trailing delete
+    removes the key entirely (generalizes q_keep_latest, which has no
+    delete semantics). ONE user-keyed window; ordering ties break on
+    event_id so replay is deterministic. At 100 TB this is the
+    standard log-compaction shape: one shuffle on the key, O(1) state
+    per row."""
+    ops = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "purchase", "U")
+            .otherwise("D")
+            .alias("op"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("final_op"),
+            F.col("ts").alias("op_ts"),
+            F.round("value", 4).alias("final_value"),
+        )
+    )

@@ -137,3 +137,29 @@ def test_pq_ann_rerank_recall(spark):
         g = set(gt[gt.vec_id == q].neighbor_id)
         recalls.append(len(a & g) / 10)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_pairs_recall_on_planted_dups(emb):
+    """Blocked (IVF-cell) pair generation must recover the planted
+    near-duplicate pairs: near-identical vectors quantize to the same
+    cell, so cell-local search finds them without all-pairs work; no
+    false positives below threshold."""
+    from hls_stac_parquet_spark.operators.similarity import (
+        ivf_cosine_pairs_above,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_cosine_pairs_above(
+            emb, threshold=0.95, n_clusters=4, n_probe=2
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(5)}
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_above(emb, threshold=0.95).collect()
+    }
+    assert planted <= exact  # sanity: the plant is real
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, (recall, exact - got)
+    assert got <= exact  # blocked search can miss but never invent
