@@ -358,3 +358,80 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(F.broadcast(n_edges))
         .select("n_edges", "n_triangles")
     )
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: spread seed labels over an
+    undirected graph by synchronous majority vote.
+
+    Each round, every node adopts the most common label among its
+    labeled neighbors (ties → smaller count? no: count DESC then
+    label ASC — fully deterministic); seed nodes never change. After
+    ``max_iter`` rounds, returns (node, label, is_seed) for every
+    node that acquired a label. The synchronous schedule + total
+    tie order make the result a pure function of the input — the
+    property tests replay it in plain Python and demand equality.
+
+    Scale shape: one labels⋈edges shuffle join + one (node, label)
+    aggregate + one argmax reduction per round — label propagation's
+    canonical Pregel form. The labels frame stays |V|-sized; raw
+    edges are never materialized per-round beyond the join. Rounds
+    are driver-sequenced (iterative algorithms are control-plane
+    loops over data-plane shuffles, like pagerank above).
+    """
+    sym = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).union(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    ).filter(F.col("_s") != F.col("_d")).distinct()
+
+    seed_labels = seeds.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_lbl")
+    ).withColumn("_seed", F.lit(True)).persist()
+
+    labels = seed_labels
+    for _ in range(max_iter):
+        # contributions: each labeled node votes its label onto its
+        # neighbors (one join keyed on the label side's node)
+        votes = (
+            sym.join(labels.withColumnRenamed("_n", "_s"), "_s")
+            .groupBy(F.col("_d").alias("_n"), "_lbl")
+            .agg(F.count("*").alias("_votes"))
+        )
+        # deterministic argmax: max (votes, -label) struct per node
+        winner = votes.groupBy("_n").agg(
+            F.max(F.struct(F.col("_votes"), (-F.col("_lbl")).alias("_neg"))).alias("_w")
+        ).select("_n", (-F.col("_w._neg")).alias("_lbl"))
+        # seeds keep their label; everyone else takes this round's vote
+        new_labels = (
+            winner.join(seed_labels.select("_n", F.col("_lbl").alias("_sl")), "_n", "left")
+            .select(
+                "_n",
+                F.coalesce("_sl", "_lbl").alias("_lbl"),
+                F.col("_sl").isNotNull().alias("_seed"),
+            )
+            .unionByName(
+                # labeled nodes with no labeled neighbor this round
+                # (e.g. isolated seeds) must not lose their label
+                labels.join(winner.select("_n"), "_n", "left_anti")
+            )
+            .persist()
+        )
+        new_labels.count()
+        if labels is not seed_labels:
+            labels.unpersist()
+        labels = new_labels
+    out = labels.select(
+        F.col("_n").alias(node_col),
+        F.col("_lbl").alias(label_col),
+        F.col("_seed").alias("is_seed"),
+    )
+    return out

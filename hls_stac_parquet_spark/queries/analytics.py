@@ -907,3 +907,62 @@ def q_pattern_sequence(spark, sf_dir):
     return seq.filter(
         F.col("path").rlike("view.*click.*purchase")
     ).select("user_id", "n_events")
+
+
+@query(
+    "q_seq_pairs",
+    oracle=(
+        "WITH firsts AS ("
+        "  SELECT user_id, event_type, min(ts) AS fts "
+        "  FROM events GROUP BY user_id, event_type), "
+        "pairs AS ("
+        "  SELECT a.event_type AS type_a, b.event_type AS type_b "
+        "  FROM firsts a JOIN firsts b ON a.user_id = b.user_id "
+        "  WHERE a.event_type <> b.event_type AND a.fts < b.fts), "
+        "tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events) "
+        "SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS support, "
+        "  round(count(*) / (SELECT CAST(n_users AS DOUBLE) FROM tot), 6) "
+        "    AS support_ratio "
+        "FROM pairs GROUP BY type_a, type_b"
+    ),
+)
+def q_seq_pairs(spark, sf_dir):
+    """Sequential pattern mining, order-2 (the GSP/PrefixSpan support
+    base): for every ordered pair of event types (a → b), how many
+    users did a STRICTLY BEFORE b (first-occurrence order). The
+    journey-mining primitive behind 'what do users do after signup'.
+
+    Plan: one (user, type)-keyed min-ts aggregate reduces the fact
+    table to ≤ |users|×|types| rows; the pair expansion is a user-
+    keyed self-join of that aggregate — with a bounded type alphabet
+    the per-user row count is constant, so the join output is linear
+    in users (never in events). Support counting shuffles a
+    |types|²-sized key space. The naive pattern-growth over raw
+    event sequences is what this plan deliberately avoids."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("fts")
+    )
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("fts").alias("fa")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("fts").alias("fb")
+    )
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("double").alias("_nu")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("type_a") != F.col("type_b")) & (F.col("fa") < F.col("fb"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .join(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support") / F.col("_nu"), 6).alias("support_ratio"),
+        )
+    )

@@ -1765,3 +1765,30 @@ def q_zipf_slope(spark, sf_dir):
         ).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 6).alias("r2"),
     )
+
+
+@query("q_label_propagation", oracle=None)  # iterative — python-replay tested
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised label spreading over the embedding similarity
+    graph — the weak-labeling operator for training data: 20% of
+    vectors keep their gold label (seeds), the rest inherit by
+    synchronous majority vote over cosine-similarity edges
+    (operators/graph.py::propagate_labels — one labels⋈edges join +
+    one argmax aggregate per round, labels frame stays |V|-sized).
+    Deterministic by construction (count desc, label asc tie rule);
+    equality with a pure-Python synchronous replay is asserted in
+    tests/test_graph.py. Rows-only for the driver (iterative,
+    non-SQL-expressible)."""
+    from hls_stac_parquet_spark.operators.graph import propagate_labels
+    from hls_stac_parquet_spark.operators.similarity import cosine_pairs_above
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = cosine_pairs_above(emb, threshold=0.30).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("label")
+    )
+    return propagate_labels(edges, seeds, max_iter=3).select(
+        F.col("node").alias("vec_id"), "label", "is_seed"
+    )

@@ -120,3 +120,68 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
     # normalization: Σrank ≈ n for a symmetric (dangling-free) graph
     assert abs(sum(got.values()) - n) < 1e-6
+
+
+def test_label_propagation_matches_python_sync(spark):
+    """propagate_labels == a plain-Python synchronous replay with the
+    same deterministic tie rule (count desc, label asc), on a graph
+    with two seed communities and a contested middle node."""
+    from hls_stac_parquet_spark.operators.graph import propagate_labels
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),      # triangle A
+        (10, 11), (11, 12), (12, 10),  # triangle B
+        (3, 20), (20, 10),            # bridge through node 20
+        (30, 31),                     # pair seeded on one side
+    ]
+    seeds = [(1, 100), (10, 200), (30, 300)]
+    got = {
+        r.node: (r.label, r.is_seed)
+        for r in propagate_labels(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(seeds, "node long, label long"),
+            max_iter=4,
+        ).collect()
+    }
+
+    # pure-Python synchronous replay
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed_map = dict(seeds)
+    labels = dict(seed_map)
+    for _ in range(4):
+        new = {}
+        for n in adj:
+            counts = {}
+            for nb in adj[n]:
+                if nb in labels:
+                    lbl = labels[nb]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+            if counts:
+                new[n] = min(counts, key=lambda l: (-counts[l], l))
+        merged = dict(labels)
+        for n, l in new.items():
+            merged[n] = seed_map.get(n, l)
+        # nodes labeled before but with no labeled neighbor keep labels
+        labels = merged
+    want = {n: (l, n in seed_map) for n, l in labels.items()}
+    assert got == want
+
+
+def test_label_propagation_seeds_immutable(spark):
+    """A seed surrounded by opposing labels keeps its own."""
+    from hls_stac_parquet_spark.operators.graph import propagate_labels
+
+    edges = [(1, 2), (1, 3), (1, 4)]
+    seeds = [(1, 7), (2, 9), (3, 9), (4, 9)]
+    got = {
+        r.node: r.label
+        for r in propagate_labels(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame(seeds, "node long, label long"),
+            max_iter=3,
+        ).collect()
+    }
+    assert got[1] == 7 and got[2] == 9
