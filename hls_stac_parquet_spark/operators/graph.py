@@ -323,6 +323,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         e.select(F.explode(F.array("_a", "_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
@@ -348,7 +349,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(nb, F.col("_v") == F.col("_jv"))
         .select(F.size(F.array_intersect("na", "nb")).alias("n_closing"))
     )
-    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    # |E| = Σdeg/2 off the degree dim — no extra pass over the edges
+    n_edges = deg.agg(
+        F.coalesce(F.sum("deg") / 2, F.lit(0)).cast("bigint").alias("n_edges")
+    )
     return (
         per_edge.agg(
             F.coalesce(F.sum("n_closing"), F.lit(0)).cast("bigint").alias(
