@@ -67,21 +67,34 @@ def recommended_conf(
 
 
 def guarded_broadcast(df, max_rows: int, alternative: str):
-    """``F.broadcast(df)`` with a row-count check first.
+    """``F.broadcast(df)`` with a row-count guard compiled INTO the
+    plan.
 
     A broadcast dim that silently outgrows executor memory is the
     classic small-dim-that-wasn't failure at 100 TB; this refuses with
     a routed error naming the large×large alternative instead of
-    OOM-ing mid-stage. The count is one cheap job on the dim side
-    (metadata-only for plain parquet scans).
+    OOM-ing mid-stage. The guard is a broadcast 1-row count aggregate
+    cross-joined onto the dim with ``raise_error`` on violation — no
+    separate driver-side count action, so the query stays one job and
+    the check costs one tiny extra stage inside it.
     """
     from pyspark.sql import functions as F
 
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(
-            f"broadcast refused: dimension side has {n} rows > "
-            f"max_rows={max_rows}; use {alternative} (the large-scale "
-            "path) or raise the cap explicitly"
-        )
-    return F.broadcast(df)
+    # the guard lives in a FILTER (a raising projection would be
+    # column-pruned away when downstream never reads it); assert_true
+    # returns NULL when the predicate holds and raises otherwise, so
+    # the 1-row aggregate survives iff the dim is under the cap
+    msg = F.concat(
+        F.lit("broadcast refused: dimension side has "),
+        F.col("_guard_n").cast("string"),
+        F.lit(
+            f" rows > max_rows={max_rows}; use {alternative} "
+            "(the large-scale path) or raise the cap explicitly"
+        ),
+    )
+    chk = (
+        df.groupBy()
+        .agg(F.count("*").alias("_guard_n"))
+        .filter(F.assert_true(F.col("_guard_n") <= max_rows, msg).isNull())
+    )
+    return F.broadcast(df.join(F.broadcast(chk)))

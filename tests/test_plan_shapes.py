@@ -471,14 +471,19 @@ def test_weighted_median_single_group_shuffle(spark):
 
 def test_guarded_broadcast_refuses_oversized_dim(spark):
     """q_geo_knn's station dim is broadcast only while it is actually
-    small; the guard refuses with a routed error instead of OOM-ing."""
+    small; the in-plan guard refuses with a routed error at execution
+    instead of OOM-ing (no separate count action — one job)."""
     import pytest
 
     from hls_stac_parquet_spark.tuning import guarded_broadcast
 
     dim = spark.range(100)
-    with pytest.raises(ValueError, match="broadcast refused"):
-        guarded_broadcast(dim, max_rows=10, alternative="grid-blocked join")
+    over = spark.range(5).join(
+        guarded_broadcast(dim, max_rows=10, alternative="grid-blocked join"),
+        "id",
+    )
+    with pytest.raises(Exception, match="broadcast refused"):
+        over.count()
     # under the cap it returns a broadcastable df usable in a join
     out = spark.range(5).join(
         guarded_broadcast(dim, max_rows=1000, alternative="n/a"),
