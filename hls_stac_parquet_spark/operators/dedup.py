@@ -530,3 +530,73 @@ def prefix_filter_jaccard_pairs(
     return verified.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_containment: float = 0.6,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ τ means doc A is
+    (mostly) CONTAINED in doc B — the quote/excerpt/superset case
+    Jaccard misses (a paragraph pasted into a long page scores near 0
+    Jaccard but 1.0 containment).
+
+    Emits both directions (doc_a ⊂ doc_b is not doc_b ⊂ doc_a); pairs
+    where A==B are excluded. Plan: one distinct (doc, shingle)
+    postings shuffle; a ``max_df`` cut drops boilerplate shingles
+    whose posting lists would quadratically dominate (standard
+    inverted-index hygiene, same as shared_window_pairs); the
+    intersection join is shingle-keyed; containment needs only |A|
+    (a broadcast-joined per-doc count). At corpus scale, run after
+    MinHash/LSH candidate generation for the symmetric case and keep
+    this as the exact verify/asymmetric tier.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("ts")).filter(F.size("ts") >= n)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("ts", (i + j).cast("int")) for j in range(n)]
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    eligible = (
+        grams.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    pruned = grams.join(eligible, "shingle")
+    counts = grams.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    out = common.join(ca, "doc_a").withColumn(
+        "containment", F.col("n_common") / F.col("n_a")
+    )
+    return out.filter(F.col("containment") >= min_containment).select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )

@@ -241,6 +241,38 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=2, min_jaccard=0.5)
 
 
+@query(
+    "q_containment_pairs",
+    oracle=(
+        "WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS ts "
+        "FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), "
+        "grams AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) "
+        "AS shingle FROM base)), "
+        "eligible AS (SELECT shingle FROM grams GROUP BY shingle "
+        "HAVING count(*) <= 1000), "
+        "pruned AS (SELECT g.* FROM grams g JOIN eligible USING (shingle)), "
+        "counts AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common "
+        "FROM pruned a JOIN pruned b ON a.shingle = b.shingle "
+        "AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(n_common / ca.n_shingles, 6) AS containment "
+        "FROM common JOIN counts ca ON ca.doc_id = doc_a "
+        "WHERE n_common / ca.n_shingles >= 0.6"
+    ),
+    bench=False,  # quadratic exact tier; run after LSH candidates at scale
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B|/|A| ≥ 0.6
+    over bigram shingles — catches excerpt/superset duplication that
+    symmetric Jaccard misses (operators/dedup.py::containment_pairs)."""
+    from hls_stac_parquet_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), n=2, min_containment=0.6, max_df=1000
+    )
+
+
 @query("q_minhash_dedup", oracle=None)  # xxhash64 sketch — engine-specific
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (banded bucket join)."""

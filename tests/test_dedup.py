@@ -148,3 +148,23 @@ def test_prefix_filter_join_equals_quadratic_ground_truth(spark):
     }
     assert prefix == exact
     assert exact  # non-vacuous: the fixture corpus has near-dup pairs
+
+
+def test_containment_pairs_planted_excerpt(spark):
+    """A short doc pasted inside a long doc scores containment 1.0 in
+    the short→long direction (and low Jaccard — the case this operator
+    exists for); unrelated docs never pair."""
+    from hls_stac_parquet_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = "intro words here " + short + " plus a very long tail " + \
+        "of unrelated filler content extending the page onward"
+    rows = [(1, short), (2, long_), (3, "totally different text entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, min_containment=0.6).collect()
+    }
+    assert got[(1, 2)] == 1.0           # short fully inside long
+    assert (2, 1) not in got            # long NOT contained in short
+    assert all(3 not in pair for pair in got)
