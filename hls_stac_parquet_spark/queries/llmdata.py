@@ -1130,6 +1130,34 @@ def q_resize_raw_images(spark, sf_dir):
     )
 
 
+@query("q_patchify_images", oracle=None)
+def q_patchify_images(spark, sf_dir):
+    """ViT-style patch tokenization (multimodal pipeline stage):
+    32x32 raw buffers (documents' bytes standing in for decoded
+    pixels, as in q_resize_raw_images) split into 8x8 tiles — one row
+    per tile with grid position, the image analogue of text
+    tokenization. Output scalar-only (md5 per tile) for the harness.
+    Rows-only; byte-exactness vs an independent numpy slicing oracle
+    is pinned in tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        patchify_raw_images,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    tiles = patchify_raw_images(
+        media, src_width=32, src_height=32, patch=8
+    )
+    return tiles.select(
+        "media_id",
+        "patch_row",
+        "patch_col",
+        F.md5("content").alias("tile_md5"),
+    )
+
+
 @query("q_bpe_train", oracle=None, bench=False)  # 20 jobs of per-round
 # fixed overhead at toy scale — the iterative shape, not plan waste
 def q_bpe_train(spark, sf_dir):

@@ -189,3 +189,51 @@ def test_resample_pcm_halves_and_preserves_level(spark):
     stats = pcm_stats(out).collect()[0]
     assert abs(stats.rms - amp / np.sqrt(2)) < 0.01
     assert abs(stats.zero_crossing_rate - 2 * f / 8000) < 0.005
+
+
+class TestPatchify:
+    def test_patchify_byte_exact_vs_numpy_slicing(self, spark):
+        """patchify_raw_images == independent per-tile numpy slicing
+        (different code path than the operator's reshape+transpose)."""
+        import numpy as np
+
+        from hls_stac_parquet_spark.operators.multimodal import (
+            patchify_raw_images,
+        )
+
+        rng = np.random.default_rng(3)
+        h, w, c, p = 8, 12, 1, 4
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(img.tobytes()))], "media_id long, content binary"
+        )
+        got = {
+            (r.patch_row, r.patch_col): bytes(r.content)
+            for r in patchify_raw_images(
+                df, src_width=w, src_height=h, patch=p, channels=c
+            ).collect()
+        }
+        assert len(got) == (h // p) * (w // p)
+        for r in range(h // p):
+            for cc in range(w // p):
+                want = img[r * p:(r + 1) * p, cc * p:(cc + 1) * p].tobytes()
+                assert got[(r, cc)] == want, (r, cc)
+
+    def test_patchify_crops_non_multiple(self, spark):
+        import numpy as np
+
+        from hls_stac_parquet_spark.operators.multimodal import (
+            patchify_raw_images,
+        )
+
+        img = np.arange(7 * 9, dtype=np.uint8).reshape(7, 9, 1)
+        df = spark.createDataFrame(
+            [(1, bytearray(img.tobytes()))], "media_id long, content binary"
+        )
+        rows = patchify_raw_images(
+            df, src_width=9, src_height=7, patch=4, channels=1
+        ).collect()
+        assert len(rows) == 1 * 2  # 7//4=1 row, 9//4=2 cols
+        got = {(r.patch_row, r.patch_col): bytes(r.content) for r in rows}
+        assert got[(0, 0)] == img[:4, :4].tobytes()
+        assert got[(0, 1)] == img[:4, 4:8].tobytes()
