@@ -153,3 +153,68 @@ def merge_digest_tables(
                             columns=group_cols + out_names)
 
     return digests.groupBy(*group_cols).applyInPandas(merge, out_schema)
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min sketch build: a (depth × width) count matrix as a
+    DataFrame of (d, bucket, cnt) cells — the mergeable frequency
+    sketch (point-query heavy hitters with one-sided error).
+
+    Each input row explodes to ``depth`` cells (bucket =
+    xxhash64(key, seed+d) mod width, JVM-side); ONE fixed-keyspace
+    aggregate builds the sketch, so the shuffle carries at most
+    depth×width cells per map partition regardless of input
+    cardinality. Sketches merge by cell-wise SUM (same shape as the
+    HLL/t-digest rollup contract). Estimates are one-sided:
+    est ≥ true always, and est ≤ true + 2·N/width with probability
+    ≥ 1 − (1/2)^depth (standard CM bound, property-tested).
+    """
+    cells = df.select(
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("d"),
+        F.col(key_col).alias("_k"),
+    ).select(
+        "d",
+        F.pmod(
+            F.xxhash64(F.col("_k"), F.col("d") + F.lit(seed)), F.lit(width)
+        ).cast("int").alias("bucket"),
+    )
+    return cells.groupBy("d", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` off a built sketch:
+    min over the key's ``depth`` cells. The sketch is depth×width
+    cells — broadcast-sized by construction — so estimation is a
+    map-side join however many keys are probed."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        key_col,
+        "d",
+        F.pmod(
+            F.xxhash64(F.col(key_col), F.col("d") + F.lit(seed)), F.lit(width)
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )

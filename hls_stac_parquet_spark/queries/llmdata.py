@@ -1852,3 +1852,78 @@ def q_label_propagation(spark, sf_dir):
     return propagate_labels(edges, seeds, max_iter=3).select(
         F.col("node").alias("vec_id"), "label", "is_seed"
     )
+
+
+@query(
+    "q_feature_hashing",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+        "  FROM documents), "
+        "hashed AS ("
+        "  SELECT doc_id, "
+        "    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket "
+        "  FROM toks WHERE term <> '') "
+        "SELECT doc_id, CAST(bucket AS INT) AS bucket, "
+        "  CAST(count(*) AS BIGINT) AS tf "
+        "FROM hashed GROUP BY doc_id, bucket"
+    ),
+)
+def q_feature_hashing(spark, sf_dir):
+    """The hashing trick (feature hashing): terms map to a fixed
+    64-bucket feature space via an engine-portable md5-prefix hash —
+    the vocabulary-free text vectorizer for ML feature pipelines (no
+    vocab dim to build, join, or ship; collisions are the accepted
+    trade). One explode + one (doc, bucket) aggregate; the feature
+    space is fixed-width regardless of corpus vocabulary, so the
+    shuffle key space is bounded by design — the property that makes
+    this THE vectorizer at 100 TB. md5-prefix (not xxhash) so DuckDB
+    replays the exact bucket assignment."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return (
+        toks.select("doc_id", bucket.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+@query("q_countmin_heavy_hitters", oracle=None)  # sketch — engine-specific
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency estimates for the vocabulary head — the
+    third mergeable sketch alongside HLL (distincts) and t-digest
+    (quantiles): term frequencies tracked in a fixed depth×width cell
+    matrix (operators/sketches.py::countmin_build, one bounded-
+    keyspace aggregate) and probed with a broadcast join. Rows-only;
+    the one-sided error bound (est ≥ true, est ≤ true + 2N/width
+    w.h.p.) and cell-wise-sum mergeability are property-tested in
+    tests/test_sketches.py."""
+    from hls_stac_parquet_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    sketch = countmin_build(toks, "term", depth=4, width=1024)
+    head = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "term")
+        .limit(20)
+    )
+    return countmin_estimate(sketch, head, "term", depth=4, width=1024).join(
+        head, "term"
+    ).select("term", "true_count", "est_count")

@@ -157,3 +157,57 @@ def _daily_digest_builder():
         )
 
     return build
+
+
+def test_countmin_bounds_on_zipf_data(spark):
+    """CM estimates are one-sided: est >= true for every key, and for
+    width=1024 over N rows, est <= true + 2N/width for the vast
+    majority of probes (standard bound at depth=4)."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 20000)
+    keys = keys[keys < 1000]
+    n = len(keys)
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    sketch = countmin_build(df, "k", depth=4, width=1024)
+    import collections
+
+    true = collections.Counter(int(k) for k in keys)
+    probe = spark.createDataFrame([(k,) for k in true], "k long")
+    est = {
+        r.k: r.est_count
+        for r in countmin_estimate(sketch, probe, "k", depth=4, width=1024).collect()
+    }
+    assert all(est[k] >= c for k, c in true.items())
+    slack = 2 * n / 1024
+    ok = sum(1 for k, c in true.items() if est[k] <= c + slack)
+    assert ok / len(true) >= 0.95, ok / len(true)
+
+
+def test_countmin_merge_is_cellwise_sum(spark):
+    """Two half-corpus sketches summed cell-wise == the full-corpus
+    sketch (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from hls_stac_parquet_spark.operators.sketches import countmin_build
+
+    df = spark.createDataFrame([(i % 50,) for i in range(2000)], "k long")
+    full = countmin_build(df, "k", depth=3, width=64)
+    # deterministic split: even/odd keys
+    a = df.where(F.col("k") % 2 == 0)
+    b = df.where(F.col("k") % 2 == 1)
+    merged = (
+        countmin_build(a, "k", depth=3, width=64)
+        .unionByName(countmin_build(b, "k", depth=3, width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    want = {(r.d, r.bucket): r.cnt for r in full.collect()}
+    assert got == want
