@@ -150,7 +150,13 @@ def _minhash_sig_bands(
             cols["bands"] = list(h.view(np.int64).tolist())
         return pd.DataFrame(cols)
 
-    tok = df.select(F.col(id_col), token_hashes(text_col).alias("_tok_h"))
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    # a compact corpus file scans as ONE partition — without this the
+    # CPU-heavy signature UDF runs on a single core
+    tok = parallelize_for_udf(df).select(
+        F.col(id_col), token_hashes(text_col).alias("_tok_h")
+    )
     hashed = tok.select(
         F.col(id_col),
         F.array_distinct(shingle_hashes_from("_tok_h", shingle_k)).alias("_h31"),
@@ -269,7 +275,9 @@ def simhash(
         key = ((sums > 0) * masks).sum(axis=1)
         return pd.Series(key)
 
-    hashed = df.select(
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    hashed = parallelize_for_udf(df).select(
         F.col(id_col),
         F.transform(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)

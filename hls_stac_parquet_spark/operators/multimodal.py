@@ -21,6 +21,15 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def _par(df):
+    """Spread media rows across cores before the CPU-heavy Arrow
+    stage — a compact parquet file scans as one partition, which would
+    serialize the whole decode/resample pipeline on one core."""
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    return parallelize_for_udf(df)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -113,7 +122,7 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(gen, _FEATURES_SCHEMA)
+    return _par(media).mapInPandas(gen, _FEATURES_SCHEMA)
 
 
 def sample_frames(
@@ -152,7 +161,7 @@ def sample_frames(
                 }
             )
 
-    return media.mapInPandas(gen, _FRAMES_SCHEMA)
+    return _par(media).mapInPandas(gen, _FRAMES_SCHEMA)
 
 
 _RESIZED_SCHEMA = StructType(
@@ -207,7 +216,7 @@ def resize_images(
                 }
             )
 
-    return media.mapInPandas(gen, _RESIZED_SCHEMA)
+    return _par(media).mapInPandas(gen, _RESIZED_SCHEMA)
 
 
 def resize_raw_images(
@@ -260,7 +269,7 @@ def resize_raw_images(
                 }
             )
 
-    return media.mapInPandas(gen, _RESIZED_SCHEMA)
+    return _par(media).mapInPandas(gen, _RESIZED_SCHEMA)
 
 
 _PCM_STATS_SCHEMA = StructType(
@@ -332,7 +341,7 @@ def pcm_stats(
                 }
             )
 
-    return media.mapInPandas(gen, _PCM_STATS_SCHEMA)
+    return _par(media).mapInPandas(gen, _PCM_STATS_SCHEMA)
 
 
 def resample_pcm(
@@ -379,7 +388,7 @@ def resample_pcm(
                 }
             )
 
-    return media.mapInPandas(gen, _PCM_RESAMPLE_SCHEMA)
+    return _par(media).mapInPandas(gen, _PCM_RESAMPLE_SCHEMA)
 
 
 _PATCH_SCHEMA = StructType(
@@ -453,4 +462,4 @@ def patchify_raw_images(
                 }
             )
 
-    return media.mapInPandas(gen, _PATCH_SCHEMA)
+    return _par(media).mapInPandas(gen, _PATCH_SCHEMA)

@@ -121,7 +121,11 @@ def cosine_topk(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, _TOPK_SCHEMA)
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    return parallelize_for_udf(df.select(id_col, vec_col)).mapInPandas(
+        gen, _TOPK_SCHEMA
+    )
 
 
 def cosine_pairs_above(
@@ -159,7 +163,11 @@ def cosine_pairs_above(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, _PAIRS_SCHEMA)
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    return parallelize_for_udf(df.select(id_col, vec_col)).mapInPandas(
+        gen, _PAIRS_SCHEMA
+    )
 
 
 def _train_spherical_kmeans(
@@ -252,6 +260,9 @@ def ivf_cosine_pairs_above(
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    df = parallelize_for_udf(df)
     corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
     # the probe side ALIASES its columns: both cogroup branches derive
     # from the same df, and Spark's self-cogroup attribute dedup can
@@ -357,6 +368,9 @@ def ivf_cosine_topk(
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    df = parallelize_for_udf(df)
     corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
     # aliased probe columns: see ivf_cosine_pairs_above — self-cogroup
     # attribute dedup can prune shared-lineage columns from the right
@@ -459,7 +473,11 @@ def lsh_cosine_candidates(
 
     from hls_stac_parquet_spark.operators.lsh import bucket_pairs
 
-    sigs = df.select(id_col, vec_col).mapInPandas(sig_gen, sig_schema)
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    sigs = parallelize_for_udf(df.select(id_col, vec_col)).mapInPandas(
+        sig_gen, sig_schema
+    )
     banded = sigs.select(
         "vec_id",
         F.posexplode(

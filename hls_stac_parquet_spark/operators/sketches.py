@@ -122,7 +122,9 @@ def tdigest_quantiles(
         return pd.DataFrame([(*key, *_estimate(m, w, qs))],
                             columns=group_cols + out_names)
 
-    digests = df.select(*group_cols, value_col).mapInPandas(
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    digests = parallelize_for_udf(df.select(*group_cols, value_col)).mapInPandas(
         build, digest_schema
     )
     return digests.groupBy(*group_cols).applyInPandas(merge, out_schema)

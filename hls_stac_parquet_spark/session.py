@@ -61,7 +61,14 @@ def get_spark(
         "spark.sql.execution.pythonUDF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local[...] mode runs driver AND all executor threads in ONE
+        # JVM: an 8g heap on a 128 GiB box forced full-GC storms (6-9 s
+        # pauses randomly landing on bench queries) once the query set
+        # grew past ~180 plans of broadcasts/caches/codegen classes.
+        # 32g + G1 with a 200 ms pause target keeps collections
+        # incremental; on a real cluster these are per-role settings.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
         "spark.ui.enabled": "false",
     }
     if extra_conf:

@@ -66,6 +66,25 @@ def recommended_conf(
     }
 
 
+def parallelize_for_udf(df, min_factor: int = 1):
+    """Ensure a DataFrame has at least ``defaultParallelism ×
+    min_factor`` partitions before an expensive per-row Arrow-UDF
+    stage.
+
+    Scan partitioning follows FILE layout (one small parquet file =
+    ONE partition), so a CPU-heavy pandas-UDF pass over a compact
+    table runs on one core no matter how many sit idle — the sketch
+    pipelines hit exactly this. A round-robin repartition of narrow
+    rows costs one cheap shuffle and unlocks full parallelism; when
+    the input already has enough partitions this is a no-op (no
+    shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def guarded_broadcast(df, max_rows: int, alternative: str):
     """``F.broadcast(df)`` with a row-count guard compiled INTO the
     plan.
