@@ -46,6 +46,26 @@ def main() -> None:
     spark = get_spark("hls-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # host-health probe: a fixed synthetic workload timed before the
+    # query sweep. The shared host's throughput swings >2x over tens
+    # of minutes (measured within round 3); recording a calibration
+    # constant alongside the timings lets per-round bench comparisons
+    # separate code changes from host weather.
+    def host_probe() -> dict:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10**7):
+            x += i
+        py_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+        spark_s = round(time.perf_counter() - t0, 3)
+        return {"py_loop_s": py_s, "spark_range_agg_s": spark_s}
+
+    probe_before = host_probe()
+
     from hls_stac_parquet_spark.queries import REGISTRY
 
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
@@ -104,6 +124,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_DETAIL.json" if not only else "BENCH_DETAIL.partial.json",
     )
+    probe_after = host_probe()
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -112,6 +133,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "host_probe_before": probe_before,
+                "host_probe_after": probe_after,
                 "queries": timings,
             },
             f,
@@ -145,6 +168,10 @@ def main() -> None:
             "queries": {n: timings[n] for n in headline if n in timings},
             "sf": sf_val,
             "n_queries": len(timings),
+            "probe": [
+                probe_before["spark_range_agg_s"],
+                probe_after["spark_range_agg_s"],
+            ],
             "detail": os.path.basename(detail_path),
         }
     )

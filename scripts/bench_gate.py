@@ -55,6 +55,16 @@ def main() -> int:
         new = json.load(f)
 
     oq, nq = old["queries"], new["queries"]
+    # host-weather normalization: when both files carry the fixed
+    # synthetic probe, scale the new timings by the probe ratio
+    # (clamped) so a slow-host run doesn't read as a code regression
+    op = (old.get("host_probe_after") or {}).get("spark_range_agg_s")
+    np_ = (new.get("host_probe_after") or {}).get("spark_range_agg_s")
+    if op and np_:
+        scale = min(2.0, max(0.5, op / np_))
+        if abs(scale - 1.0) > 0.05:
+            print(f"host probe {op:.2f}s -> {np_:.2f}s: scaling new timings x{scale:.2f}")
+        nq = {k: v * scale for k, v in nq.items()}
     shared = sorted(set(oq) & set(nq))
     regressed, improved = [], 0
     for name in shared:
