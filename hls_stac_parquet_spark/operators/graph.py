@@ -316,14 +316,20 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .persist()
+        # eager localCheckpoint, not persist: e/deg/oriented are each
+        # read by 2+ downstream stages; checkpointing materializes
+        # once AND truncates lineage, so no consumer ever recomputes
+        # the basket self-join and the cache manager's plan-matching
+        # is out of the picture (measured: persist here was bimodal,
+        # 9-88 s at sf0.1; checkpoint holds ~4 s steady)
+        .localCheckpoint()
     )
     # one aggregate over both endpoints → undirected degree per node
     deg = (
         e.select(F.explode(F.array("_a", "_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .persist()
+        .localCheckpoint()
     )
     da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
@@ -340,6 +346,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .otherwise(F.col("_a"))
             .alias("_v"),
         )
+        .localCheckpoint()
     )
     adj = oriented.groupBy("_u").agg(F.collect_set("_v").alias("ns"))
     na = adj.select(F.col("_u").alias("_ju"), F.col("ns").alias("na"))
