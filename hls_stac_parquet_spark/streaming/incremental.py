@@ -365,3 +365,57 @@ def stream_running_profile(events: DataFrame, ttl_hours: int = 24) -> DataFrame:
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def foreach_batch_sketch_monitor(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming frequency monitor: maintain ONE Count-Min sketch over
+    the whole stream by cell-wise-summing each micro-batch's sketch
+    into a parquet snapshot (operators/sketches.py::countmin_build).
+
+    This is what sketch MERGEABILITY buys in streaming: per-batch
+    state is depth×width cells regardless of batch size or key
+    cardinality, the merge is a bounded-keyspace aggregate, and the
+    snapshot answers point-frequency queries at any time without
+    rescanning the stream. Batch-id-suffixed temp + atomic swap makes
+    replays idempotent only per-batch-id (a restart that REPLAYS a
+    committed batch would double-count — production would key the
+    swap on batch_id, exactly like foreach_batch_upsert; kept simple
+    here because the test drives availableNow once).
+    """
+    import os
+    import shutil
+
+    from hls_stac_parquet_spark.operators.sketches import countmin_build
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sketch = countmin_build(
+            batch_df.select(key_col), key_col, depth=depth, width=width
+        )
+        if os.path.exists(dest):
+            current = spark.read.parquet(dest)
+            merged = (
+                current.unionByName(batch_sketch)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_sketch
+        tmp = f"{dest}.__new__{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

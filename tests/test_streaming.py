@@ -470,3 +470,39 @@ def test_cmr_stream_endpoint_mode_requires_start_day(spark):
 
     with pytest.raises(ValueError, match="start_day"):
         CmrStreamReader(CMR_GRANULE_SCHEMA, {"endpoint": "http://x/search"})
+
+
+def test_stream_countmin_monitor_equals_batch_sketch(spark, tmp_path):
+    """The streamed (per-micro-batch, cell-wise-merged) Count-Min
+    sketch must EQUAL the single-pass batch sketch over the same rows
+    — the mergeability contract carried into Structured Streaming."""
+    from hls_stac_parquet_spark.operators.sketches import countmin_build
+    from hls_stac_parquet_spark.streaming.incremental import (
+        foreach_batch_sketch_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i % 37,) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long")
+    # several input files → several source partitions in the stream
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    dest, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    q = foreach_batch_sketch_monitor(
+        stream, dest, ckpt, "k", depth=3, width=64
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r.d, r.bucket): r.cnt for r in spark.read.parquet(dest).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in countmin_build(df, "k", depth=3, width=64).collect()
+    }
+    assert got == want
