@@ -490,3 +490,16 @@ def test_guarded_broadcast_refuses_oversized_dim(spark):
         "id",
     )
     assert out.count() == 5
+
+
+def test_parallelize_for_udf_spreads_single_partition(spark):
+    """A 1-partition input fans out to defaultParallelism before an
+    Arrow stage; an already-wide input passes through with no added
+    shuffle."""
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(64)
+    target = spark.sparkContext.defaultParallelism
+    assert parallelize_for_udf(narrow).rdd.getNumPartitions() == target
+    assert parallelize_for_udf(wide) is wide
