@@ -672,3 +672,56 @@ def q_hopping_window(spark, sf_dir):
             F.col("win.start").alias("win_start"), "n_events", "sum_value"
         )
     )
+
+
+@query("q_tdigest_rollup", oracle=None)  # sketch estimate — engine-specific
+def q_tdigest_rollup(spark, sf_dir):
+    """The persist-then-rollup contract exercised end-to-end: per-DAY
+    t-digest rows built from events (group = day), then re-merged
+    ACROSS days into monthly p50/p95 WITHOUT rescanning the fact rows
+    (operators/sketches.py::merge_digest_tables) — the pattern that
+    lets a warehouse keep sketch tables per partition and answer
+    arbitrary-range quantiles later. Rows-only; the merge≡single-pass
+    bound is property-tested in tests/test_sketches.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType, DateType,
+    )
+
+    from hls_stac_parquet_spark.operators.sketches import (
+        _compress,
+        merge_digest_tables,
+    )
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("value"),
+    )
+
+    digest_schema = StructType(
+        [
+            StructField("month", DateType()),
+            StructField("day", DateType()),
+            StructField("means", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(DoubleType())),
+        ]
+    )
+
+    def build(key, pdf):
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return pd.DataFrame(
+                columns=["month", "day", "means", "weights"]
+            )
+        m, w = _compress(vals, np.ones_like(vals), 100)
+        return pd.DataFrame(
+            [(key[0], key[1], list(m), list(w))],
+            columns=["month", "day", "means", "weights"],
+        )
+
+    daily = ev.groupBy("month", "day").applyInPandas(build, digest_schema)
+    return merge_digest_tables(daily, ["month"], [0.5, 0.95], k=100)

@@ -1248,3 +1248,49 @@ def q_cdc_apply(spark, sf_dir):
             F.round("value", 4).alias("final_value"),
         )
     )
+
+
+@query(
+    "q_quantile_bins",
+    oracle=(
+        "WITH bounds AS ("
+        "  SELECT l_returnflag, "
+        "    [quantile_cont(l_extendedprice, 0.25), "
+        "     quantile_cont(l_extendedprice, 0.50), "
+        "     quantile_cont(l_extendedprice, 0.75)] AS bs "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l.l_returnflag, "
+        "  CAST(len(list_filter(b.bs, x -> x < l.l_extendedprice)) AS INT) "
+        "    AS bin, "
+        "  CAST(count(*) AS BIGINT) AS n, "
+        "  round(avg(l.l_extendedprice), 4) AS mean_in_bin "
+        "FROM lineitem l JOIN bounds b USING (l_returnflag) "
+        "GROUP BY 1, 2"
+    ),
+)
+def q_quantile_bins(spark, sf_dir):
+    """Quantile discretization (feature binning): per-group quartile
+    boundaries computed ONCE on the aggregate, broadcast back, and
+    each row assigned bin = #boundaries strictly below its value —
+    the split-then-assign shape that scales where per-row ntile
+    windows (a full sort of the fact table per feature) do not. The
+    same plan serves any bin count and any pre-trained boundary set
+    (e.g. t-digest output at 100 TB; exact percentile here so DuckDB
+    replays it bit-for-bit)."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+        ).alias("bs")
+    )
+    binned = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.size(
+            F.filter("bs", lambda x: x < F.col("l_extendedprice"))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_in_bin"),
+    )
