@@ -503,3 +503,49 @@ def test_parallelize_for_udf_spreads_single_partition(spark):
     target = spark.sparkContext.defaultParallelism
     assert parallelize_for_udf(narrow).rdd.getNumPartitions() == target
     assert parallelize_for_udf(wide) is wide
+
+
+def test_outlier_iqr_broadcasts_fence_dim(spark):
+    """Fences come from a groups-sized aggregate and must broadcast
+    back onto the fact scan — never a sort-merge self-join."""
+    plan = _plan(spark, "q_outlier_iqr")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seq_pairs_joins_aggregate_not_events(spark):
+    """The user-keyed self-join runs over the (user,type) min-ts
+    AGGREGATE — partial aggregation must appear below the join."""
+    plan = _plan(spark, "q_seq_pairs")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hashing_single_agg_no_python(spark):
+    """The hashing-trick vectorizer is explode + one (doc,bucket)
+    aggregate, entirely JVM-side."""
+    plan = _plan(spark, "q_feature_hashing")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_containment_pairs_no_cartesian(spark):
+    """Intersection join is shingle-keyed; nothing degenerates to a
+    cartesian or nested-loop product."""
+    plan = _plan(spark, "q_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_bins_broadcasts_bounds(spark):
+    plan = _plan(spark, "q_quantile_bins")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_single_keyed_window(spark):
+    """Log compaction: exactly one hash exchange (the user key)."""
+    plan = _plan(spark, "q_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
