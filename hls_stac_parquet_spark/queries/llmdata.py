@@ -1927,3 +1927,46 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     return countmin_estimate(sketch, head, "term", depth=4, width=1024).join(
         head, "term"
     ).select("term", "true_count", "est_count")
+
+
+@query("q_logreg_train", oracle=None)  # iterative — numpy-replay tested
+def q_logreg_train(spark, sf_dir):
+    """TRAIN the corpus quality classifier on-cluster (the companion
+    to q_logistic_scorer's inference): full-batch logistic GD where
+    each iteration is ONE codegen'd aggregate of gradient partials
+    (operators/mlfit.py) — d+1 doubles cross the wire per round, the
+    corpus never moves, no Python in the loop. Features are cheap
+    JVM text statistics; the label is is-English (a stand-in for any
+    labeled quality signal). Output: learned weights + training
+    accuracy, 1 row. Rows-only for the driver; exact equality with a
+    pure-numpy GD replay is pinned in tests/test_mlfit.py."""
+    from hls_stac_parquet_spark.operators.mlfit import logreg_fit, logreg_score
+
+    docs = t(spark, sf_dir, "documents").select(
+        (F.size(F.split(F.col("text"), " ")) / 100.0).alias("f_len"),
+        (F.length("text") / F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1)) / 10.0).alias("f_wordlen"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda w: w.isin("the", "a", "of", "and", "to"),
+                )
+            )
+            / F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(1))
+        ).alias("f_stop"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    ).persist()
+    feats = ["f_len", "f_wordlen", "f_stop"]
+    w = logreg_fit(docs, feats, "y", iters=20, lr=0.5)
+    scored = logreg_score(docs, w, feats)
+    acc = scored.select(
+        (
+            (F.col("score") > 0.5).cast("double") == F.col("y")
+        ).cast("double").alias("ok")
+    ).agg(F.round(F.avg("ok"), 4).alias("train_acc"))
+    docs.unpersist()
+    out = spark.createDataFrame(
+        [tuple(round(x, 4) for x in w)],
+        "w_len double, w_wordlen double, w_stop double, intercept double",
+    )
+    return out.join(F.broadcast(acc))
