@@ -99,10 +99,14 @@ def test_no_python_udfs_in_relational_core(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
-def test_cosine_topk_has_no_shuffle(spark):
-    """Broadcast-GEMM similarity: one mapInPandas, zero Exchange."""
+def test_cosine_topk_has_no_key_shuffle(spark):
+    """Broadcast-GEMM similarity: one mapInPandas and no KEY shuffle.
+    The only exchange allowed is the round-robin fan-out that spreads
+    a single-file scan across cores before the GEMM stage
+    (tuning.parallelize_for_udf) — data never partitions by value."""
     plan = _plan(spark, "q_cosine_topk")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
     assert "MapInPandas" in plan
 
 
