@@ -1970,3 +1970,76 @@ def q_logreg_train(spark, sf_dir):
         "w_len double, w_wordlen double, w_stop double, intercept double",
     )
     return out.join(F.broadcast(acc))
+
+
+@query(
+    "q_lang_id_trigram",
+    oracle=(
+        "WITH grams AS ("
+        "  SELECT doc_id, lang, unnest(list_distinct(list_transform("
+        "    range(1, greatest(len(lower(text)) - 1, 1)), "
+        "    i -> substr(lower(text), i, 3)))) AS g "
+        "  FROM documents WHERE len(text) >= 3), "
+        "counts AS ("
+        "  SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g), "
+        "profile AS ("
+        "  SELECT lang AS plang, g FROM ("
+        "    SELECT lang, g, row_number() OVER ("
+        "      PARTITION BY lang ORDER BY c DESC, g) AS rn FROM counts) "
+        "  WHERE rn <= 200), "
+        "scores AS ("
+        "  SELECT gr.doc_id, gr.lang AS actual, p.plang, count(*) AS score "
+        "  FROM grams gr JOIN profile p ON p.g = gr.g "
+        "  GROUP BY 1, 2, 3), "
+        "pred AS ("
+        "  SELECT doc_id, actual, plang AS predicted FROM ("
+        "    SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "      ORDER BY score DESC, plang) AS rn FROM scores) WHERE rn = 1) "
+        "SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY actual, predicted"
+    ),
+)
+def q_lang_id_trigram(spark, sf_dir):
+    """Character-trigram language identification, trained AND applied
+    on-corpus: per-language top-200 trigram profiles (one gram
+    aggregate + per-language top-k), broadcast onto each document's
+    distinct trigrams, prediction = argmax profile-hit count
+    (ties → lang asc), output = the confusion matrix against the gold
+    labels. Upgrades q_lang_id's stopword heuristic to the standard
+    n-gram-profile method (Cavnar–Trenkle), all JVM-side: trigram
+    explode, bounded |langs|×200 profile dim, AQE-broadcast join,
+    min-struct argmax (no per-doc window over fact rows). Full
+    oracle."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    profile = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    scores = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "plang")
+        .agg(F.count("*").alias("score"))
+    )
+    pred = (
+        scores.groupBy("doc_id", "actual")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("plang"))).alias("_m"))
+        .select("doc_id", "actual", F.col("_m.plang").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
