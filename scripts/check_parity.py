@@ -39,6 +39,10 @@ def main() -> int:
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         ap.error(f"unknown queries: {unknown}")
+    if json_out and args.queries and os.path.basename(json_out) == "LOCAL_PARITY.json":
+        # the committed artifact must always be the FULL sweep — a
+        # subset run overwriting it silently shrinks the evidence
+        ap.error("refusing to write LOCAL_PARITY.json from a subset run")
     spark = get_spark("parity-check")
     failed = []
     results: dict[str, dict] = {}
