@@ -2010,7 +2010,15 @@ def q_lang_id_trigram(spark, sf_dir):
     explode, bounded |langs|×200 profile dim, AQE-broadcast join,
     min-struct argmax (no per-doc window over fact rows). Full
     oracle."""
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    # HOF lambdas evaluate interpreted (outside codegen) — spread the
+    # single-file scan across cores before the per-char transform, and
+    # materialize the gram relation once (both the profile build and
+    # the scoring join read it)
+    docs = parallelize_for_udf(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    )
     grams = docs.select(
         "doc_id",
         "lang",
@@ -2022,7 +2030,7 @@ def q_lang_id_trigram(spark, sf_dir):
                 )
             )
         ).alias("g"),
-    )
+    ).localCheckpoint()
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
     profile = (
