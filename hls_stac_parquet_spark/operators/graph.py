@@ -398,11 +398,14 @@ def propagate_labels(
     are driver-sequenced (iterative algorithms are control-plane
     loops over data-plane shuffles, like pagerank above).
     """
+    # persist: every round joins against the SAME symmetrized edge
+    # set — without the cache each round re-runs the union+distinct
+    # shuffle over the raw edges (max_iter× the dominant input scan).
     sym = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).union(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    ).filter(F.col("_s") != F.col("_d")).distinct()
+    ).filter(F.col("_s") != F.col("_d")).distinct().persist()
 
     seed_labels = seeds.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_lbl")
