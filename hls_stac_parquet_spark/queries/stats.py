@@ -1294,3 +1294,197 @@ def q_quantile_bins(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean_in_bin"),
     )
+
+
+@query(
+    "q_point_in_polygon",
+    oracle=(
+        "WITH poly AS ("
+        "  SELECT n_name, "
+        "    (n_nationkey % 5) * 10.0 AS cx, "
+        "    (n_nationkey // 5) * 10.0 AS cy, "
+        "    CAST(3 + (n_nationkey % 3) AS DOUBLE) AS r "
+        "  FROM nation), "
+        "pv AS ("
+        "  SELECT n_name, "
+        "    [cx + 2*r, cx + r, cx - r, cx - 2*r, cx - r, cx + r] AS vx, "
+        "    [cy, cy + 2*r, cy + 2*r, cy, cy - 2*r, cy - 2*r] AS vy "
+        "  FROM poly), "
+        "pts AS ("
+        "  SELECT c_custkey, "
+        "    (c_custkey * 37 % 500) / 10.0 AS x, "
+        "    (c_custkey * 91 % 500) / 10.0 AS y "
+        "  FROM customer) "
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_inside, "
+        "  CAST(min(c_custkey) AS BIGINT) AS min_custkey "
+        "FROM pv, pts "
+        "WHERE list_min(list_transform(range(1, 7), i -> "
+        "  (vx[CAST(i % 6 + 1 AS INT)] - vx[i]) * (y - vy[i]) "
+        "  - (vy[CAST(i % 6 + 1 AS INT)] - vy[i]) * (x - vx[i]))) >= 0 "
+        "GROUP BY n_name"
+    ),
+)
+def q_point_in_polygon(spark, sf_dir):
+    """Grid-blocked point-in-polygon spatial join
+    (operators/spatialjoin.py) — the polygon-containment primitive
+    downstream of the reference's MGRS/bbox/GeoParquet ETL. Nations
+    become convex hexagons (integer-exact vertices, CCW), customers
+    become deterministic points; polygons explode to the bbox-covered
+    grid cells, points hash to ONE cell (so no pair dedup), and the
+    containment verify is a codegen'd cross-product HOF — no UDF, no
+    geometry lib. The oracle replays the identical IEEE arithmetic on
+    the un-blocked quadratic join: blocking must be result-invisible,
+    which is exactly the correctness property worth pinning."""
+    from hls_stac_parquet_spark.operators.spatialjoin import (
+        point_in_polygon_join,
+    )
+
+    n = t(spark, sf_dir, "nation").select(
+        "n_name",
+        ((F.col("n_nationkey") % 5) * 10.0).alias("cx"),
+        (F.floor(F.col("n_nationkey") / 5) * 10.0).alias("cy"),
+        (3 + (F.col("n_nationkey") % 3)).cast("double").alias("r"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    polys = n.select(
+        "n_name",
+        F.array(cx + 2 * r, cx + r, cx - r, cx - 2 * r, cx - r, cx + r).alias("vx"),
+        F.array(cy, cy + 2 * r, cy + 2 * r, cy, cy - 2 * r, cy - 2 * r).alias("vy"),
+    )
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 500) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 500) / 10.0).alias("y"),
+    )
+    joined = point_in_polygon_join(pts, polys, cell_size=10.0)
+    return joined.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_inside"),
+        F.min("c_custkey").cast("bigint").alias("min_custkey"),
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=(
+        "WITH obs_end AS (SELECT max(ts) AS mts FROM events), "
+        "starts AS ("
+        "  SELECT user_id, min(ts) AS s FROM events "
+        "  WHERE event_type = 'signup' GROUP BY user_id), "
+        "deaths AS ("
+        "  SELECT e.user_id, min(e.ts) AS d FROM events e "
+        "  JOIN starts st ON e.user_id = st.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.ts >= st.s "
+        "  GROUP BY e.user_id), "
+        "durs AS ("
+        "  SELECT st.user_id % 3 AS cohort, "
+        "    date_diff('day', CAST(st.s AS DATE), "
+        "      CAST(coalesce(d.d, o.mts) AS DATE)) AS dur, "
+        "    CASE WHEN d.d IS NULL THEN 0 ELSE 1 END AS died "
+        "  FROM starts st LEFT JOIN deaths d ON st.user_id = d.user_id, "
+        "    obs_end o), "
+        "tab AS ("
+        "  SELECT cohort, dur, "
+        "    CAST(sum(died) AS BIGINT) AS d, "
+        "    CAST(count(*) AS BIGINT) AS removed "
+        "  FROM durs GROUP BY cohort, dur), "
+        "risk AS ("
+        "  SELECT cohort, dur, d, "
+        "    sum(removed) OVER (PARTITION BY cohort ORDER BY dur "
+        "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n "
+        "  FROM tab) "
+        "SELECT cohort, CAST(dur AS BIGINT) AS dur, d, n, "
+        "  CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER "
+        "    (PARTITION BY cohort ORDER BY dur) = 1 THEN 0.0 "
+        "  ELSE round(exp(coalesce(sum(CASE WHEN d < n AND d > 0 "
+        "    THEN ln(1 - d * 1.0 / n) END) OVER "
+        "    (PARTITION BY cohort ORDER BY dur), 0.0)), 6) END AS survival "
+        "FROM risk"
+    ),
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival estimator per cohort — time from signup
+    to first purchase, users with no purchase right-censored at the
+    end of observation. The workhorse of retention/churn duration
+    analysis, and a shape Spark has no builtin for.
+
+    Scale plan: the fact table reduces to ONE user-level duration row
+    each (two keyed min-aggregates + a left join), then to a
+    (cohort, duration)-level life table — every window after that
+    runs over the life table (|distinct durations| rows per cohort),
+    never over events. At-risk counts come from a reversed cumulative
+    sum (no self-join); the survival product is exp∘cumsum∘ln with
+    the d=n absorbing-zero case handled by an explicit cummax flag —
+    the identical float recipe the oracle replays, so the hash check
+    is exact. Windows are all cohort-partitioned: no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    obs_end = ev.agg(F.max("ts").alias("mts"))
+    starts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    deaths = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(starts, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("d"))
+    )
+    durs = (
+        starts.join(deaths, "user_id", "left")
+        .join(F.broadcast(obs_end))
+        .select(
+            (F.col("user_id") % 3).alias("cohort"),
+            F.datediff(
+                F.coalesce("d", "mts").cast("date"), F.col("s").cast("date")
+            ).alias("dur"),
+            F.col("d").isNotNull().cast("int").alias("died"),
+        )
+    )
+    tab = durs.groupBy("cohort", "dur").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("removed"),
+    )
+    w_rev = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tab.withColumn("n", F.sum("removed").over(w_rev))
+    return risk.select(
+        "cohort",
+        F.col("dur").cast("bigint").alias("dur"),
+        "d",
+        "n",
+        F.when(
+            F.max(
+                F.when(F.col("d") == F.col("n"), 1).otherwise(0)
+            ).over(w_cum)
+            == 1,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                (F.col("d") < F.col("n")) & (F.col("d") > 0),
+                                F.log(1 - F.col("d") / F.col("n")),
+                            )
+                        ).over(w_cum),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    )

@@ -582,3 +582,23 @@ def test_bitmap_distinct_shuffles_words_not_values(spark):
     plan = _plan(spark, "q_bitmap_distinct")
     assert "bit_or" in plan and "bit_count" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+
+
+def test_point_in_polygon_is_blocked_equi_join(spark):
+    """The spatial join must be an equi-join on grid-cell keys —
+    never a cartesian/nested-loop over points × polygons."""
+    plan = _plan(spark, "q_point_in_polygon")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_gx" in plan and "_gy" in plan  # cell keys drive the join
+
+
+def test_kaplan_meier_windows_are_cohort_partitioned(spark):
+    """Life-table windows run partitioned by cohort over the
+    aggregate — no unpartitioned global-sort window."""
+    import re
+
+    plan = _analyzed(spark, "q_kaplan_meier")
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): m.start() + 400]
+        assert "cohort" in seg, seg[:200]
