@@ -32,28 +32,16 @@ def q_percentile(spark, sf_dir):
     values cannot change the result (the multiset at any rank is the
     same). The approx path at scale is percentile_approx / t-digest;
     this is the exact oracle-checked form."""
-    from pyspark.sql.window import Window
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
 
     li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    n = Window.partitionBy("l_returnflag")
-    d = (
-        li.select("l_returnflag", "l_extendedprice")
-        .withColumn("rn", F.row_number().over(w) - 1)
-        .withColumn("cnt", F.count("*").over(n))
+    q = grouped_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95], ["_p50", "_p95"]
     )
-
-    def quant(p, alias):
-        pos = (F.col("cnt") - 1) * p
-        lo = F.floor(pos)
-        frac = pos - lo
-        contrib = F.when(
-            F.col("rn") == lo, F.col("l_extendedprice") * (1 - frac)
-        ).when(F.col("rn") == lo + 1, F.col("l_extendedprice") * frac)
-        return F.round(F.sum(contrib), 6).alias(alias)
-
-    return d.groupBy("l_returnflag").agg(
-        quant(F.lit(0.5), "p50"), quant(F.lit(0.95), "p95")
+    return q.select(
+        "l_returnflag",
+        F.round("_p50", 6).alias("p50"),
+        F.round("_p95", 6).alias("p95"),
     )
 
 

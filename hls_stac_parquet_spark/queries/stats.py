@@ -1140,10 +1140,11 @@ def q_outlier_iqr(spark, sf_dir):
     the fence dim is groups-sized regardless of fact cardinality.
     Spark `percentile` ≡ DuckDB `quantile_cont` (both exact
     interpolated)."""
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    fences = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("_q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("_q3"),
+    fences = grouped_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.75], ["_q1", "_q3"]
     )
     iqr = F.col("_q3") - F.col("_q1")
     return (
@@ -1277,11 +1278,14 @@ def q_quantile_bins(spark, sf_dir):
     same plan serves any bin count and any pre-trained boundary set
     (e.g. t-digest output at 100 TB; exact percentile here so DuckDB
     replays it bit-for-bit)."""
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
-        ).alias("bs")
+    bounds = grouped_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [0.25, 0.50, 0.75], ["_b1", "_b2", "_b3"],
+    ).select(
+        "l_returnflag", F.array("_b1", "_b2", "_b3").alias("bs")
     )
     binned = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
