@@ -209,24 +209,11 @@ def q_tdigest_quantiles(spark, sf_dir):
 
 
 def _exact_median(df, group_col, val_col, out_name):
-    """Per-group exact interpolated median via the same sort-based
-    window scheme as q_percentile (no value-map aggregate buffer)."""
-    from pyspark.sql.window import Window
+    """Per-group exact interpolated median — the shared sort-based
+    kernel (operators/quantiles.py; no value-map aggregate buffer)."""
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
 
-    w = Window.partitionBy(group_col).orderBy(val_col)
-    n = Window.partitionBy(group_col)
-    d = (
-        df.select(group_col, val_col)
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_cnt", F.count("*").over(n))
-    )
-    pos = (F.col("_cnt") - 1) * 0.5
-    lo = F.floor(pos)
-    frac = pos - lo
-    contrib = F.when(F.col("_rn") == lo, F.col(val_col) * (1 - frac)).when(
-        F.col("_rn") == lo + 1, F.col(val_col) * frac
-    )
-    return d.groupBy(group_col).agg(F.sum(contrib).alias(out_name))
+    return grouped_quantiles(df, [group_col], val_col, [0.5], [out_name])
 
 
 @query(
