@@ -13,7 +13,7 @@ Plan shape, and why it scales:
 
 1. build — dim keys → k hashed bit positions → ``(word, bit_or)``
    aggregate (≤ m/64 rows move) → ONE row holding the bitset as a
-   ``map<long,long>``.
+   dense ``array<long>`` (see ``_bloom_row`` on why not a map).
 2. probe — the 1-row bloom broadcast-cross-joined onto the fact
    (the repo's scalar-dim pattern); the k membership tests are pure
    JVM expressions inside whole-stage codegen. The FULL fact is
@@ -24,9 +24,10 @@ Plan shape, and why it scales:
    shuffle — at high selectivity that is the difference between
    shuffling 100 TB and shuffling 100 GB.
 
-Reference parity note: the reference engine's skip-existing scan
-(hls_stac_parquet/sync.py: anti-join against already-written items)
-is the same shape with the polarity flipped; `bloom_anti_join`
+Reference parity note: the reference engine's skip-existing gate
+(hls_stac_parquet/links.py:100-102 `_check_exists` probe before
+processing, toggled by handler.py:109 `skip_existing`) is the same
+shape with the polarity flipped; `bloom_anti_join`
 covers that case (bloom-MISS rows are definitely new — no verify
 needed for them; only bloom-hit rows join to confirm).
 """

@@ -794,7 +794,7 @@ def q_bloom_semi_join(spark, sf_dir):
 )
 def q_bloom_anti_join(spark, sf_dir):
     """The skip-existing ingest gate at scale (reference
-    hls_stac_parquet/sync.py skip-existing anti-join, bloom tier):
+    hls_stac_parquet/links.py:100-102 `_check_exists` probe, bloom tier):
     bloom-miss rows are provably new and bypass the join; only
     bloom-hit rows (a fraction governed by fpp + true-match rate)
     anti-join against the real key set. Exact — see
