@@ -118,10 +118,20 @@ def bow_fingerprint(text: Column | str) -> Column:
     distinct word set (bag-of-words). Word-shuffled copies of a
     document collide where byte-exact fingerprints don't — the
     lightweight tier between exact dedup and MinHash. Same
-    32-char-key shuffle economics as doc_fingerprint."""
+    32-char-key shuffle economics as doc_fingerprint.
+
+    NULL text fingerprints as the EMPTY document (coalesce before
+    split) — declared, not accidental: concat_ws would silently
+    NULL→'' on this side anyway while md5(NULL) stays NULL in SQL
+    engines, and a dedup key must never fork on that difference."""
     return F.md5(
         F.concat_ws(
-            " ", F.sort_array(F.array_distinct(F.split(F.lower(_col(text)), " ")))
+            " ",
+            F.sort_array(
+                F.array_distinct(
+                    F.split(F.lower(F.coalesce(_col(text), F.lit(""))), " ")
+                )
+            ),
         )
     )
 

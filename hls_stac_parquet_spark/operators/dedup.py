@@ -279,8 +279,14 @@ def simhash(
 
     hashed = parallelize_for_udf(df).select(
         F.col(id_col),
-        F.transform(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        # coalesce: NULL text → empty token list → simhash 0, same as
+        # an empty document (a None row would TypeError inside fold)
+        F.coalesce(
+            F.transform(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: F.xxhash64(t),
+            ),
+            F.expr("CAST(array() AS array<bigint>)"),
         ).alias("_hashes"),
     )
     return hashed.select(F.col(id_col), fold("_hashes").alias("simhash"))

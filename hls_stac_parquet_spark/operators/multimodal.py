@@ -70,6 +70,21 @@ _FRAMES_SCHEMA = StructType(
 )
 
 
+
+def _as_bytes(payload) -> bytes:
+    """NULL-safe payload coercion: a NULL binary cell arrives as None
+    (or pandas NA) and must behave as an empty payload — a malformed
+    row can never be allowed to kill a 100 TB decode stage."""
+    if payload is None or payload is pd.NA:
+        return b""
+    if isinstance(payload, (bytes, bytearray)):
+        return bytes(payload)
+    try:
+        return bytes(payload)
+    except TypeError:
+        return b""
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """The real decode seam. PIL/opencv are not available in this
     environment — a deployment implements this and deletes the
@@ -109,10 +124,7 @@ def extract_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                p if isinstance(p, (bytes, bytearray)) else bytes(p)
-                for p in pdf[bytes_col]
-            ]
+            payloads = [_as_bytes(p) for p in pdf[bytes_col]]
             feats = [deterministic_feature(p) for p in payloads]
             yield pd.DataFrame(
                 {
@@ -144,10 +156,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, lens, feats = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = (
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                payload = _as_bytes(payload)
                 n_frames = min(max(len(payload) // every_n_bytes, 1), max_frames)
                 for i in range(n_frames):
                     chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
@@ -200,10 +209,7 @@ def resize_images(
         for pdf in batches:
             out = []
             for payload in pdf[bytes_col]:
-                payload = (
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                payload = _as_bytes(payload)
                 h = hashlib.sha256(payload)
                 raw = b""
                 while len(raw) < n_out:
@@ -254,10 +260,7 @@ def resize_raw_images(
         for pdf in batches:
             out = []
             for payload in pdf[bytes_col]:
-                payload = (
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                payload = _as_bytes(payload)
                 buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
                 if len(buf) < n_src:
                     buf = np.pad(buf, (0, n_src - len(buf)))
@@ -318,10 +321,7 @@ def pcm_stats(
         for pdf in batches:
             ids, ns, rms, peak, zcr = [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                x = _pcm_to_float(
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                x = _pcm_to_float(_as_bytes(payload))
                 ids.append(mid)
                 ns.append(len(x))
                 if len(x) == 0:
@@ -366,10 +366,7 @@ def resample_pcm(
         for pdf in batches:
             ids, ns, outs = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                x = _pcm_to_float(
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                x = _pcm_to_float(_as_bytes(payload))
                 n_out = int(round(len(x) * dst_rate / src_rate))
                 if len(x) < 2 or n_out == 0:
                     y = np.zeros(0)
@@ -437,10 +434,7 @@ def patchify_raw_images(
         for pdf in batches:
             ids, prs, pcs, bufs = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = (
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                payload = _as_bytes(payload)
                 buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
                 if len(buf) < n_src:
                     buf = np.pad(buf, (0, n_src - len(buf)))
@@ -544,10 +538,7 @@ def stft_features(
         for pdf in batches:
             ids, nf, ce, bw, ro, fl = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                x = _pcm_to_float(
-                    payload if isinstance(payload, (bytes, bytearray))
-                    else bytes(payload)
-                )
+                x = _pcm_to_float(_as_bytes(payload))
                 n, c, b, r, f = _clip_feats(x)
                 ids.append(mid); nf.append(n); ce.append(c)
                 bw.append(b); ro.append(r); fl.append(f)

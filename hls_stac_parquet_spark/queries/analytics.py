@@ -385,10 +385,10 @@ def q_bigram_lm(spark, sf_dir):
     oracle=(
         "WITH p AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'purchase'), "
+        "  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), "
         "r AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'error') "
+        "  FROM events WHERE event_type = 'error' AND value IS NOT NULL) "
         "SELECT p.user_id, p.event_id AS purchase_id, "
         "  r.event_id AS error_id, "
         "  CAST(date_diff('microsecond', greatest(p.s, r.s), "
@@ -420,7 +420,12 @@ def q_interval_overlap_join(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
 
     def windows(etype):
-        return ev.filter(F.col("event_type") == etype).select(
+        # NULL duration = malformed interval: excluded EXPLICITLY on
+        # both engines (Spark's grid explode would silently drop it;
+        # DuckDB's NULL-skipping least() would treat it as infinite)
+        return ev.filter(
+            (F.col("event_type") == etype) & F.col("value").isNotNull()
+        ).select(
             "user_id",
             "event_id",
             F.col("ts").alias("s"),

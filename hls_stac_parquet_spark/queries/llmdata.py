@@ -1249,8 +1249,10 @@ def q_pcm_audio_pipeline(spark, sf_dir):
 # --- round 2: repetition signals, incremental dedup, leakage-safe split ----
 
 _BOW_FP_SQL = (
+    # coalesce: NULL text fingerprints as the EMPTY document, matching
+    # functions/text.py::bow_fingerprint's declared semantics
     "md5(array_to_string(list_sort(list_distinct("
-    "string_split(lower(text), ' '))), ' '))"
+    "string_split(lower(coalesce(text, '')), ' '))), ' '))"
 )
 
 
@@ -1258,7 +1260,7 @@ _BOW_FP_SQL = (
     "q_doc_repetition",
     oracle=(
         "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
-        "AS word FROM documents), "
+        "AS word FROM documents WHERE text IS NOT NULL), "
         "counts AS (SELECT doc_id, word, count(*) AS n FROM words "
         "GROUP BY doc_id, word) "
         "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, "
@@ -1284,6 +1286,10 @@ def q_doc_repetition(spark, sf_dir):
 
     toks = (
         t(spark, sf_dir, "documents")
+        # NULL text carries no repetition signal (metrics would be
+        # 0/0) — excluded EXPLICITLY; the oracle's unnest would drop
+        # those docs silently while this side would emit NULL rows
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.sort_array(F.split(F.lower("text"), " ")).alias("ts"))
     )
     max_run = max_sorted_run("ts")
@@ -1979,7 +1985,7 @@ def q_logreg_train(spark, sf_dir):
         "  SELECT doc_id, lang, unnest(list_distinct(list_transform("
         "    range(1, greatest(len(lower(text)) - 1, 1)), "
         "    i -> substr(lower(text), i, 3)))) AS g "
-        "  FROM documents WHERE len(text) >= 3), "
+        "  FROM documents WHERE len(text) >= 3 AND lang IS NOT NULL), "
         "counts AS ("
         "  SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g), "
         "profile AS ("
@@ -2016,8 +2022,14 @@ def q_lang_id_trigram(spark, sf_dir):
     # single-file scan across cores before the per-char transform, and
     # materialize the gram relation once (both the profile build and
     # the scoring join read it)
+    # lang IS NOT NULL: an unlabeled doc can neither train a profile
+    # nor score a confusion-matrix row, and NULL tie-ordering in the
+    # argmax diverges across engines (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST) — excluded explicitly on both sides
     docs = parallelize_for_udf(
-        t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+        t(spark, sf_dir, "documents").filter(
+            F.col("lang").isNotNull() & (F.length("text") >= 3)
+        )
     )
     grams = docs.select(
         "doc_id",
@@ -2056,9 +2068,11 @@ def q_lang_id_trigram(spark, sf_dir):
 @query(
     "q_video_frame_sample",
     oracle=(
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text "
+        "  FROM documents) "
         "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
         "  CAST(least(64, strlen(text) - i * 64) AS INT) AS frame_len "
-        "FROM documents, "
+        "FROM d, "
         "  unnest(range(least(greatest(strlen(text) // 64, 1), 8))) AS u(i)"
     ),
 )

@@ -112,7 +112,9 @@ def q_regexp_extract(spark, sf_dir):
         "substring(text, 1, 10) AS prefix10, "
         "starts_with(text, 'key') AS starts_key, "
         "ends_with(source, '0') AS ends_zero, "
-        "concat(lang, '/', source) AS lang_source "
+        "lang || '/' || source AS lang_source "  # `||` not concat():
+        # DuckDB concat() skips NULL args where Spark's (and ANSI ||)
+        # propagate — the engine declares NULL-propagating semantics
         "FROM documents"
     ),
 )
@@ -1810,5 +1812,10 @@ def q_variant_json(spark, sf_dir):
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_val"),
-        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
+        # NULL props → NULL validity (unknown), matching json_valid:
+        # `try_parse_json(NULL) IS NOT NULL` alone would say false
+        F.expr(
+            "CASE WHEN props IS NULL THEN NULL"
+            " ELSE try_parse_json(props) IS NOT NULL END"
+        ).alias("is_valid"),
     )

@@ -1,0 +1,87 @@
+"""Dirty-data parity: the oracle sweep re-run on a NULL-injected
+copy of the tables.
+
+100 TB corpora contain NULLs; clean synthetic data masks divergent
+NULL semantics between engines (DuckDB concat() skips NULLs where
+Spark propagates, NULLS FIRST/LAST tie-ordering, concat_ws silently
+NULL→''-ing dedup keys, UDFs crashing on None payloads). Each query
+below failed the first NULL-fuzz sweep and was fixed by DECLARING a
+NULL semantic on both engine sides; this test pins those semantics
+against a deterministic ~5% NULL injection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from hls_stac_parquet_spark.testing import check_query
+from tests.conftest import SF0001
+
+# every query that failed the first NULL-fuzz sweep (see
+# ROUND3_NOTES.md), plus exact dedup as the NULL-key control
+FUZZ_QUERIES = [
+    "q_dedup_incremental",
+    "q_doc_repetition",
+    "q_interval_overlap_join",
+    "q_lang_id_trigram",
+    "q_patchify_images",
+    "q_pcm_audio_pipeline",
+    "q_resize_raw_images",
+    "q_simhash_dedup",
+    "q_spectrogram_features",
+    "q_string_funcs",
+    "q_train_test_split",
+    "q_variant_json",
+    "q_video_frame_sample",
+    "q_dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("nullfuzz"))
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT doc_id,
+          CASE WHEN doc_id % 19 = 3 THEN NULL ELSE text END AS text,
+          CASE WHEN doc_id % 23 = 5 THEN NULL ELSE lang END AS lang,
+          source, n_chars
+         FROM read_parquet('{SF0001}/documents.parquet'))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+          CASE WHEN event_id % 17 = 2 THEN NULL ELSE value END AS value,
+          CASE WHEN event_id % 13 = 7 THEN NULL ELSE props END AS props
+         FROM read_parquet('{SF0001}/events.parquet'))
+        TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{tbl}.parquet')) "
+            f"TO '{out}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_parity_on_null_fuzzed_data(spark, fuzz_dir, name):
+    r = check_query(spark, fuzz_dir, name)
+    assert r.match, f"{name}: {r.detail}"
+
+
+def test_fuzz_dir_actually_has_nulls(fuzz_dir):
+    con = duckdb.connect()
+    n_text, n_lang = con.execute(
+        "SELECT count(*) FILTER (WHERE text IS NULL), "
+        "count(*) FILTER (WHERE lang IS NULL) "
+        f"FROM read_parquet('{fuzz_dir}/documents.parquet')"
+    ).fetchone()
+    n_val, n_props = con.execute(
+        "SELECT count(*) FILTER (WHERE value IS NULL), "
+        "count(*) FILTER (WHERE props IS NULL) "
+        f"FROM read_parquet('{fuzz_dir}/events.parquet')"
+    ).fetchone()
+    assert min(n_text, n_lang, n_val, n_props) > 0
