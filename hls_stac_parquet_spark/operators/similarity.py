@@ -68,6 +68,8 @@ def _collect_matrix(
             "raise the cap explicitly"
         )
     pdf = df.select(id_col, vec_col).toPandas()
+    if len(pdf) == 0:  # empty corpus: a valid (if degenerate) input
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 1)), np.zeros(0)
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(mat, axis=1)
@@ -96,6 +98,8 @@ def cosine_topk(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r_ids, r_mat, r_norms = bc.value
         for pdf in batches:
+            if not len(pdf):  # empty partitions are routine at scale
+                continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             q_norms = np.linalg.norm(q_mat, axis=1)
@@ -145,6 +149,8 @@ def cosine_pairs_above(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r_ids, r_mat, r_norms = bc.value
         for pdf in batches:
+            if not len(pdf):  # empty partitions are routine at scale
+                continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             q_norms = np.linalg.norm(q_mat, axis=1)
@@ -190,6 +196,8 @@ def _train_spherical_kmeans(
         .limit(train_sample)
         .toPandas()
     )
+    if len(sample) == 0:  # empty corpus: nothing to quantize
+        return None
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     xn = np.linalg.norm(X, axis=1)
     xn[xn == 0] = 1.0
@@ -239,11 +247,15 @@ def ivf_cosine_pairs_above(
     centers = _train_spherical_kmeans(
         df, id_col, vec_col, n_clusters, seed, train_sample, lloyd_iters
     )
+    if centers is None:  # empty corpus -> no pairs
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
     bc_centers = spark.sparkContext.broadcast(centers)
 
     from pyspark.sql.types import ArrayType
 
     def _unit_rows(pdf_col) -> "np.ndarray":
+        if len(pdf_col) == 0:
+            return np.zeros((0, bc_centers.value.shape[1]))
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -347,11 +359,21 @@ def ivf_cosine_topk(
     centers = _train_spherical_kmeans(
         df, id_col, vec_col, n_clusters, seed, train_sample, lloyd_iters
     )
+    if centers is None:  # empty corpus -> no neighbors
+        from pyspark.sql.types import IntegerType as _I
+        return spark.createDataFrame([], StructType([
+            StructField("vec_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("rnk", _I()),
+        ]))
     bc_centers = spark.sparkContext.broadcast(centers)
 
     from pyspark.sql.types import ArrayType
 
     def _unit_rows(pdf_col) -> "np.ndarray":
+        if len(pdf_col) == 0:
+            return np.zeros((0, bc_centers.value.shape[1]))
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -462,6 +484,8 @@ def lsh_cosine_candidates(
     def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         H = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             bits = (mat @ H) > 0
             sig = np.zeros(len(pdf), dtype=np.int64)
@@ -518,6 +542,8 @@ def pq_train_codebooks(
         .limit(train_sample)
         .toPandas()
     )
+    if len(sample) == 0:  # empty corpus: nothing to quantize
+        return None
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     xn = np.linalg.norm(X, axis=1)
     xn[xn == 0] = 1.0
@@ -558,10 +584,16 @@ def pq_encode(
     from pyspark.sql.types import ArrayType, IntegerType as _Int
 
     spark = df.sparkSession
+    if books is None:  # trained on an empty corpus -> nothing to code
+        return df.select(
+            id_col, F.expr("CAST(NULL AS array<int>)").alias("pq_codes")
+        ).limit(0)
     bc = spark.sparkContext.broadcast(books)
 
     @F.pandas_udf(ArrayType(_Int()))
     def encode(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
         B = bc.value
         m, _, d_sub = B.shape
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
@@ -602,6 +634,15 @@ def pq_topk_adc(
         StructType as _ST,
     )
 
+    if books is None or len(queries) == 0:
+        from pyspark.sql.types import IntegerType as _I
+        spark = codes_df.sparkSession
+        return spark.createDataFrame([], _ST([
+            _SF("query_id", _Long()),
+            _SF("neighbor_id", _Long()),
+            _SF("approx_dist", _Dbl()),
+            _SF("rnk", _I()),
+        ]))
     m, n_codes, d_sub = books.shape
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in queries["vector"]])
     qn = np.linalg.norm(qmat, axis=1)
@@ -634,6 +675,8 @@ def pq_topk_adc(
         nq, mm, _ = T.shape
         sub = np.arange(mm)
         for pdf in batches:
+            if not len(pdf):
+                continue
             C = np.stack(pdf["pq_codes"].to_numpy())  # (n, m)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             # gather: dist[q, i] = Σ_s T[q, s, C[i, s]]

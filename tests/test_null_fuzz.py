@@ -85,3 +85,54 @@ def test_fuzz_dir_actually_has_nulls(fuzz_dir):
         f"FROM read_parquet('{fuzz_dir}/events.parquet')"
     ).fetchone()
     assert min(n_text, n_lang, n_val, n_props) > 0
+
+
+# ---- empty-table robustness --------------------------------------------
+# Empty partitions/tables are routine at scale (a fresh day partition, a
+# filter that matches nothing). First sweep found np.stack([]) crashes in
+# every embedding operator; now guarded. Three DECLARED divergences stay:
+# q_cube / q_grouping_sets (ANSI says the () grouping set emits one
+# grand-total row over empty input — DuckDB does, Spark's rollup/cube
+# emit zero rows) and q_logreg_train (training on an empty corpus raises
+# an explicit, named error rather than returning junk weights).
+
+EMPTY_OK_QUERIES = [
+    "q_cosine_pairs",
+    "q_cosine_topk",
+    "q_embedding_dedup",
+    "q_label_propagation",
+    "q_semantic_dedup_blocked",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_pq_ann",
+    "q_minhash_dedup",
+    "q_dedup_exact",
+    "q_hash_agg",
+    "q_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("emptytables"))
+    con = duckdb.connect()
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{tbl}.parquet') "
+            f"WHERE 1=0) TO '{out}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", EMPTY_OK_QUERIES)
+def test_parity_on_empty_tables(spark, empty_dir, name):
+    r = check_query(spark, empty_dir, name)
+    assert r.match, f"{name}: {r.detail}"
+
+
+def test_logreg_train_raises_named_error_on_empty(spark, empty_dir):
+    from hls_stac_parquet_spark.queries import REGISTRY
+
+    with pytest.raises(Exception, match="empty input"):
+        REGISTRY["q_logreg_train"].fn(spark, empty_dir).collect()
