@@ -449,3 +449,116 @@ def propagate_labels(
         F.col("_seed").alias("is_seed"),
     )
     return out
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Coreness (k-core number) of every node via the h-index
+    iteration (Lü et al., "The H-index of a network node and its
+    relation to degree and coreness", Nat. Commun. 2016): initialize
+    c(v) = deg(v), then repeatedly set c(v) to the H-index of its
+    neighbors' current values; the fixpoint IS the core number. The
+    classic sequential peeling algorithm is inherently serial (remove
+    the global min-degree node, repeat); the h-index form is a
+    synchronous per-node update — exactly a Pregel round — which is
+    what makes k-core computable as shuffles.
+
+    Returns ``(node, core)`` for every edge endpoint. Deterministic
+    and partition-independent (pure function of the graph). Raises
+    ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint
+    (convergence takes at most O(max coreness) rounds in practice;
+    pathological chains converge in O(diameter)).
+
+    Scale shape, per round: one edges⋈values join (neighbor values),
+    one values join (own cap), one (node, value) COUNT aggregate —
+    map-side partial — and one per-node fold over the (value, count)
+    histogram. Neighbor values are CLIPPED at the node's own current
+    estimate before counting: exact (the h-index never exceeds the
+    previous round's value, and clipping at cap ≥ h changes no
+    count at thresholds ≤ h) and it collapses the histogram keyspace.
+    The per-node histogram is bounded by the number of DISTINCT
+    clipped values ≤ O(√|E|) even in round 1 (a graph has at most
+    2√|E| distinct degree values, since k distinct degrees require
+    Σdeg ≥ k(k+1)/2) — the same hub bound as the degree-oriented
+    triangle count; no task ever materializes a hub's raw
+    neighborhood. Values are localCheckpoint-ed each round (each
+    round reads the previous values twice; without truncation the
+    plan doubles per round and the driver dies optimizing it long
+    before data size matters).
+    """
+    sym = (
+        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_nb"))
+        .union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_nb")))
+        .filter(F.col("_n") != F.col("_nb"))
+        .distinct()
+        .persist()
+    )
+    cur = (
+        sym.groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .localCheckpoint()
+    )
+
+    # h-index of a (value, count) histogram sorted by value DESC:
+    # running cum = #values ≥ v; the answer is max over entries of
+    # min(v, cum). Pure fold — no second pass, no UDF.
+    def _hindex(hist_col):
+        return F.aggregate(
+            F.sort_array(hist_col, asc=False),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                (acc.cum + x.cnt).alias("cum"),
+                F.greatest(
+                    acc.best, F.least(x.v, acc.cum + x.cnt)
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        nbvals = sym.join(
+            cur.select(F.col("_n").alias("_nb"), F.col("_c").alias("_nbc")),
+            "_nb",
+        ).select("_n", "_nbc")
+        clipped = nbvals.join(cur, "_n").select(
+            "_n", F.least("_nbc", "_c").alias("_v")
+        )
+        hist = clipped.groupBy("_n", "_v").agg(
+            F.count("*").cast("long").alias("_cnt")
+        )
+        # the changed flag rides the SAME materialization job as the
+        # checkpoint (old value joined in before truncation), so the
+        # convergence probe is a filter over checkpointed rows, not a
+        # second join job per round
+        new_cur = (
+            hist.groupBy("_n")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("_v").alias("v"), F.col("_cnt").alias("cnt"))
+                ).alias("_h")
+            )
+            .select("_n", _hindex(F.col("_h")).alias("_c"))
+            .join(cur.select("_n", F.col("_c").alias("_old")), "_n")
+            .select("_n", "_c", (F.col("_c") != F.col("_old")).alias("_chg"))
+            .localCheckpoint()
+        )
+        changed = new_cur.filter("_chg").limit(1).count()
+        cur = new_cur.select("_n", "_c")
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"core_numbers did not converge within max_iter={max_iter} "
+            "h-index rounds; raise max_iter"
+        )
+    return cur.select(F.col("_n").alias("node"), F.col("_c").alias("core"))

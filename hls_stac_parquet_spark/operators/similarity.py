@@ -702,3 +702,72 @@ def pq_topk_adc(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    seed: int = 42,
+    train_sample: int = 10000,
+    lloyd_iters: int = 8,
+) -> DataFrame:
+    """Spherical k-means cluster assignment: ``(id, cluster, cosine)``
+    for every vector, under centroids trained on a bounded
+    deterministic sample (:func:`_train_spherical_kmeans` — the same
+    trainer the IVF index uses, exposed as a first-class clustering
+    operator for corpus topic bucketing / diversity sampling).
+
+    Scale shape: training touches only ``train_sample`` rows
+    (takeOrdered, constant as the corpus grows); assignment is one
+    broadcast of the (k × d) centroid matrix and one numpy GEMM per
+    Arrow batch — no shuffle, the corpus never moves. Deterministic
+    given ``seed``; assignment correctness (argmax cosine against the
+    trained centers) is replayed in numpy in
+    tests/test_similarity.py.
+    """
+    spark = df.sparkSession
+    centers = _train_spherical_kmeans(
+        df, id_col, vec_col, n_clusters, seed, train_sample, lloyd_iters
+    )
+    out_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    if centers is None:  # empty corpus: nothing to cluster
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(id_col, LongType())] + list(out_schema.fields)
+            ),
+        )
+    bc = spark.sparkContext.broadcast(centers)
+
+    @F.pandas_udf(out_schema)
+    def assign(col: pd.Series) -> pd.DataFrame:
+        C = bc.value
+        if len(col) == 0:
+            return pd.DataFrame({"cluster": [], "cosine": []}).astype(
+                {"cluster": np.int32, "cosine": np.float64}
+            )
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ C.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "cosine": np.round(sims[np.arange(len(best)), best], 6),
+            }
+        )
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    keyed = parallelize_for_udf(df.select(id_col, vec_col))
+    return keyed.select(
+        id_col, assign(vec_col).alias("_a")
+    ).select(id_col, "_a.cluster", "_a.cosine")

@@ -864,6 +864,42 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+@query("q_kcore", oracle=None)  # iterative — peeling-replay tested
+def q_kcore(spark, sf_dir):
+    """K-core decomposition of the embedding similarity graph (same
+    edges as q_label_propagation): per-node core numbers via the
+    h-index iteration (operators/graph.py::core_numbers — Lü et al.
+    2016: c(v) ← H-index of neighbors' values converges to coreness),
+    reported as the coreness distribution — the graph-density ladder
+    used for community pruning, influence seeding, and spotting
+    over-represented near-duplicate regions in a training corpus.
+
+    The sequential peeling algorithm is unparallelizable (global
+    min-degree removal order); the h-index fixpoint is a synchronous
+    per-node update — one join + one bounded-keyspace count aggregate
+    + one histogram fold per round, every per-node histogram ≤
+    O(√|E|) entries by the distinct-degree bound. Similarity graphs
+    are unions of near-cliques, whose h-indexes fix in a handful of
+    rounds (the same structural argument that keeps dedup CC at
+    O(small diameter)); arbitrary dense graphs can cascade for
+    O(max-coreness) rounds — that trade is the operator's documented
+    envelope, not the query's. Equality with textbook peeling is
+    pinned in tests/test_graph.py. Rows-only for the driver
+    (iterative, non-SQL-expressible)."""
+    from hls_stac_parquet_spark.operators.graph import core_numbers
+    from hls_stac_parquet_spark.operators.similarity import cosine_pairs_above
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = cosine_pairs_above(emb, threshold=0.30).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return (
+        core_numbers(edges)
+        .groupBy("core")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+
+
 @query(
     "q_pattern_sequence",
     oracle=(

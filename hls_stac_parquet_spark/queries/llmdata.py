@@ -1483,6 +1483,34 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
+@query("q_kmeans_clusters", oracle=None)  # iterative — numpy-replay tested
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means corpus clustering (operators/similarity.py::
+    kmeans_clusters): every embedding assigned to its max-cosine
+    centroid, reported as per-cluster size + cohesion — the topic
+    bucketing / diversity-sampling primitive of curation pipelines
+    (and the same quantizer the IVF ANN index runs on, surfaced as
+    its own operator).
+
+    Training reads a bounded deterministic sample (constant cost at
+    any corpus size); assignment is one centroid broadcast + one
+    numpy GEMM per Arrow batch, zero shuffle; only the k-row summary
+    aggregates. Deterministic given the fixed seed. Rows-only for the
+    driver (iterative trainer, non-SQL-expressible); argmax
+    correctness is replayed in numpy in tests/test_similarity.py."""
+    from hls_stac_parquet_spark.operators.similarity import kmeans_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        kmeans_clusters(emb, n_clusters=8)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("cosine"), 4).alias("avg_cos"),
+        )
+    )
+
+
 @query("q_semantic_dedup_blocked", oracle=None)  # approximate (IVF recall)
 def q_semantic_dedup_blocked(spark, sf_dir):
     """The 100 TB tier of q_embedding_dedup: candidate pairs come from
@@ -1539,6 +1567,47 @@ def q_weighted_sample(spark, sf_dir):
     return d.filter(
         draw.cast("bigint") * 800 < F.col("n_chars") * F.lit(4294967296)
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_weighted_sample_topk",
+    oracle=(
+        "WITH keyed AS ("
+        "  SELECT doc_id, source, n_chars, "
+        "    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+        "        + 1) / 4294967296.0) "
+        "      / greatest(coalesce(n_chars, 1), 1) AS k "
+        "  FROM documents) "
+        "SELECT doc_id, source, n_chars FROM keyed "
+        "ORDER BY k DESC, doc_id LIMIT 100"
+    ),
+)
+def q_weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exact size k=100:
+    Efraimidis–Spirakis A-ES. Each doc gets key ln(u)/w (u a
+    deterministic md5 uniform in (0,1], w = n_chars); the top-k keys
+    ARE a weighted sample without replacement — the companion to
+    q_weighted_sample's Bernoulli design when the pipeline needs an
+    exact sample budget rather than an expected rate.
+
+    Scale posture: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows) — no global sort, no
+    shuffle of the corpus, and the key is pure deterministic
+    arithmetic (no RNG state, partition-layout-independent, identical
+    on any engine). Key collisions are measure-zero; ties break by
+    doc_id so the selection is total-order deterministic."""
+    d = t(spark, sf_dir, "documents")
+    x = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (x + F.lit(1)) / F.lit(4294967296.0)
+    key = F.log(u) / F.greatest(F.coalesce("n_chars", F.lit(1)), F.lit(1))
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .drop("k")
+    )
 
 
 @query(

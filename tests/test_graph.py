@@ -185,3 +185,74 @@ def test_label_propagation_seeds_immutable(spark):
         ).collect()
     }
     assert got[1] == 7 and got[2] == 9
+
+
+# ---- k-core decomposition (h-index iteration) ---------------------------
+
+
+def _peel_coreness_exact(edges):
+    """Textbook peeling: repeatedly remove the min-degree node; a
+    node's core number is the max over time of the min degree at its
+    removal."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core = {}
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def _spark_coreness(spark, edges, **kw):
+    from hls_stac_parquet_spark.operators.graph import core_numbers
+
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = core_numbers(df, **kw).collect()
+    return {r.node: r.core for r in rows}
+
+
+def test_coreness_clique_plus_tail(spark):
+    # K4 (coreness 3) with a pendant path (coreness 1)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    got = _spark_coreness(spark, edges)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_coreness_matches_peeling_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(60 + 40 * trial)
+                )
+                if a != b
+            }
+        )
+        want = _peel_coreness_exact(edges)
+        got = _spark_coreness(spark, edges)
+        assert got == want, f"trial {trial}"
+
+
+def test_coreness_duplicate_and_directed_edges_are_canonicalized(spark):
+    # triangle given as duplicated directed edges + a self loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = _spark_coreness(spark, edges)
+    assert got == {1: 2, 2: 2, 3: 2}

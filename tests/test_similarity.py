@@ -163,3 +163,40 @@ def test_ivf_pairs_recall_on_planted_dups(emb):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, (recall, exact - got)
     assert got <= exact  # blocked search can miss but never invent
+
+
+def test_kmeans_clusters_argmax_matches_numpy(emb):
+    """Every row must be assigned to the max-cosine centroid of the
+    trainer's actual output — replayed in numpy from the same trained
+    centers (the trainer itself is deterministic given the seed)."""
+    from hls_stac_parquet_spark.operators.similarity import (
+        _train_spherical_kmeans,
+        kmeans_clusters,
+    )
+
+    got = kmeans_clusters(emb, n_clusters=4, seed=11).toPandas()
+    centers = _train_spherical_kmeans(
+        emb, "vec_id", "embedding", 4, 11, 10000, 8
+    )
+    pdf = emb.toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ centers.T
+    want = {
+        int(vid): (int(np.argmax(s)), round(float(np.max(s)), 6))
+        for vid, s in zip(pdf["vec_id"], sims)
+    }
+    assert len(got) == len(pdf)
+    for r in got.itertuples():
+        wc, wcos = want[int(r.vec_id)]
+        assert r.cluster == wc, r
+        assert abs(r.cosine - wcos) < 1e-9, r
+
+
+def test_kmeans_planted_duplicates_share_a_cluster(emb):
+    from hls_stac_parquet_spark.operators.similarity import kmeans_clusters
+
+    got = kmeans_clusters(emb, n_clusters=4, seed=11).toPandas()
+    by_id = {int(r.vec_id): int(r.cluster) for r in got.itertuples()}
+    for i in range(5):  # vec 100+i is a near-copy of vec i
+        assert by_id[i] == by_id[100 + i]
