@@ -1511,6 +1511,39 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+@query("q_dbscan", oracle=None)  # iterative CC inside — numpy-replay tested
+def q_dbscan(spark, sf_dir):
+    """Density clustering of the corpus embedding map: exact DBSCAN
+    over the first two embedding dimensions (operators/clustering.py
+    ::dbscan — grid-blocked, each point hashes to ONE eps-cell and
+    probes its 3×3 neighborhood, so candidate pairs are bounded by
+    local density, never corpus size). The outlier-aware counterpart
+    to q_kmeans_clusters: arbitrarily-shaped dense regions become
+    clusters, sparse points are explicitly 'noise' — the shape used
+    for corpus segmentation and anomaly triage. Reported as the
+    role distribution (core/border/noise counts + cluster count).
+    Deterministic (min-core-id labels, min-cluster border rule);
+    equality with a brute-force numpy replay is pinned in
+    tests/test_clustering.py. Rows-only for the driver (iterative
+    connected components inside)."""
+    from hls_stac_parquet_spark.operators.clustering import dbscan
+
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return (
+        dbscan(pts, eps=0.03, min_pts=5)
+        .groupBy("role")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.count_distinct("cluster").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
 @query("q_semantic_dedup_blocked", oracle=None)  # approximate (IVF recall)
 def q_semantic_dedup_blocked(spark, sf_dir):
     """The 100 TB tier of q_embedding_dedup: candidate pairs come from
