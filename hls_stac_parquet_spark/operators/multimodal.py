@@ -21,6 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _par(df):
@@ -554,3 +555,136 @@ def stft_features(
             )
 
     return _par(media).mapInPandas(gen, _STFT_SCHEMA)
+
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def dhash_images(
+    media: DataFrame,
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of RAW images: grayscale →
+    9×8 nearest-neighbor downsample (same index-map resample as
+    resize_raw_images) → 64 horizontal-gradient bits packed big-endian
+    into one signed int64. The standard perceptual fingerprint for
+    image near-duplicate detection: resize-invariant, robust to
+    small pixel noise, and cheap enough to compute inline with decode.
+
+    REAL pixel math end to end (no codec; the decode seam stays in
+    ``extract_features``): numpy mean over channels, gather resample,
+    elementwise compare, packbits. One mapInPandas, no shuffle, 1:1
+    rows; exact bit equality with an independent numpy/int replay is
+    pinned in tests/test_multimodal.py.
+    """
+    n_src = src_height * src_width * channels
+    row_map = (np.arange(8, dtype=np.int64) * src_height) // 8
+    col_map = (np.arange(9, dtype=np.int64) * src_width) // 9
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[bytes_col]:
+                payload = _as_bytes(payload)
+                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+                if len(buf) < n_src:
+                    buf = np.pad(buf, (0, n_src - len(buf)))
+                img = (
+                    buf.reshape(src_height, src_width, channels)
+                    .astype(np.float64)
+                    .mean(axis=2)
+                )
+                small = img[np.ix_(row_map, col_map)]
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "dhash": np.array(hashes, dtype=np.int64),
+                }
+            )
+
+    return _par(media).mapInPandas(gen, _DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Image near-duplicate pairs from dHash fingerprints:
+    ``(id_a < id_b, hamming)`` for every pair within ``max_hamming``
+    bits — COMPLETE by the pigeonhole guarantee as long as
+    ``bands > max_hamming`` (≤ max_hamming differing bits cannot
+    touch all bands, so some band matches exactly).
+
+    Scale shape, mirroring the SimHash text path (operators/dedup.py):
+    each hash explodes to ``bands`` (band_idx, 64/bands-bit band
+    value) keys; only these tiny keys shuffle (one groupBy via the
+    shared bucket kernel, operators/lsh.py::bucket_pairs); candidates
+    are verified with a codegen'd ``bit_count(a ^ b)`` — no image
+    bytes and no signatures ever cross the wire. ``max_bucket`` caps
+    degenerate buckets (e.g. monochrome images all hashing to 0) —
+    pass None for the exact-completeness contract.
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole completeness guarantee"
+        )
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).localCheckpoint()  # read by the band explode + both verify joins
+    banded = h.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(F.col("_h"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band_idx", "_b.band_val")
+    cand = bucket_pairs(
+        banded, ["band_idx", "band_val"], "_id", max_bucket=max_bucket
+    )
+    ha = h.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+    hb = h.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1130,6 +1130,82 @@ def q_resize_raw_images(spark, sf_dir):
     )
 
 
+@query("q_image_dhash_dedup", oracle=None)
+def q_image_dhash_dedup(spark, sf_dir):
+    """Image near-duplicate detection via perceptual difference-hash
+    (the multimodal twin of SimHash text dedup): 32×32 raw buffers
+    (documents' bytes standing in for decoded pixels, as in
+    q_resize_raw_images) → REAL grayscale/resample/gradient dHash →
+    banded bucket join on 16-bit hash bands → codegen'd
+    bit_count(xor) verify (operators/multimodal.py::dhash_images /
+    dhash_near_dup_pairs). Complete for hamming ≤ 3 by pigeonhole
+    (4 bands); only 8-byte hashes ever shuffle — image bytes stay in
+    the scan stage. Output: near-dup pair counts per hamming
+    distance + distinct images involved. Rows-only for the driver;
+    bit-exact hash replay + brute-force completeness are pinned in
+    tests/test_multimodal.py."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dup_pairs,
+    )
+
+    # pseudo-decoder standing in for the image codec seam: each doc
+    # becomes a 9×8 bigram-density bitmap (bigram → md5 bucket →
+    # pixel intensity), so textually-near-duplicate docs become
+    # VISUALLY near-duplicate images — raw text bytes would lose that
+    # locality (one flipped char shifts every later pixel), while a
+    # density map degrades by exactly the edited bigrams, which is the
+    # robustness property dHash exists to exploit. Bigrams, not
+    # unigrams: the shared-stopword backbone makes unigram maps of
+    # UNRELATED docs collide (measured ~7% of all pairs within 3
+    # bits); bigram maps put only genuine near-dups (Jaccard ≥ 0.94
+    # spot-checked) at small hamming distance.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def pseudo_decode(batches):
+        for pdf in batches:
+            out = []
+            for text_val in pdf["text"]:
+                terms = (text_val or "").lower().split()
+                img = np.zeros(72, dtype=np.int64)
+                for i in range(len(terms) - 1):
+                    g = terms[i] + " " + terms[i + 1]
+                    b = hashlib.md5(g.encode()).digest()
+                    img[int.from_bytes(b[:4], "big") % 72] += 1
+                out.append(
+                    np.minimum(img * 32, 255).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    media = parallelize_for_udf(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(pseudo_decode, "media_id long, content binary")
+    pairs = dhash_near_dup_pairs(
+        dhash_images(media, src_width=9, src_height=8),
+        max_hamming=3,
+        max_bucket=2000,
+    )
+    # one pass: each pair contributes both endpoints, so n_pairs is
+    # half the row count and n_images the distinct endpoint count
+    return (
+        pairs.select(
+            "hamming", F.explode(F.array("id_a", "id_b")).alias("img")
+        )
+        .groupBy("hamming")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.count_distinct("img").cast("bigint").alias("n_images"),
+        )
+    )
+
+
 @query("q_patchify_images", oracle=None)
 def q_patchify_images(spark, sf_dir):
     """ViT-style patch tokenization (multimodal pipeline stage):

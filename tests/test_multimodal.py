@@ -318,3 +318,85 @@ def test_sample_frames_lengths(media):
     assert by_key[(3, 0)] == 1024
     assert by_key[(3, 4)] == 5 * 256 * 4 - 4 * 1024  # 5120-4096 tail
     assert by_key[(2, 0)] == 100  # short payload: one truncated frame
+
+
+class TestDhash:
+    def _numpy_dhash(self, payload, w, h, c=1):
+        n = w * h * c
+        buf = np.frombuffer(payload[:n].ljust(n, b"\x00"), dtype=np.uint8)
+        img = buf.reshape(h, w, c).astype(np.float64).mean(axis=2)
+        rm = (np.arange(8) * h) // 8
+        cm = (np.arange(9) * w) // 9
+        small = img[np.ix_(rm, cm)]
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def test_dhash_matches_numpy_replay(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import dhash_images
+
+        rng = np.random.default_rng(4)
+        rows = [
+            (int(i), rng.integers(0, 256, 32 * 32, dtype=np.uint8).tobytes())
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {
+            r.media_id: r.dhash
+            for r in dhash_images(df, 32, 32).collect()
+        }
+        for mid, payload in rows:
+            assert got[mid] == self._numpy_dhash(payload, 32, 32), mid
+
+    def test_near_dup_pairs_complete_within_guarantee(self, spark):
+        """Every pair within max_hamming=3 must be found (pigeonhole:
+        bands=4 > 3) — checked against brute force over the hashes."""
+        from hls_stac_parquet_spark.operators.multimodal import (
+            dhash_images,
+            dhash_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, 32 * 32, dtype=np.uint8)
+        rows = []
+        for i in range(8):
+            img = rng.integers(0, 256, 32 * 32, dtype=np.uint8)
+            rows.append((int(i), img.tobytes()))
+        # planted near-dups of base: a few flipped pixels each
+        for j in range(3):
+            img = base.copy()
+            img[j * 7: j * 7 + 2] ^= 255
+            rows.append((100 + j, img.tobytes()))
+        rows.append((200, base.tobytes()))
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        hashes = dhash_images(df, 32, 32)
+        hmap = {r.media_id: r.dhash for r in hashes.collect()}
+        want = set()
+        ids = sorted(hmap)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin((hmap[a] ^ hmap[b]) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want.add((a, b, d))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dhash_near_dup_pairs(hashes, max_hamming=3).collect()
+        }
+        assert got == want
+        # the planted family must actually be in there
+        assert any(a >= 100 and b >= 100 for a, b, _ in got)
+
+    def test_band_guard_rejects_insufficient_bands(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import (
+            dhash_images,
+            dhash_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, b"\x00" * 1024)], "media_id long, content binary"
+        )
+        hashes = dhash_images(df, 32, 32)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dhash_near_dup_pairs(hashes, max_hamming=4, bands=4)
+        with pytest.raises(ValueError, match="divide"):
+            dhash_near_dup_pairs(hashes, max_hamming=3, bands=5)
