@@ -22,15 +22,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _par(df):
-    """Spread media rows across cores before the CPU-heavy Arrow
-    stage — a compact parquet file scans as one partition, which would
-    serialize the whole decode/resample pipeline on one core."""
-    from hls_stac_parquet_spark.tuning import parallelize_for_udf
-
-    return parallelize_for_udf(df)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -41,6 +32,15 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def _par(df):
+    """Spread media rows across cores before the CPU-heavy Arrow
+    stage — a compact parquet file scans as one partition, which would
+    serialize the whole decode/resample pipeline on one core."""
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    return parallelize_for_udf(df)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -617,7 +617,7 @@ def dhash_images(
     return _par(media).mapInPandas(gen, _DHASH_SCHEMA)
 
 
-def dhash_near_dup_pairs(
+def hamming_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
@@ -688,3 +688,75 @@ def dhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+_AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Spectral audio fingerprint (chromaprint-style, minimal): raw
+    int16 PCM → framed Hann+rFFT power spectra (the same REAL DSP as
+    :func:`stft_features`) → 9 linear frequency-band energies per
+    frame → 8-row nearest-neighbor time resample → 64
+    time×frequency LOG-energy gradient bits packed into one signed
+    int64. The audio analogue of the image dHash: amplitude-invariant
+    (log-gradient compares relative band energies, so volume changes
+    cancel) and robust to small edits, which is what near-duplicate
+    audio detection needs.
+
+    One mapInPandas, 1:1 rows, no shuffle; pair finding reuses
+    :func:`hamming_near_dup_pairs` unchanged (it is hash-agnostic).
+    Clips shorter than one frame fingerprint as 0 (accounted, not
+    dropped). Amplitude invariance + numpy replay are pinned in
+    tests/test_multimodal.py.
+    """
+    if hop <= 0 or frame_len <= 0:
+        raise ValueError("frame_len and hop must be positive")
+    window = np.hanning(frame_len)
+    n_bands = 9
+    n_rows = 8
+
+    def _fp(x: np.ndarray) -> int:
+        if len(x) < frame_len:
+            return 0
+        frames = np.lib.stride_tricks.sliding_window_view(x, frame_len)[::hop]
+        p = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+        k = p.shape[1]
+        edges = (np.arange(n_bands + 1) * k) // n_bands
+        bands = np.stack(
+            [
+                p[:, edges[i]: edges[i + 1]].sum(axis=1)
+                for i in range(n_bands)
+            ],
+            axis=1,
+        )
+        rm = (np.arange(n_rows, dtype=np.int64) * len(bands)) // n_rows
+        small = np.log(bands[rm] + 1e-30)
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [
+                _fp(_pcm_to_float(_as_bytes(p))) for p in pdf[bytes_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "fingerprint": np.array(fps, dtype=np.int64),
+                }
+            )
+
+    return _par(media).mapInPandas(gen, _AUDIO_FP_SCHEMA)

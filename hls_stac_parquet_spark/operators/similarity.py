@@ -771,3 +771,51 @@ def kmeans_clusters(
     return keyed.select(
         id_col, assign(vec_col).alias("_a")
     ).select(id_col, "_a.cluster", "_a.cosine")
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: embeddings × a fixed
+    seeded Gaussian matrix R/√out_dim → ``(id, projected)`` with
+    pairwise Euclidean distances preserved within (1±ε) w.h.p. — the
+    cheap dimensionality-reduction stage in front of ANN indexing /
+    clustering when the source dimension is wide.
+
+    The projection matrix is generated ONCE from the seed (driver-
+    side, out_dim × d doubles) and broadcast; application is one
+    numpy GEMM per Arrow batch — no shuffle, no training pass, corpus
+    never moves, deterministic on any partitioning. Distance
+    preservation and exact numpy-replay equality are pinned in
+    tests/test_similarity.py.
+    """
+    from pyspark.sql.types import ArrayType
+
+    spark = df.sparkSession
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:  # empty corpus
+        return df.select(
+            id_col, F.expr("CAST(NULL AS array<double>)").alias("projected")
+        ).limit(0)
+    d = int(first["d"])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((d, out_dim)) / np.sqrt(out_dim)
+    bc = spark.sparkContext.broadcast(R)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        out = np.round(mat @ bc.value, 6)
+        return pd.Series(list(out))
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    return parallelize_for_udf(df.select(id_col, vec_col)).select(
+        id_col, project(vec_col).alias("projected")
+    )

@@ -1138,7 +1138,7 @@ def q_image_dhash_dedup(spark, sf_dir):
     q_resize_raw_images) → REAL grayscale/resample/gradient dHash →
     banded bucket join on 16-bit hash bands → codegen'd
     bit_count(xor) verify (operators/multimodal.py::dhash_images /
-    dhash_near_dup_pairs). Complete for hamming ≤ 3 by pigeonhole
+    hamming_near_dup_pairs). Complete for hamming ≤ 3 by pigeonhole
     (4 bands); only 8-byte hashes ever shuffle — image bytes stay in
     the scan stage. Output: near-dup pair counts per hamming
     distance + distinct images involved. Rows-only for the driver;
@@ -1146,7 +1146,7 @@ def q_image_dhash_dedup(spark, sf_dir):
     tests/test_multimodal.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
         dhash_images,
-        dhash_near_dup_pairs,
+        hamming_near_dup_pairs,
     )
 
     # pseudo-decoder standing in for the image codec seam: each doc
@@ -1187,7 +1187,7 @@ def q_image_dhash_dedup(spark, sf_dir):
     media = parallelize_for_udf(
         t(spark, sf_dir, "documents").select("doc_id", "text")
     ).mapInPandas(pseudo_decode, "media_id long, content binary")
-    pairs = dhash_near_dup_pairs(
+    pairs = hamming_near_dup_pairs(
         dhash_images(media, src_width=9, src_height=8),
         max_hamming=3,
         max_bucket=2000,
@@ -1289,6 +1289,84 @@ def q_bpe_encode(spark, sf_dir):
                 / F.sum(F.size("pieces")),
                 6,
             ).alias("chars_per_piece"),
+        )
+    )
+
+
+@query("q_audio_fingerprint_dedup", oracle=None)
+def q_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-duplicate detection via spectral fingerprinting
+    (the audio twin of q_image_dhash_dedup): documents' text bytes
+    stand in for int16 PCM (as in q_pcm_audio_pipeline); the REAL DSP
+    runs — framed Hann+rFFT power spectra → 9-band energies → 8-row
+    time resample → 64 log-energy gradient bits
+    (operators/multimodal.py::audio_fingerprint, amplitude-invariant
+    by construction) — then the SAME banded hamming join as the image
+    path (hamming_near_dup_pairs is hash-agnostic: only 8-byte
+    fingerprints shuffle, bit_count verify in codegen). Output: pair
+    counts per hamming distance. Rows-only for the driver; amplitude
+    invariance, noise robustness, and numpy replay are pinned in
+    tests/test_multimodal.py.
+
+    The pseudo-decoder renders each doc as a tone sequence (term →
+    md5-pitched sinusoid segment), so textually-near-duplicate docs
+    become acoustically-near-duplicate clips (measured: every pair
+    within 3 bits has term-Jaccard ≥ 0.91). Raw text bytes as PCM
+    collapse instead — ASCII's letter-frequency spectrum is corpus-
+    uniform, so EVERY doc pair landed at hamming 0."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from hls_stac_parquet_spark.operators.multimodal import (
+        audio_fingerprint,
+        hamming_near_dup_pairs,
+    )
+
+    n_terms, seg = 16, 256
+
+    def pseudo_render(batches):
+        t_ax = np.arange(seg) / 16000.0
+        for pdf in batches:
+            out = []
+            for text_val in pdf["text"]:
+                terms = (text_val or "").lower().split()[:n_terms]
+                wav = np.zeros(n_terms * seg)
+                for i, term in enumerate(terms):
+                    h = int.from_bytes(
+                        hashlib.md5(term.encode()).digest()[:4], "big"
+                    )
+                    freq = 100 + (h % 6900)
+                    wav[i * seg : (i + 1) * seg] = 0.3 * np.sin(
+                        2 * np.pi * freq * t_ax
+                    )
+                out.append(
+                    (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+            )
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    media = parallelize_for_udf(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(pseudo_render, "media_id long, content binary")
+    pairs = hamming_near_dup_pairs(
+        audio_fingerprint(media),
+        max_hamming=3,
+        hash_col="fingerprint",
+        max_bucket=2000,
+    )
+    return (
+        pairs.select(
+            "hamming", F.explode(F.array("id_a", "id_b")).alias("clip")
+        )
+        .groupBy("hamming")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.count_distinct("clip").cast("bigint").alias("n_clips"),
         )
     )
 
@@ -1555,6 +1633,117 @@ def q_embedding_dedup(spark, sf_dir):
             "vec_id",
             F.coalesce("survivor", "vec_id").alias("survivor_id"),
             (F.coalesce("survivor", "vec_id") != F.col("vec_id")).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=(
+        "WITH ra AS ("
+        "  SELECT doc_id, row_number() OVER ("
+        "    ORDER BY n_chars DESC, doc_id) AS r FROM documents), "
+        "ta AS (SELECT doc_id, r FROM ra WHERE r <= 100), "
+        "rb AS ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY "
+        "    len(list_filter(string_split(lower(text), ' '), "
+        "        w -> w = 'vector')) DESC, doc_id) AS r "
+        "  FROM documents), "
+        "tb AS (SELECT doc_id, r FROM rb WHERE r <= 100) "
+        "SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id, "
+        "  round(coalesce(1.0::DOUBLE / (60 + ta.r), 0) "
+        "      + coalesce(1.0::DOUBLE / (60 + tb.r), 0), 6) AS rrf "
+        "FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id "
+        "ORDER BY rrf DESC, doc_id LIMIT 20"
+    ),
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al.) of two retrieval
+    signals — the standard way to merge heterogeneous rankings
+    (lexical + semantic, or any N retrievers) without score
+    calibration: fused(d) = Σ_lists 1/(60 + rank_list(d)) over the
+    TOP-100 of each list, report the fused top-20.
+
+    Scale shape: each leg is a TakeOrderedAndProject top-100 (per-
+    partition heap, no global sort, no full-corpus window — global
+    row_number over the fact table is exactly the anti-pattern this
+    formulation avoids); ranks are then assigned on the 100-row
+    result, the fusion join touches ≤200 rows, and the final top-20
+    is another bounded sort. The top-N cut is part of the operator's
+    CONTRACT (fuse the head of each list), not an approximation —
+    both engines compute the identical thing."""
+    d = t(spark, sf_dir, "documents")
+    tf = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda w: w == "vector"
+        )
+    )
+    top_a = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(100)
+    )
+    top_b = (
+        d.select("doc_id", tf.alias("_tf"))
+        .orderBy(F.desc("_tf"), "doc_id")
+        .limit(100)
+    )
+    wa = Window.orderBy(F.desc("n_chars"), "doc_id")
+    wb = Window.orderBy(F.desc("_tf"), "doc_id")
+    ra = top_a.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = top_b.select("doc_id", F.row_number().over(wb).alias("rb"))
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+    return fused
+
+
+@query("q_random_projection", oracle=None)  # seeded RNG — numpy-replay tested
+def q_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection of the corpus
+    embeddings 64→16 dims (operators/similarity.py::random_project —
+    one seeded Gaussian matrix broadcast, one numpy GEMM per Arrow
+    batch, no shuffle, no training pass), reported as the norm-
+    preservation summary (avg/stddev/extremes of ‖proj‖/‖orig‖) the
+    JL lemma promises concentrates near 1 — the cheap dim-reduction
+    stage in front of ANN indexing and clustering. Exact numpy-replay
+    equality + pairwise-distance preservation are pinned in
+    tests/test_similarity.py. Rows-only for the driver (seeded RNG
+    has no SQL expression)."""
+    from hls_stac_parquet_spark.operators.similarity import random_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = random_project(emb, out_dim=16).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+
+    def l2(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+            )
+        )
+
+    ratio = l2(F.col("projected")) / l2(F.col("embedding"))
+    return (
+        proj.filter(l2(F.col("embedding")) > 1e-12)
+        .select(ratio.alias("r"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("r"), 4).alias("avg_ratio"),
+            F.round(F.stddev("r"), 4).alias("stddev_ratio"),
+            F.round(F.min("r"), 4).alias("min_ratio"),
+            F.round(F.max("r"), 4).alias("max_ratio"),
         )
     )
 

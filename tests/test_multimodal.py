@@ -353,7 +353,7 @@ class TestDhash:
         bands=4 > 3) — checked against brute force over the hashes."""
         from hls_stac_parquet_spark.operators.multimodal import (
             dhash_images,
-            dhash_near_dup_pairs,
+            hamming_near_dup_pairs,
         )
 
         rng = np.random.default_rng(11)
@@ -380,7 +380,7 @@ class TestDhash:
                     want.add((a, b, d))
         got = {
             (r.id_a, r.id_b, r.hamming)
-            for r in dhash_near_dup_pairs(hashes, max_hamming=3).collect()
+            for r in hamming_near_dup_pairs(hashes, max_hamming=3).collect()
         }
         assert got == want
         # the planted family must actually be in there
@@ -389,7 +389,7 @@ class TestDhash:
     def test_band_guard_rejects_insufficient_bands(self, spark):
         from hls_stac_parquet_spark.operators.multimodal import (
             dhash_images,
-            dhash_near_dup_pairs,
+            hamming_near_dup_pairs,
         )
 
         df = spark.createDataFrame(
@@ -397,6 +397,91 @@ class TestDhash:
         )
         hashes = dhash_images(df, 32, 32)
         with pytest.raises(ValueError, match="pigeonhole"):
-            dhash_near_dup_pairs(hashes, max_hamming=4, bands=4)
+            hamming_near_dup_pairs(hashes, max_hamming=4, bands=4)
         with pytest.raises(ValueError, match="divide"):
-            dhash_near_dup_pairs(hashes, max_hamming=3, bands=5)
+            hamming_near_dup_pairs(hashes, max_hamming=3, bands=5)
+
+
+class TestAudioFingerprint:
+    def _pcm(self, x):
+        return bytearray((np.clip(x, -1, 1) * 32767).astype("<i2").tobytes())
+
+    def _tones(self, freqs, rate=16000, secs=0.5, amp=0.3, noise=0.0, seed=0):
+        t = np.arange(int(rate * secs)) / rate
+        x = sum(amp * np.sin(2 * np.pi * f * t) for f in freqs)
+        if noise:
+            x = x + np.random.default_rng(seed).normal(0, noise, len(t))
+        return x
+
+    def test_amplitude_invariance_and_discrimination(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import (
+            audio_fingerprint,
+        )
+
+        # broadband floor on top of the tones: pure sines leave most
+        # bands at the int16 quantization-noise floor, whose ratios
+        # are amplitude-dependent — real audio always has real energy
+        # in every band, which is what the gain-invariance argument
+        # needs
+        a = self._tones([440, 1320, 3000], noise=0.02, seed=1)
+        rows = [
+            (1, self._pcm(a)),
+            (2, self._pcm(a * 0.25)),          # same clip, quieter
+            (3, self._pcm(self._tones([600, 2500, 5200], noise=0.02, seed=2))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        fp = {r.media_id: r.fingerprint for r in audio_fingerprint(df).collect()}
+        # 4x quieter: log-gradients cancel the gain; only int16
+        # quantization noise can flip near-tie bits, so the distance
+        # stays inside the near-dup band rather than exactly 0
+        d12 = bin((fp[1] ^ fp[2]) & ((1 << 64) - 1)).count("1")
+        assert d12 <= 3, f"volume change must stay near-dup, got {d12}"
+        d13 = bin((fp[1] ^ fp[3]) & ((1 << 64) - 1)).count("1")
+        assert d13 > 8, f"different spectra must be far apart, got {d13}"
+
+    def test_noise_robustness_small_hamming(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import (
+            audio_fingerprint,
+        )
+
+        base = self._tones([440, 1320, 3000], noise=0.02, seed=3)
+        # a small ADDITIONAL perturbation on top of the same floor —
+        # re-rolling the floor itself would change every quiet band
+        perturbed = base + np.random.default_rng(4).normal(0, 0.002, len(base))
+        df = spark.createDataFrame(
+            [(1, self._pcm(base)), (2, self._pcm(perturbed))],
+            "media_id long, content binary",
+        )
+        fp = {r.media_id: r.fingerprint for r in audio_fingerprint(df).collect()}
+        d = bin((fp[1] ^ fp[2]) & ((1 << 64) - 1)).count("1")
+        assert d <= 3, f"small perturbation must stay near-dup, got {d}"
+
+    def test_matches_numpy_replay_and_short_clip(self, spark):
+        from hls_stac_parquet_spark.operators.multimodal import (
+            audio_fingerprint,
+        )
+
+        x = self._tones([900, 2100], secs=0.1)
+        df = spark.createDataFrame(
+            [(1, self._pcm(x)), (2, bytearray(b"\x00\x01"))],
+            "media_id long, content binary",
+        )
+        fp = {r.media_id: r.fingerprint for r in audio_fingerprint(df).collect()}
+        # independent replay
+        frame_len, hop, n_bands, n_rows = 256, 128, 9, 8
+        xi = np.frombuffer(self._pcm(x), dtype="<i2").astype(np.float64) / 32768.0
+        frames = np.lib.stride_tricks.sliding_window_view(xi, frame_len)[::hop]
+        p = np.abs(np.fft.rfft(frames * np.hanning(frame_len), axis=1)) ** 2
+        k = p.shape[1]
+        edges = (np.arange(n_bands + 1) * k) // n_bands
+        bands = np.stack(
+            [p[:, edges[i]: edges[i + 1]].sum(axis=1) for i in range(n_bands)],
+            axis=1,
+        )
+        rm = (np.arange(n_rows) * len(bands)) // n_rows
+        small = np.log(bands[rm] + 1e-30)
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        want = val - (1 << 64) if val >= (1 << 63) else val
+        assert fp[1] == want
+        assert fp[2] == 0  # shorter than one frame

@@ -200,3 +200,32 @@ def test_kmeans_planted_duplicates_share_a_cluster(emb):
     by_id = {int(r.vec_id): int(r.cluster) for r in got.itertuples()}
     for i in range(5):  # vec 100+i is a near-copy of vec i
         assert by_id[i] == by_id[100 + i]
+
+
+def test_random_projection_matches_numpy_and_preserves_distances(emb):
+    from hls_stac_parquet_spark.operators.similarity import random_project
+
+    got = random_project(emb, out_dim=8, seed=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    rng = np.random.default_rng(5)
+    R = rng.standard_normal((mat.shape[1], 8)) / np.sqrt(8)
+    want = np.round(mat @ R, 6)
+    by_id = {int(i): np.asarray(p) for i, p in zip(got["vec_id"], got["projected"])}
+    for i, vid in enumerate(pdf["vec_id"]):
+        assert np.allclose(by_id[int(vid)], want[i]), vid
+    # JL: pairwise distances preserved in aggregate (generous band for
+    # out_dim=8; the point is "same scale", not a tight epsilon)
+    ids = pdf["vec_id"].to_numpy()
+    proj = np.stack([by_id[int(v)] for v in ids])
+    rng2 = np.random.default_rng(0)
+    ratios = []
+    for _ in range(200):
+        a, b = rng2.choice(len(ids), 2, replace=False)
+        d0 = np.linalg.norm(mat[a] - mat[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        if d0 > 1e-9:
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.8 < np.median(ratios) < 1.2
+    assert (np.abs(ratios - 1) < 0.8).mean() > 0.9
