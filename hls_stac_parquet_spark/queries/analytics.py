@@ -1007,3 +1007,189 @@ def q_seq_pairs(spark, sf_dir):
             F.round(F.col("support") / F.col("_nu"), 6).alias("support_ratio"),
         )
     )
+
+
+@query(
+    "q_not_in_nulls",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_unreferenced FROM ("
+        "  SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+        "    SELECT CAST(floor(value) AS BIGINT) FROM events "
+        "    WHERE event_type = 'click'))"
+    ),
+)
+def q_not_in_nulls(spark, sf_dir):
+    """NOT IN with a nullable subquery — ANSI three-valued logic's
+    classic trap, implemented ON PURPOSE with the null-aware
+    semantics: one NULL in the subquery makes ``x NOT IN (...)``
+    UNKNOWN for every x, so the result collapses to zero rows. Spark
+    compiles this to a null-aware anti join (NOT a plain LEFT ANTI —
+    that join would silently drop the NULL semantics); the oracle
+    replays the identical ANSI rule, and the NULL-fuzz sweep
+    (tests/test_null_fuzz.py) exercises BOTH branches: clean data
+    returns real counts, fuzzed events.value flips both engines to 0
+    together. Exercises the SQL-surface path via spark.sql."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_unreferenced FROM ("
+        "  SELECT doc_id FROM v_documents WHERE doc_id NOT IN ("
+        "    SELECT CAST(floor(value) AS BIGINT) FROM v_events "
+        "    WHERE event_type = 'click'))"
+    )
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=(
+        "WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "vc AS ("
+        "  SELECT DISTINCT v.user_id, c.ts AS click_ts "
+        "  FROM v JOIN c ON c.user_id = v.user_id "
+        "   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR), "
+        "vcp AS ("
+        "  SELECT DISTINCT vc.user_id "
+        "  FROM vc JOIN p ON p.user_id = vc.user_id "
+        "   AND p.ts >= vc.click_ts "
+        "   AND p.ts <= vc.click_ts + INTERVAL 24 HOUR) "
+        "SELECT "
+        "  CAST((SELECT count(DISTINCT user_id) FROM v) AS BIGINT) "
+        "    AS n_viewers, "
+        "  CAST((SELECT count(DISTINCT user_id) FROM vc) AS BIGINT) "
+        "    AS n_clicked_1h, "
+        "  CAST((SELECT count(*) FROM vcp) AS BIGINT) AS n_purchased_24h"
+    ),
+)
+def q_funnel_windowed(spark, sf_dir):
+    """TIME-WINDOWED conversion funnel: view → click within 1 hour →
+    purchase within 24 hours of that click. The unbounded funnel
+    (q_funnel) only needs per-user min-timestamps; window constraints
+    genuinely require the event-pair joins, so this is the funnel
+    variant that exercises user-keyed range self-joins.
+
+    Scale shape: both joins are equi-keyed on user_id with the range
+    predicate applied join-side — cost is Σ_user |views|·|clicks|,
+    the same per-key-quadratic envelope as q_market_basket (baskets)
+    and documented the same way: bounded because per-user event
+    counts are bounded, never corpus-quadratic. Each stage collapses
+    to DISTINCT users immediately, so stage outputs are |users|-sized.
+    µs-exact interval arithmetic on both engines (TIMESTAMP_NTZ +
+    INTERVAL)."""
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    vc = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", F.col("c_ts").alias("click_ts"))
+        .distinct()
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 24 HOUR")
+            ),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_v = v.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_viewers")
+    )
+    n_vc = vc.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_clicked_1h")
+    )
+    n_vcp = vcp.agg(F.count("*").cast("bigint").alias("n_purchased_24h"))
+    return n_v.join(F.broadcast(n_vc)).join(F.broadcast(n_vcp))
+
+
+@query(
+    "q_attribution",
+    oracle=(
+        "WITH touches AS ("
+        "  SELECT user_id, ts, event_type FROM events "
+        "  WHERE event_type IN ('view', 'click')), "
+        "purchases AS ("
+        "  SELECT event_id, user_id, ts FROM events "
+        "  WHERE event_type = 'purchase'), "
+        "tagged AS ("
+        "  SELECT p.event_id, t.event_type, "
+        "    row_number() OVER (PARTITION BY p.event_id "
+        "      ORDER BY t.ts DESC, t.event_type) AS rn "
+        "  FROM purchases p JOIN touches t "
+        "    ON t.user_id = p.user_id AND t.ts <= p.ts) "
+        "SELECT event_type AS touch_type, "
+        "  CAST(count(*) AS BIGINT) AS n_purchases "
+        "FROM tagged WHERE rn = 1 GROUP BY event_type"
+    ),
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the most recent view/click by the same user at or before the
+    purchase (ties at the exact same µs broken by touch type — fully
+    deterministic). Purchases with no prior touch earn no credit.
+
+    Scale shape: NOT the oracle's per-purchase ranked join (that
+    materializes every purchase×prior-touch pair) — the engine sorts
+    the user's merged event stream ONCE and carries the last touch
+    forward (the same union-sort-carry-forward kernel as the as-of
+    join, q_asof_join): one user-keyed shuffle, one window pass,
+    O(1) state per row, then a touch-type-sized aggregate."""
+    e = t(spark, sf_dir, "events")
+    touches = e.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("touch_type"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = touches.unionByName(purchases)
+    # sort key: purchases at the same µs sort AFTER touches so an
+    # exactly-simultaneous touch is eligible; among simultaneous
+    # touches the type orders last (matching the oracle's tiebreak:
+    # rn=1 row is max(ts), then min(event_type) — carry-forward takes
+    # the LAST in sort order, so touches sort type-DESC)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.col("purchase_id").isNotNull().cast("int"),
+            F.desc("touch_type"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_touch", F.last("touch_type", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(
+            F.col("purchase_id").isNotNull()
+            & F.col("last_touch").isNotNull()
+        )
+        .groupBy(F.col("last_touch").alias("touch_type"))
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )

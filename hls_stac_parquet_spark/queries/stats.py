@@ -1492,3 +1492,64 @@ def q_kaplan_meier(spark, sf_dir):
         )
         .alias("survival"),
     )
+
+
+@query(
+    "q_itemsets_3",
+    oracle=(
+        "WITH od AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "triples AS ("
+        "  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc, "
+        "    CAST(count(*) AS BIGINT) AS support "
+        "  FROM od a "
+        "  JOIN od b ON b.l_orderkey = a.l_orderkey "
+        "   AND b.l_partkey > a.l_partkey "
+        "  JOIN od c ON c.l_orderkey = a.l_orderkey "
+        "   AND c.l_partkey > b.l_partkey "
+        "  GROUP BY pa, pb, pc) "
+        "SELECT pa, pb, pc, support FROM triples WHERE support >= 2 "
+        "ORDER BY support DESC, pa, pb, pc LIMIT 20"
+    ),
+)
+def q_itemsets_3(spark, sf_dir):
+    """Frequent 3-itemset mining (the a-priori level above
+    q_market_basket's pairs): part triples co-purchased in ≥2 orders,
+    top-20 by support — the association-rule primitive one level
+    deeper than pairwise lift.
+
+    Scale shape: both joins are ORDER-KEY-BLOCKED self-joins (the
+    quadratic/cubic work happens inside a basket, never across
+    baskets), so cost is Σ_order C(|basket|, 3) — linear in orders
+    for bounded baskets, same envelope and same documentation
+    contract as q_market_basket's Σ basket². The a-priori prune
+    (only items in frequent pairs can appear in frequent triples)
+    is the knob to add ahead of the triple join if baskets grow;
+    at TPC-H basket sizes (~4 distinct parts) the direct join is
+    cheaper than materializing the pair dimension. TakeOrdered
+    top-20, no global sort."""
+    od = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = od.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = od.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    c = od.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc")
+    )
+    triples = (
+        a.join(b, "ok")
+        .filter(F.col("pb") > F.col("pa"))
+        .join(c, "ok")
+        .filter(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return triples.orderBy(
+        F.desc("support"), "pa", "pb", "pc"
+    ).limit(20)
