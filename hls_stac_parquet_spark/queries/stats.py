@@ -1553,3 +1553,189 @@ def q_itemsets_3(spark, sf_dir):
     return triples.orderBy(
         F.desc("support"), "pa", "pb", "pc"
     ).limit(20)
+
+
+@query(
+    "q_ema",
+    oracle=(
+        "WITH daily AS ("
+        "  SELECT user_id, CAST(ts AS DATE) AS day, "
+        "    round(sum(value), 6) AS x "
+        "  FROM events WHERE value IS NOT NULL "
+        "  GROUP BY user_id, CAST(ts AS DATE)), "
+        "seq AS ("
+        "  SELECT user_id, day, x, "
+        "    row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 "
+        "      AS rn FROM daily), "
+        "cum AS ("
+        "  SELECT user_id, day, "
+        "    sum(x * power(1.0 / 0.9, rn)) OVER ("
+        "      PARTITION BY user_id ORDER BY rn "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu, "
+        "    sum(power(1.0 / 0.9, rn)) OVER ("
+        "      PARTITION BY user_id ORDER BY rn "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv "
+        "  FROM seq) "
+        "SELECT user_id, day, round(cu / cv, 6) AS ema FROM cum"
+    ),
+)
+def q_ema(spark, sf_dir):
+    """Exponential moving average (adjusted form, α = 0.1) of each
+    user's daily value series — the standard smoother for activity /
+    spend trend lines.
+
+    EMA is defined recursively, which SQL windows can't express
+    directly; the prefix-sum identity makes it one window pass:
+    EMA_t = Σ β^(t-i)·x_i / Σ β^(t-i) = CumΣ(x·β^(-i)) / CumΣ(β^(-i))
+    — the β^t factors cancel symbolically, so no per-row
+    renormalization and ONE user-keyed shuffle (the day aggregate),
+    with both cumulative sums sharing one window frame. Envelope:
+    β^(-i) grows ~1.11^i, overflowing double around series length
+    ~6700; daily series are bounded by the calendar, and longer
+    series segment-rescale (documented, not needed here). Relative
+    precision concentrates on recent terms — which is exactly EMA's
+    semantics. Identical arithmetic on both engines, rounded at the
+    day aggregate and the output."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.withColumn("rn", F.row_number().over(w_seq) - 1)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inv_beta = F.pow(F.lit(1.0 / 0.9), F.col("rn"))
+    cum = seq.select(
+        "user_id",
+        "day",
+        F.sum(F.col("x") * inv_beta).over(w_cum).alias("cu"),
+        F.sum(inv_beta).over(w_cum).alias("cv"),
+    )
+    return cum.select(
+        "user_id", "day", F.round(F.col("cu") / F.col("cv"), 6).alias("ema")
+    )
+
+
+# integer md5-draw thresholds for a Poisson(1) resample weight: round
+# of cumulative Poisson CDF × 2^32 — shared literals on both engines
+# so the CASE ladder compares integers, never floats
+_POIS = [1580030169, 3160060338, 3950075380, 4213413731, 4279252069, 4292419737]
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=(
+        "WITH base AS ("
+        "  SELECT event_id, value FROM events "
+        "  WHERE event_type = 'purchase' AND value IS NOT NULL), "
+        "drawn AS ("
+        "  SELECT b.i AS rep, value, "
+        "    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
+        "      CAST(b.i AS VARCHAR)), 1, 8))::UBIGINT AS u "
+        "  FROM base, (SELECT unnest(range(50)) AS i) b), "
+        "weighted AS ("
+        "  SELECT rep, value, CASE "
+        f"    WHEN u < {_POIS[0]} THEN 0 WHEN u < {_POIS[1]} THEN 1 "
+        f"    WHEN u < {_POIS[2]} THEN 2 WHEN u < {_POIS[3]} THEN 3 "
+        f"    WHEN u < {_POIS[4]} THEN 4 WHEN u < {_POIS[5]} THEN 5 "
+        "    ELSE 6 END AS w "
+        "  FROM drawn), "
+        "reps AS ("
+        "  SELECT rep, sum(w * value) / sum(w) AS m "
+        "  FROM weighted GROUP BY rep HAVING sum(w) > 0), "
+        "ranked AS ("
+        "  SELECT m, row_number() OVER (ORDER BY m) AS rn, "
+        "    count(*) OVER () AS n FROM reps) "
+        "SELECT "
+        "  (SELECT round(avg(value), 6) FROM base) AS point_mean, "
+        "  round(min(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo, "
+        "  round(min(CASE WHEN rn = n - 1 THEN m END), 6) AS ci_hi, "
+        "  CAST(count(*) AS BIGINT) AS n_reps "
+        "FROM ranked"
+    ),
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for mean purchase value, fully
+    DETERMINISTIC: 50 resample replicates where each row's weight in
+    replicate b is a Poisson(1) draw (the multinomial resample's
+    large-n limit) read off an md5(event_id:b) integer against
+    precomputed integer CDF thresholds — no RNG state, identical on
+    any engine and any partitioning, which is what makes a resampling
+    method auditable at 100 TB. The CI is the 2nd-smallest /
+    2nd-largest replicate mean (a ~96% interval at B=50, order
+    statistics — no interpolation ambiguity).
+
+    Scale shape: the 50× row fan-out feeds a 50-group aggregate whose
+    partials combine map-side, so the shuffle carries 50×partitions
+    tiny rows; the order statistics run on the 50-row replicate
+    table. One fact scan, one bounded-keyspace shuffle."""
+    e = t(spark, sf_dir, "events")
+    base = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "value")
+    drawn = base.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("rep"),
+        F.col("event_id"),
+    ).select(
+        "rep",
+        "value",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .when(F.col("u") < _POIS[5], 5)
+        .otherwise(6)
+    )
+    reps = (
+        drawn.select("rep", "value", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("_tw"),
+        )
+        .filter(F.col("_tw") > 0)
+        .select("rep", "m")
+    )
+    wr = Window.orderBy("m")
+    ranked = reps.select(
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    point = base.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    ci = ranked.agg(
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("n") - 1, F.col("m"))), 6
+        ).alias("ci_hi"),
+        F.count("*").cast("bigint").alias("n_reps"),
+    )
+    return point.join(F.broadcast(ci))

@@ -104,6 +104,49 @@ def main() -> None:
     ]
     for name, t1, tn, r in rows:
         lines.append(f"| {name} | {t1} | {tn} | {r}× |")
+
+    # the IVF dial: per-cell GEMM cost is Σ|corpus_c|×|probe_c|, so a
+    # FIXED cluster count scales quadratically with data while a
+    # cluster count ∝ data holds per-cell sizes (and cost/row)
+    # constant — measure both to show the dial working
+    from pyspark.sql import functions as SF
+
+    from hls_stac_parquet_spark.operators.similarity import (
+        ivf_cosine_pairs_above,
+    )
+    from hls_stac_parquet_spark.queries.registry import t as load
+
+    def run_ivf(sf_dir: str, k: int) -> float:
+        emb = load(spark, sf_dir, "embeddings")
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ivf_cosine_pairs_above(
+                emb, threshold=0.35, n_clusters=k, n_probe=3
+            ).agg(SF.count("*")).collect()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        return round(best, 3)
+
+    i1 = run_ivf(dir1, 8)
+    in_fixed = run_ivf(dirn, 8)
+    in_scaled = run_ivf(dirn, 8 * n)
+    lines += [
+        "",
+        "## The IVF dial",
+        "",
+        "IVF-blocked embedding search costs Σ_cell |corpus_c|×|probe_c| "
+        "— with a FIXED cluster count, 10× data makes every cell 10× "
+        "bigger and the GEMM work ~100×; scaling the cluster count with "
+        "the data holds per-cell sizes (cost per row) steady. Measured "
+        "(ivf_cosine_pairs_above, threshold 0.35, n_probe 3):",
+        "",
+        "| config | s |",
+        "|---|---|",
+        f"| 1× data, 8 cells | {i1} |",
+        f"| {n}× data, 8 cells (fixed — the anti-pattern) | {in_fixed} |",
+        f"| {n}× data, {8 * n} cells (dial ∝ data) | {in_scaled} |",
+    ]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
