@@ -2490,3 +2490,112 @@ def q_spectrogram_features(spark, sf_dir):
         F.round(F.col("spectral_rolloff").cast("double"), 5).alias("rolloff"),
         F.round(F.col("spectral_flatness").cast("double"), 5).alias("flatness"),
     )
+
+
+@query(
+    "q_keywords_rake",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term, "
+        "    unnest(range(len(string_split(lower(text), ' ')))) AS pos "
+        "  FROM documents), "
+        "clean AS (SELECT * FROM toks WHERE term <> ''), "
+        "nonstop AS ("
+        "  SELECT doc_id, pos, term, "
+        "    pos - row_number() OVER ("
+        "      PARTITION BY doc_id ORDER BY pos) AS phrase_id "
+        "  FROM clean WHERE term NOT IN ("
+        "    'the','and','of','to','a','in','is','it','that','for',"
+        "    'on','with','as','was','at','by','an','be','this','are')), "
+        "occ AS ("
+        "  SELECT doc_id, phrase_id, pos, term, "
+        "    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen "
+        "  FROM nonstop), "
+        "wscore AS ("
+        "  SELECT term, round(sum(plen) * 1.0 / count(*), 6) AS score "
+        "  FROM occ GROUP BY term), "
+        "phrases AS ("
+        "  SELECT o.doc_id, o.phrase_id, "
+        "    string_agg(o.term, ' ' ORDER BY o.pos) AS phrase, "
+        "    round(sum(w.score), 6) AS pscore, "
+        "    min(o.plen) AS plen "
+        "  FROM occ o JOIN wscore w ON w.term = o.term "
+        "  GROUP BY o.doc_id, o.phrase_id) "
+        "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, "
+        "  max(pscore) AS score "
+        "FROM phrases WHERE plen >= 2 "
+        "GROUP BY phrase "
+        "ORDER BY score DESC, phrase LIMIT 15"
+    ),
+)
+def q_keywords_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ lengths of the phrases its
+    occurrences sit in), a phrase scores the sum of its words, and
+    the corpus's top multi-word phrases surface as keywords — the
+    classic unsupervised keyphrase operator for corpus topic audits.
+
+    Fully relational on both engines: phrase segmentation is the
+    GAPS-AND-ISLANDS trick (pos − row_number over surviving tokens is
+    constant within a run — no UDF, no per-doc Python), word scores
+    are one vocabulary-keyed aggregate, phrase scoring is one
+    AQE-adaptive join against that vocab dim, and the final head is a
+    TakeOrdered top-15. Σ-of-doubles is rounded at the word level and
+    again at the phrase level, the established cross-engine FP
+    protocol."""
+    stop = [
+        "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+        "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    ]
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    nonstop = toks.filter(~F.col("term").isin(*stop)).withColumn(
+        "phrase_id",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    occ = nonstop.withColumn(
+        "plen",
+        F.count("*").over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    wscore = occ.groupBy("term").agg(
+        F.round(F.sum("plen") * 1.0 / F.count("*"), 6).alias("score")
+    )
+    phrases = (
+        occ.join(wscore, "term")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda x: x.term,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.round(F.sum("score"), 6).alias("pscore"),
+            F.min("plen").alias("plen"),
+        )
+    )
+    return (
+        phrases.filter(F.col("plen") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("pscore").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(15)
+    )
