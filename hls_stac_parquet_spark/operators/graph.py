@@ -473,22 +473,21 @@ def core_numbers(
     (convergence takes at most O(max coreness) rounds in practice;
     pathological chains converge in O(diameter)).
 
-    Scale shape, per round: one edges⋈values join (neighbor values),
-    one values join (own cap), one (node, value) COUNT aggregate —
-    map-side partial — and one per-node fold over the (value, count)
-    histogram. Neighbor values are CLIPPED at the node's own current
-    estimate before counting: exact (the h-index never exceeds the
-    previous round's value, and clipping at cap ≥ h changes no
-    count at thresholds ≤ h) and it collapses the histogram keyspace.
-    The per-node histogram is bounded by the number of DISTINCT
-    clipped values ≤ O(√|E|) even in round 1 (a graph has at most
-    2√|E| distinct degree values, since k distinct degrees require
-    Σdeg ≥ k(k+1)/2) — the same hub bound as the degree-oriented
+    Scale shape, per round: ONE edges⋈values join (neighbor values),
+    one (node, value) COUNT aggregate — map-side partial — and one
+    per-node fold over the (value, count) histogram. The per-node
+    histogram is bounded at O(√|E|) entries in EVERY round without
+    any clipping: h-values are bounded by degrees, so Σ over distinct
+    values ≤ Σ h ≤ 2|E|, and k distinct values require a sum ≥
+    k(k+1)/2 ⇒ k ≤ 2√|E| — the same hub bound as the degree-oriented
     triangle count; no task ever materializes a hub's raw
-    neighborhood. Values are localCheckpoint-ed each round (each
-    round reads the previous values twice; without truncation the
-    plan doubles per round and the driver dies optimizing it long
-    before data size matters).
+    neighborhood. (An earlier draft also clipped neighbor values at
+    the node's own estimate — correct but a second join per round
+    buying nothing the distinct-value bound doesn't already give.)
+    Values are localCheckpoint-ed each round (each round reads the
+    previous values twice; without truncation the plan doubles per
+    round and the driver dies optimizing it long before data size
+    matters).
     """
     sym = (
         edges.select(F.col(src).alias("_n"), F.col(dst).alias("_nb"))
@@ -527,11 +526,8 @@ def core_numbers(
         nbvals = sym.join(
             cur.select(F.col("_n").alias("_nb"), F.col("_c").alias("_nbc")),
             "_nb",
-        ).select("_n", "_nbc")
-        clipped = nbvals.join(cur, "_n").select(
-            "_n", F.least("_nbc", "_c").alias("_v")
-        )
-        hist = clipped.groupBy("_n", "_v").agg(
+        ).select("_n", F.col("_nbc").alias("_v"))
+        hist = nbvals.groupBy("_n", "_v").agg(
             F.count("*").cast("long").alias("_cnt")
         )
         # the changed flag rides the SAME materialization job as the
