@@ -2599,3 +2599,53 @@ def q_keywords_rake(spark, sf_dir):
         .orderBy(F.desc("score"), "phrase")
         .limit(15)
     )
+
+
+@query("q_dedup_recall_eval", oracle=None)  # sketch side — engine-specific
+def q_dedup_recall_eval(spark, sf_dir):
+    """Dedup-pipeline QUALITY measurement as an operator: recall of
+    the MinHash+LSH candidate generator against the EXACT
+    Jaccard-threshold join on the same 3-gram shingle space
+    (operators/dedup.py::minhash_candidate_pairs vs
+    prefix_filter_jaccard_pairs, τ = 0.5). "Measure, don't guess" —
+    a 100 TB dedup run should ship with its own recall audit riding
+    the same job, not a notebook estimate. Output: one row with
+    exact-pair count, candidate count, hits, and recall.
+
+    Both pair generators are already scale-shaped (banded buckets /
+    hash-ordered prefixes); the comparison is a co-keyed join of two
+    pair sets followed by scalar aggregates. Rows-only for the
+    driver (the sketch side has no SQL expression); the exact side's
+    own correctness is oracle-checked via q_jaccard_prefix_join."""
+    from hls_stac_parquet_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    exact = prefix_filter_jaccard_pairs(d, n=3, min_jaccard=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = minhash_candidate_pairs(d, shingle_k=3).select(
+        "doc_a", "doc_b"
+    )
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_hit = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        n_exact.join(F.broadcast(n_cand))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.col("n_hits") / F.col("n_exact"),
+                ).otherwise(F.lit(1.0)),
+                4,
+            ).alias("recall"),
+        )
+    )

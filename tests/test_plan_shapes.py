@@ -602,3 +602,61 @@ def test_kaplan_meier_windows_are_cohort_partitioned(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start(): m.start() + 400]
         assert "cohort" in seg, seg[:200]
+
+
+def test_weighted_sample_topk_is_take_ordered(spark):
+    """A-ES sampling must compile to a per-partition heap, never a
+    global sort of the corpus."""
+    plan = _plan(spark, "q_weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_rrf_fusion_heads_are_take_ordered(spark):
+    """Both retrieval legs and the final head must be TakeOrdered —
+    three bounded heaps, no full-corpus window/sort."""
+    plan = _plan(spark, "q_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_itemsets_3_no_cartesian(spark):
+    plan = _plan(spark, "q_itemsets_3")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """The carry-forward kernel: one user-keyed exchange feeds the
+    window; no purchase×touch join anywhere."""
+    plan = _plan(spark, "q_attribution")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_not_in_nulls_is_null_aware_anti_join(spark):
+    """NOT IN must keep the null-aware flag — a plain LEFT ANTI would
+    silently drop ANSI three-valued logic."""
+    plan = _plan(spark, "q_not_in_nulls")
+    # BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true
+    #                                                       ^^^^ isNullAwareAntiJoin
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_ema_two_exchanges_windows_share_one(spark):
+    """Exactly two exchanges: the (user, day) aggregate and ONE
+    user-keyed repartition that BOTH window passes (row_number and
+    the shared cumulative frame) reuse."""
+    plan = _plan(spark, "q_ema")
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 2
+
+
+def test_dhash_hashes_shuffle_not_bytes(spark):
+    """The banded hamming join must shuffle band keys derived from the
+    8-byte hash — image payloads stay in the scan stage (no binary
+    column in any exchange)."""
+    df = REGISTRY["q_image_dhash_dedup"].fn(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Exchange")[1:]:
+        head = frag[:200]
+        assert "content" not in head, head
