@@ -2601,7 +2601,7 @@ def q_keywords_rake(spark, sf_dir):
     )
 
 
-@query("q_dedup_recall_eval", oracle=None)  # sketch side — engine-specific
+@query("q_dedup_recall_eval", oracle=None, bench=False)  # sketch side — engine-specific; audit-weight, not a headline query
 def q_dedup_recall_eval(spark, sf_dir):
     """Dedup-pipeline QUALITY measurement as an operator: recall of
     the MinHash+LSH candidate generator against the EXACT
@@ -2623,11 +2623,18 @@ def q_dedup_recall_eval(spark, sf_dir):
     )
 
     d = t(spark, sf_dir, "documents")
-    exact = prefix_filter_jaccard_pairs(d, n=3, min_jaccard=0.5).select(
-        "doc_a", "doc_b"
+    # each pair set feeds TWO consumers (its own count + the hit
+    # join); checkpoint the pairs-sized results so neither generator
+    # runs twice
+    exact = (
+        prefix_filter_jaccard_pairs(d, n=3, min_jaccard=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
-    cand = minhash_candidate_pairs(d, shingle_k=3).select(
-        "doc_a", "doc_b"
+    cand = (
+        minhash_candidate_pairs(d, shingle_k=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_exact = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
