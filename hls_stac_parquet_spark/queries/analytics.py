@@ -1193,3 +1193,104 @@ def q_attribution(spark, sf_dir):
         .groupBy(F.col("last_touch").alias("touch_type"))
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
     )
+
+
+@query(
+    "q_session_paths",
+    oracle=(
+        "WITH gapped AS ("
+        "  SELECT user_id, ts, event_id, event_type, "
+        "    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+        "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
+        "    THEN 1 ELSE 0 END AS is_new FROM events), "
+        "sess AS ("
+        "  SELECT user_id, ts, event_id, event_type, "
+        "    sum(is_new) OVER (PARTITION BY user_id "
+        "      ORDER BY ts, event_id) AS session_id FROM gapped), "
+        "paths AS ("
+        "  SELECT user_id, session_id, "
+        "    string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+        "  FROM sess GROUP BY user_id, session_id) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+        "FROM paths GROUP BY path "
+        "ORDER BY n_sessions DESC, path LIMIT 20"
+    ),
+)
+def q_session_paths(spark, sf_dir):
+    """Top navigation paths: gap-sessionize (the q_sessionize kernel,
+    30-min idle), concatenate each session's ordered event types into
+    a path string, report the 20 most common paths — the clickstream
+    pattern-mining staple.
+
+    One user-keyed shuffle drives the lag + cumulative-sum windows
+    AND the per-session ordered aggregation (sort_array over
+    (ts, event_id, type) structs — deterministic total order, no
+    second exchange); path counting shuffles only the paths-sized
+    aggregate, and the head is TakeOrdered."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ),
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(F.when(gap > 1800 * 1_000_000, 1).otherwise(0)).over(w),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q_reservoir_per_group",
+    oracle=(
+        "SELECT source, doc_id, n_chars FROM ("
+        "  SELECT source, doc_id, n_chars, row_number() OVER ("
+        "    PARTITION BY source "
+        "    ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        "  FROM documents) WHERE rn <= 5"
+    ),
+)
+def q_reservoir_per_group(spark, sf_dir):
+    """Exact-size per-group sample (k = 5 docs per source) — the
+    deterministic equivalent of per-group reservoir sampling: rank by
+    a salted md5 of the id and keep the top k. Unlike
+    q_stratified_sample's per-stratum RATES (expected size), this
+    guarantees the exact budget per group — the eval-set carve-out
+    pattern. No RNG state, partition-layout-independent, identical on
+    any engine; the per-group window ranks within groups (never a
+    global sort), and at scale groups are the partitioning key."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
