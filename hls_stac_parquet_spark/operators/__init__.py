@@ -42,6 +42,7 @@ from hls_stac_parquet_spark.operators.tokenizer import (  # noqa: F401
 )
 from hls_stac_parquet_spark.operators.graph import (  # noqa: F401
     connected_components,
+    connected_components_auto,
     connected_components_star,
     pagerank,
     triangle_count,

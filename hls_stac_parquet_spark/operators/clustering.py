@@ -109,10 +109,10 @@ def dbscan(
         .join(core_b, "_b")
     )
     from hls_stac_parquet_spark.operators.graph import (
-        connected_components_star,
+        connected_components_auto,
     )
 
-    cc = connected_components_star(core_edges, "_a", "_b")
+    cc = connected_components_auto(core_edges, "_a", "_b")
     # isolated cores (min_pts-dense but no OTHER core within eps) are
     # their own singleton cluster
     core_clusters = (

@@ -167,6 +167,7 @@ def connected_components_star(
     )
 
     converged = False
+    prev_count = e.count()
     for _ in range(max_iter):
         # -- large-star: sym view, each strictly-larger neighbor joins
         #    the neighborhood minimum (which includes u itself)
@@ -204,11 +205,19 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # convergence probe, cheap-first: both relations are DISTINCT
+        # sets, so |new| == |old| together with new\old = ∅ implies
+        # equality — and while the contraction is still making
+        # progress the edge count usually shrinks, so most rounds pay
+        # only a count() over the fresh checkpoint and skip the
+        # anti-join entirely
+        new_count = new_e.count()
         stable = (
-            new_e.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(new_e).limit(1).count() == 0
+            new_count == prev_count
+            and new_e.exceptAll(e).limit(1).count() == 0
         )
         e = new_e
+        prev_count = new_count
         if stable:
             converged = True
             break
@@ -558,3 +567,63 @@ def core_numbers(
             "h-index rounds; raise max_iter"
         )
     return cur.select(F.col("_n").alias("node"), F.col("_c").alias("core"))
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_max: int = 1_000_000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Tiered connected components — same ``(node, component=min
+    reachable id)`` contract as :func:`connected_components_star`,
+    with the tier picked by a counted guard, mirroring the
+    brute-vs-blocked tiering in operators/similarity.py:
+
+    - pair sets ≤ ``driver_max`` rows (the common case for dedup:
+      candidate PAIRS are orders of magnitude smaller than the
+      corpus) run a driver-side union-find — one collect of long
+      pairs, O(E α(E)) in plain Python, zero iterative Spark rounds.
+      At the default cap that collect is ≤ ~16 MB, a control-plane
+      payload; the per-round fixed cost of the distributed algorithms
+      (~1 s × O(log²) rounds in local mode) dwarfs it far beyond
+      this size.
+    - larger pair sets route to large-star/small-star unchanged.
+
+    The pair set is checkpointed once on entry, so the tier-picking
+    count(), the collect (small tier), or the star rounds (large
+    tier) all reuse one materialization — callers can pass the raw
+    candidate-generation pipeline without it running twice."""
+    edges = edges.select(src, dst).localCheckpoint()
+    n = edges.count()
+    if n > driver_max:
+        return connected_components_star(edges, src, dst, max_iter)
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = MIN member id (the star contract): path-halving
+    # union by min root already keeps each root the component minimum
+    out = [(node, find(node)) for node in parent]
+    spark = edges.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("node", LongType()), StructField("component", LongType())]
+    )
+    return spark.createDataFrame(out, schema)

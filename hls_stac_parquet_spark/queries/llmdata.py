@@ -606,12 +606,12 @@ def q_dedup_clusters(spark, sf_dir):
     components (operators/graph.py); cluster_id = smallest doc_id
     reachable, i.e. the canonical survivor. Oracle = DuckDB recursive
     CTE transitive closure over the same edges."""
-    from hls_stac_parquet_spark.operators.graph import connected_components
+    from hls_stac_parquet_spark.operators.graph import connected_components_auto
 
     pairs = ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), n=2, min_jaccard=0.5
     ).select("doc_a", "doc_b")
-    return connected_components(pairs, "doc_a", "doc_b").select(
+    return connected_components_auto(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
@@ -932,11 +932,11 @@ def q_dedup_survivors(spark, sf_dir):
     q_dedup_clusters' connected components; the corpus-wide left join
     is keyed on doc_id (clusters table ≪ corpus, AQE broadcasts it
     while it fits)."""
-    from hls_stac_parquet_spark.operators.graph import connected_components
+    from hls_stac_parquet_spark.operators.graph import connected_components_auto
 
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.5).select("doc_a", "doc_b")
-    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+    clusters = connected_components_auto(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     return docs.select("doc_id").join(clusters, "doc_id", "left").select(
@@ -1619,11 +1619,11 @@ def q_embedding_dedup(spark, sf_dir):
     component diameter grows with corpus size — star contraction
     converges in O(log²) rounds where label propagation needs
     O(diameter)."""
-    from hls_stac_parquet_spark.operators.graph import connected_components_star
+    from hls_stac_parquet_spark.operators.graph import connected_components_auto
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_above(emb, threshold=0.35).select("vec_a", "vec_b")
-    cc = connected_components_star(pairs, "vec_a", "vec_b").select(
+    cc = connected_components_auto(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), F.col("component").alias("survivor")
     )
     return (
@@ -1821,7 +1821,7 @@ def q_semantic_dedup_blocked(spark, sf_dir):
     that probing doesn't bridge is missed; recall vs the exact pair
     set is property-tested (tests/test_similarity.py). Rows-only for
     the driver."""
-    from hls_stac_parquet_spark.operators.graph import connected_components_star
+    from hls_stac_parquet_spark.operators.graph import connected_components_auto
     from hls_stac_parquet_spark.operators.similarity import (
         ivf_cosine_pairs_above,
     )
@@ -1830,7 +1830,7 @@ def q_semantic_dedup_blocked(spark, sf_dir):
     pairs = ivf_cosine_pairs_above(
         emb, threshold=0.35, n_clusters=8, n_probe=3
     ).select("vec_a", "vec_b")
-    cc = connected_components_star(pairs, "vec_a", "vec_b").select(
+    cc = connected_components_auto(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), F.col("component").alias("survivor")
     )
     return (
