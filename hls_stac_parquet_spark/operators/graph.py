@@ -465,6 +465,7 @@ def core_numbers(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    driver_max: int = 200_000,
 ) -> DataFrame:
     """Coreness (k-core number) of every node via the h-index
     iteration (Lü et al., "The H-index of a network node and its
@@ -497,14 +498,62 @@ def core_numbers(
     previous values twice; without truncation the plan doubles per
     round and the driver dies optimizing it long before data size
     matters).
+
+    Tiering (same counted-guard pattern as
+    :func:`connected_components_auto`): edge sets ≤ ``driver_max``
+    canonical edges run the O(E+V) bucket-queue peeling on the driver
+    — the h-index loop's per-round fixed cost (~1 s × O(rounds) in
+    local mode) dwarfs a ≤200k-row collect. Pass ``driver_max=0`` to
+    force the distributed path (the property tests pin both tiers to
+    textbook peeling).
     """
-    sym = (
-        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_nb"))
-        .union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_nb")))
-        .filter(F.col("_n") != F.col("_nb"))
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    if e.count() <= driver_max:
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r._u, set()).add(r._v)
+            adj.setdefault(r._v, set()).add(r._u)
+        # bucket-queue peeling (Batagelj–Zaveršnik, O(E+V))
+        deg = {v: len(ns) for v, ns in adj.items()}
+        buckets: dict = {}
+        for v, d in deg.items():
+            buckets.setdefault(d, set()).add(v)
+        core: dict = {}
+        k = 0
+        remaining = len(deg)
+        while remaining:
+            while not buckets.get(k):
+                k += 1
+            v = buckets[k].pop()
+            core[v] = k
+            remaining -= 1
+            for u in adj[v]:
+                if u in core:
+                    continue
+                d = deg[u]
+                if d > k:
+                    buckets[d].discard(u)
+                    deg[u] = d - 1
+                    buckets.setdefault(d - 1, set()).add(u)
+        spark = edges.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("node", LongType()), StructField("core", LongType())]
+        )
+        return spark.createDataFrame(list(core.items()), schema)
+
+    sym = e.select(F.col("_u").alias("_n"), F.col("_v").alias("_nb")).union(
+        e.select(F.col("_v").alias("_n"), F.col("_u").alias("_nb"))
+    ).persist()
     cur = (
         sym.groupBy("_n")
         .agg(F.count("*").cast("long").alias("_c"))

@@ -223,14 +223,19 @@ def _spark_coreness(spark, edges, **kw):
     return {r.node: r.core for r in rows}
 
 
-def test_coreness_clique_plus_tail(spark):
+# driver_max=0 forces the distributed h-index tier; the default runs
+# the driver bucket-queue peeling tier — both must match textbook
+# peeling exactly
+@pytest.mark.parametrize("tier", [{}, {"driver_max": 0}])
+def test_coreness_clique_plus_tail(spark, tier):
     # K4 (coreness 3) with a pendant path (coreness 1)
     edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
-    got = _spark_coreness(spark, edges)
+    got = _spark_coreness(spark, edges, **tier)
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
 
 
-def test_coreness_matches_peeling_on_random_graphs(spark):
+@pytest.mark.parametrize("tier", [{}, {"driver_max": 0}])
+def test_coreness_matches_peeling_on_random_graphs(spark, tier):
     import random
 
     rng = random.Random(13)
@@ -247,12 +252,13 @@ def test_coreness_matches_peeling_on_random_graphs(spark):
             }
         )
         want = _peel_coreness_exact(edges)
-        got = _spark_coreness(spark, edges)
+        got = _spark_coreness(spark, edges, **tier)
         assert got == want, f"trial {trial}"
 
 
-def test_coreness_duplicate_and_directed_edges_are_canonicalized(spark):
+@pytest.mark.parametrize("tier", [{}, {"driver_max": 0}])
+def test_coreness_duplicate_and_directed_edges_are_canonicalized(spark, tier):
     # triangle given as duplicated directed edges + a self loop
     edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
-    got = _spark_coreness(spark, edges)
+    got = _spark_coreness(spark, edges, **tier)
     assert got == {1: 2, 2: 2, 3: 2}
