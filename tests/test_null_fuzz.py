@@ -109,6 +109,25 @@ EMPTY_OK_QUERIES = [
     "q_dedup_exact",
     "q_hash_agg",
     "q_topk",
+    # third-session additions — every new operator must no-op cleanly
+    "q_weighted_sample_topk",
+    "q_kcore",
+    "q_kmeans_clusters",
+    "q_dbscan",
+    "q_image_dhash_dedup",
+    "q_audio_fingerprint_dedup",
+    "q_rrf_fusion",
+    "q_random_projection",
+    "q_itemsets_3",
+    "q_funnel_windowed",
+    "q_attribution",
+    "q_not_in_nulls",
+    "q_ema",
+    "q_bootstrap_ci",
+    "q_keywords_rake",
+    "q_session_paths",
+    "q_reservoir_per_group",
+    "q_dedup_recall_eval",
 ]
 
 
