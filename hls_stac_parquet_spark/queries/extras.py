@@ -809,3 +809,167 @@ def q_bloom_anti_join(spark, sf_dir):
     return new.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows")
     )
+
+
+@query(
+    "q_fk_discovery",
+    oracle=(
+        "WITH cand AS ("
+        "  SELECT 'lineitem.l_partkey->part.p_partkey' AS candidate, "
+        "    (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_child, "
+        "    (SELECT count(DISTINCT l_partkey) FROM lineitem "
+        "     WHERE l_partkey IN (SELECT p_partkey FROM part)) AS n_matched "
+        "  UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', "
+        "    (SELECT count(DISTINCT l_suppkey) FROM lineitem), "
+        "    (SELECT count(DISTINCT l_suppkey) FROM lineitem "
+        "     WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)) "
+        "  UNION ALL SELECT 'orders.o_custkey->customer.c_custkey', "
+        "    (SELECT count(DISTINCT o_custkey) FROM orders), "
+        "    (SELECT count(DISTINCT o_custkey) FROM orders "
+        "     WHERE o_custkey IN (SELECT c_custkey FROM customer)) "
+        "  UNION ALL SELECT 'events.user_id->customer.c_custkey', "
+        "    (SELECT count(DISTINCT user_id) FROM events), "
+        "    (SELECT count(DISTINCT user_id) FROM events "
+        "     WHERE user_id IN (SELECT c_custkey FROM customer))) "
+        "SELECT candidate, CAST(n_child AS BIGINT) AS n_child, "
+        "  CAST(n_matched AS BIGINT) AS n_matched, "
+        "  round(n_matched * 1.0 / n_child, 6) AS inclusion "
+        "FROM cand"
+    ),
+)
+def q_fk_discovery(spark, sf_dir):
+    """Foreign-key DISCOVERY by inclusion-dependency measurement: for
+    each candidate (child column → parent key), the fraction of
+    distinct child values contained in the parent — the
+    schema-profiling pass that finds joinable columns in an unfamiliar
+    lake (inclusion 1.0 ⇒ a valid FK; ≪1.0 ⇒ a false friend; here
+    events.user_id scores low against customer keys by design).
+
+    Scale shape: each candidate is DISTINCT-reduce → LEFT SEMI probe →
+    two counts; the distinct collapses the fact table before any join,
+    the semi-join probes the parent's key column only (column-pruned
+    scan), and AQE broadcasts the smaller side. Candidates are
+    independent branches of one union — they parallelize as separate
+    stages of the same job."""
+    def incl(child_df, child_col, parent_df, parent_col, label):
+        child = child_df.select(F.col(child_col).alias("k")).distinct()
+        parent = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        matched = child.join(parent, "k", "left_semi")
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .join(F.broadcast(matched.agg(F.count("*").alias("n_matched"))))
+            .select(
+                F.lit(label).alias("candidate"),
+                F.col("n_child").cast("bigint"),
+                F.col("n_matched").cast("bigint"),
+                F.round(F.col("n_matched") / F.col("n_child"), 6).alias(
+                    "inclusion"
+                ),
+            )
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    out = incl(
+        li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey",
+        "lineitem.l_partkey->part.p_partkey",
+    )
+    out = out.unionByName(
+        incl(
+            li, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey",
+            "lineitem.l_suppkey->supplier.s_suppkey",
+        )
+    )
+    out = out.unionByName(
+        incl(
+            t(spark, sf_dir, "orders"), "o_custkey",
+            t(spark, sf_dir, "customer"), "c_custkey",
+            "orders.o_custkey->customer.c_custkey",
+        )
+    )
+    return out.unionByName(
+        incl(
+            t(spark, sf_dir, "events"), "user_id",
+            t(spark, sf_dir, "customer"), "c_custkey",
+            "events.user_id->customer.c_custkey",
+        )
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle=(
+        "WITH fp AS ("
+        "  SELECT DISTINCT source, unnest(list_transform("
+        "    range(1, len(string_split(lower(text), ' ')) - 6), "
+        "    i -> md5(array_to_string("
+        "      (string_split(lower(text), ' '))[i:i+7], ' ')))) AS f "
+        "  FROM documents "
+        "  WHERE len(string_split(lower(text), ' ')) >= 8), "
+        "pairs AS ("
+        "  SELECT a.source AS source_a, b.source AS source_b, "
+        "    CAST(count(*) AS BIGINT) AS n_shared "
+        "  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source "
+        "  GROUP BY 1, 2), "
+        "sizes AS (SELECT source, count(*) AS n FROM fp GROUP BY source) "
+        "SELECT p.source_a, p.source_b, p.n_shared, "
+        "  round(p.n_shared * 1.0 / least(sa.n, sb.n), 6) AS containment "
+        "FROM pairs p "
+        "JOIN sizes sa ON sa.source = p.source_a "
+        "JOIN sizes sb ON sb.source = p.source_b"
+    ),
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (corpus governance): for every
+    pair of sources, how much verbatim CONTENT they share — measured
+    on 7-token window fingerprints (the q_substring_dup_pairs
+    construction, so near-duplicate republications register even when
+    no whole document matches exactly), normalized by the smaller
+    source (containment). The audit that catches one feed
+    re-publishing another before mixture weights are chosen.
+
+    Scale shape: documents collapse to DISTINCT (source, window-md5)
+    rows first — the text never joins; the fingerprint self-join is
+    keyed on the digest (co-partitioned equi join, AQE-skew-safe),
+    and the output is |sources|²-bounded. The same digest relation
+    feeds the per-source sizes via one reuse."""
+    ts = F.split(F.lower(F.col("text")), " ")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 7),
+        lambda i: F.md5(
+            F.array_join(F.slice(ts, i, 7), " ")
+        ),
+    )
+    fp = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(ts) >= 8)
+        .select("source", F.explode(wins).alias("f"))
+        .distinct()
+        .localCheckpoint()  # reused by the pair join (twice) + sizes
+    )
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sizes = fp.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
