@@ -833,7 +833,8 @@ def q_bloom_anti_join(spark, sf_dir):
         "     WHERE user_id IN (SELECT c_custkey FROM customer))) "
         "SELECT candidate, CAST(n_child AS BIGINT) AS n_child, "
         "  CAST(n_matched AS BIGINT) AS n_matched, "
-        "  round(n_matched * 1.0 / n_child, 6) AS inclusion "
+        "  CASE WHEN n_child > 0 "
+        "    THEN round(n_matched * 1.0 / n_child, 6) END AS inclusion "
         "FROM cand"
     ),
 )
@@ -862,9 +863,12 @@ def q_fk_discovery(spark, sf_dir):
                 F.lit(label).alias("candidate"),
                 F.col("n_child").cast("bigint"),
                 F.col("n_matched").cast("bigint"),
-                F.round(F.col("n_matched") / F.col("n_child"), 6).alias(
-                    "inclusion"
-                ),
+                # empty child (fresh partition) yields NULL, not an
+                # ANSI divide-by-zero
+                F.when(
+                    F.col("n_child") > 0,
+                    F.round(F.col("n_matched") / F.col("n_child"), 6),
+                ).alias("inclusion"),
             )
         )
 

@@ -128,6 +128,8 @@ EMPTY_OK_QUERIES = [
     "q_session_paths",
     "q_reservoir_per_group",
     "q_dedup_recall_eval",
+    "q_fk_discovery",
+    "q_source_overlap",
 ]
 
 
