@@ -676,3 +676,61 @@ def connected_components_auto(
         [StructField("node", LongType()), StructField("component", LongType())]
     )
     return spark.createDataFrame(out, schema)
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Bounded-hop weighted single-source shortest paths (Bellman-Ford
+    relaxation): ``(node, dist)`` with dist = min total weight over
+    paths of at most ``rounds`` edges from the source node.
+
+    The source is the minimum ``src`` value in the edge list unless a
+    one-row ``source_col`` frame is wired in by the caller. Each round
+    is ONE keyed shuffle: current distances join the edge list on the
+    source endpoint, relaxed candidates union the standing distances,
+    and a min-aggregate per node keeps the best — node-bounded state,
+    never a path relation (the recursive-CTE oracle enumerates paths;
+    this never does). Distances are localCheckpoint-ed per round so
+    round k's plan does not replay rounds 1..k-1.
+
+    FP contract: Bellman-Ford's dist_k(v) = min(dist_{k-1}(v),
+    min_u dist_{k-1}(u) + w(u,v)) evaluates exactly the left-to-right
+    path sums a path-enumerating oracle computes, and min over the
+    same double multiset is order-free — so the result hash-matches a
+    WITH RECURSIVE oracle bit-for-bit (rounded only at presentation).
+
+    Pass both edge directions for an undirected graph. At 100 TB the
+    per-round shuffle is |dist| ⋈ |edges| on node keys — AQE handles
+    hub skew; state never exceeds one row per reached node.
+    """
+    e = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b"), F.col(weight).alias("_w")
+    ).localCheckpoint()
+    # anchor: DISTINCT source row (0 rows when the edge list is empty,
+    # matching the oracle's `WHERE a = (SELECT min(a) ...)` anchor)
+    src_dim = e.agg(F.min("_a").alias("_s"))
+    dist = (
+        e.select(F.col("_a").alias("node"))
+        .distinct()
+        .join(F.broadcast(src_dim), F.col("node") == F.col("_s"))
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist.node == e._a)
+            .select(F.col("_b").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -1294,3 +1294,146 @@ def q_reservoir_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "q_sssp_weighted",
+    oracle=(
+        "WITH RECURSIVE ps AS ("
+        "  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+        "  JOIN part ON p_partkey = l_partkey WHERE p_size = 1), "
+        "pairs AS ("
+        "  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c "
+        "  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey "
+        "    AND a.l_suppkey < b.l_suppkey GROUP BY 1, 2), "
+        "edges AS ("
+        "  SELECT sa AS a, sb AS b, 1.0 / c AS w FROM pairs "
+        "  UNION ALL SELECT sb, sa, 1.0 / c FROM pairs), "
+        "walk AS ("
+        "  SELECT DISTINCT a AS node, CAST(0 AS DOUBLE) AS dist, 0 AS hop "
+        "  FROM edges WHERE a = (SELECT min(a) FROM edges) "
+        "  UNION ALL "
+        "  SELECT e.b, walk.dist + e.w, walk.hop + 1 "
+        "  FROM walk JOIN edges e ON e.a = walk.node WHERE walk.hop < 3) "
+        "SELECT node, round(min(dist), 6) AS dist FROM walk GROUP BY node"
+    ),
+    bench=False,  # multi-job iterative op (3 relaxation rounds); the
+    # per-round cost is one node-keyed shuffle, profiled free of plan
+    # waste — excluded from the headline set like q_bfs_reachability
+)
+def q_sssp_weighted(spark, sf_dir):
+    """Bounded-hop WEIGHTED single-source shortest paths over the
+    supplier-collaboration graph (suppliers who ship the same part are
+    adjacent; edge weight 1/|shared parts|, so heavily-collaborating
+    suppliers are "closer") — the weighted companion to
+    q_bfs_reachability's unweighted BFS, and the primitive behind
+    influence radii / similarity diffusion on dedup graphs.
+
+    Spark side is Bellman-Ford relaxation (operators/graph.py::
+    sssp_bounded): node-bounded state, one keyed shuffle per round,
+    never a path relation. The oracle enumerates paths with a
+    recursive CTE and takes min — exponential in hops, affordable only
+    because the p_size=1 subgraph is small at oracle scale; the
+    engine-side plan is the one that survives 100 TB. The two
+    formulations evaluate the identical double sums (left-to-right
+    path accumulation; min is order-free), so the match is exact.
+    """
+    from hls_stac_parquet_spark.operators.graph import sssp_bounded
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "part").filter(F.col("p_size") == 1),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        self_join_pairs(ps, ["l_partkey"], "l_suppkey")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+        .select("id_a", "id_b", (F.lit(1.0) / F.col("c")).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w"
+        )
+    )
+    d = sssp_bounded(edges, rounds=3)
+    return d.select("node", F.round("dist", 6).alias("dist"))
+
+
+@query(
+    "q_er_sorted_neighborhood",
+    oracle=(
+        "WITH s AS ("
+        "  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk, "
+        "    lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS n1, "
+        "    lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS n2 "
+        "  FROM part "
+        "  WINDOW w AS (PARTITION BY string_split(p_name, ' ')[1] "
+        "               ORDER BY p_name, p_partkey)), "
+        "cand AS ("
+        "  SELECT p_partkey AS key_a, k1 AS key_b, p_name AS name_a, n1 AS name_b "
+        "  FROM s WHERE k1 IS NOT NULL "
+        "  UNION ALL "
+        "  SELECT p_partkey, k2, p_name, n2 FROM s WHERE k2 IS NOT NULL) "
+        "SELECT key_a, key_b, name_a, name_b, "
+        "  CAST(levenshtein(name_a, name_b) AS INT) AS dist "
+        "FROM cand WHERE levenshtein(name_a, name_b) <= 12"
+    ),
+)
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Entity resolution via BLOCKED SORTED-NEIGHBORHOOD: records
+    sorted by name within a first-token block, each record paired with
+    its next w-1=2 sort neighbors, then an exact levenshtein verify —
+    the classic record-linkage candidate generator (Hernández &
+    Stolfo's merge/purge), complementary to q_spell_variants'
+    char-block join: SN finds near-matches that SHARE A SORT PREFIX
+    regardless of edit distance structure, with candidate count
+    bounded at (w-1)·n by construction.
+
+    Scale shape: the window is PARTITIONED by the blocking token, so
+    the sort is a per-block range sort (no single-task global window);
+    the verify runs row-side in codegen. The sliding pass is one
+    shuffle; output is linear in the input. The oracle applies the
+    identical window + verify, so the declared candidate set is exact.
+    """
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+    s = p.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.lead("p_partkey", 1).over(w).alias("k1"),
+        F.lead("p_name", 1).over(w).alias("n1"),
+        F.lead("p_partkey", 2).over(w).alias("k2"),
+        F.lead("p_name", 2).over(w).alias("n2"),
+    )
+    cand = s.filter(F.col("k1").isNotNull()).select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("k1").alias("key_b"),
+        F.col("p_name").alias("name_a"),
+        F.col("n1").alias("name_b"),
+    ).unionAll(
+        s.filter(F.col("k2").isNotNull()).select(
+            F.col("p_partkey").alias("key_a"),
+            F.col("k2").alias("key_b"),
+            F.col("p_name").alias("name_a"),
+            F.col("n2").alias("name_b"),
+        )
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") <= 12).select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    )

@@ -1739,3 +1739,314 @@ def q_bootstrap_ci(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_reps"),
     )
     return point.join(F.broadcast(ci))
+
+
+@query(
+    "q_psi_drift",
+    oracle=(
+        "WITH ref AS (SELECT value FROM events "
+        "  WHERE value IS NOT NULL AND extract(day FROM ts) <= 15), "
+        "cur AS (SELECT value FROM events "
+        "  WHERE value IS NOT NULL AND extract(day FROM ts) > 15), "
+        "b AS (SELECT list_transform(quantile_cont(value, "
+        "  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), "
+        "  x -> round(x, 6)) AS bnds FROM ref), "
+        "rb AS (SELECT len(list_filter((SELECT bnds FROM b), "
+        "  x -> x <= value)) AS bin FROM ref), "
+        "cb AS (SELECT len(list_filter((SELECT bnds FROM b), "
+        "  x -> x <= value)) AS bin FROM cur), "
+        "rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY bin), "
+        "cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY bin), "
+        "tot AS (SELECT (SELECT count(*) FROM rb) AS nr, "
+        "  (SELECT count(*) FROM cb) AS nc) "
+        "SELECT CAST(g.bin AS INT) AS bin, "
+        "  CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref, "
+        "  CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur, "
+        "  round(((coalesce(cc.n, 0) + 1.0) / (nc + 10) "
+        "       - (coalesce(rc.n, 0) + 1.0) / (nr + 10)) "
+        "    * ln(((coalesce(cc.n, 0) + 1.0) / (nc + 10)) "
+        "       / ((coalesce(rc.n, 0) + 1.0) / (nr + 10))), 6) AS psi_term "
+        "FROM (SELECT unnest(range(10)) AS bin) g "
+        "LEFT JOIN rc ON rc.bin = g.bin "
+        "LEFT JOIN cc ON cc.bin = g.bin "
+        "CROSS JOIN tot"
+    ),
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index — the standard production drift
+    monitor between a reference window (days 1-15) and a current
+    window (days 16+): bin both samples by the REFERENCE deciles, then
+    psi_term = (p_cur - p_ref)·ln(p_cur/p_ref) per bin (Laplace
+    +1/+10 smoothing so empty bins stay finite); Σ psi_term > 0.2 is
+    the conventional retrain trigger.
+
+    Scale shape: decile boundaries come from the shared sort-based
+    quantile kernel (operators/quantiles.py — no value-map aggregation
+    buffer), are ROUNDED to 6 dp so the bin cut is float-stable across
+    engines, and travel as a broadcast 1-row array dim; binning is a
+    codegen'd array filter per row (no per-row join), and the PSI
+    arithmetic runs on the 10-row bin aggregate. Two fact passes total
+    (boundary sort + bin count), each a plain keyed shuffle. NULL
+    values are excluded explicitly on both engines.
+    """
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
+    probs = [i / 10.0 for i in range(1, 10)]
+    names = [f"_q{i}" for i in range(1, 10)]
+    bdim = grouped_quantiles(ref, [], "value", probs, names).select(
+        F.array(*[F.round(F.col(n), 6) for n in names]).alias("bnds")
+    )
+
+    def bins(side):
+        return (
+            side.join(F.broadcast(bdim))
+            .select(
+                F.size(
+                    F.filter("bnds", lambda x: x <= F.col("value"))
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    rc = bins(ref).select(F.col("bin"), F.col("n").alias("rn"))
+    cc = bins(cur).select(F.col("bin"), F.col("n").alias("cn"))
+    tot = ref.agg(F.count("*").alias("nr")).join(
+        cur.agg(F.count("*").alias("nc"))
+    )
+    g = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    pr = (F.coalesce("cn", F.lit(0)) + 1.0) / (F.col("nc") + 10)
+    pf = (F.coalesce("rn", F.lit(0)) + 1.0) / (F.col("nr") + 10)
+    return (
+        g.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("rn", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("cn", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.round((pr - pf) * F.log(pr / pf), 6).alias("psi_term"),
+        )
+    )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt "
+        "  FROM events GROUP BY 1), "
+        "win AS (SELECT day, cnt, sum(cnt) OVER w AS t7, "
+        "  count(*) OVER w AS nw, CAST(extract(dow FROM day) AS INT) AS dow "
+        "  FROM daily WINDOW w AS "
+        "  (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+        "full7 AS (SELECT * FROM win WHERE nw = 7), "
+        "seas AS (SELECT dow, sum(7 * cnt - t7) AS s_num, count(*) AS k "
+        "  FROM full7 GROUP BY dow) "
+        "SELECT f.day, CAST(f.cnt AS BIGINT) AS cnt, "
+        "  round(f.t7 / 7.0, 6) AS trend, "
+        "  round(s.s_num / (7.0 * s.k), 6) AS seasonal, "
+        "  round(f.cnt - f.t7 / 7.0 - s.s_num / (7.0 * s.k), 6) AS resid "
+        "FROM full7 f JOIN seas s ON s.dow = f.dow"
+    ),
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, residual =
+    observed − trend − seasonal — the pre-processing step behind every
+    time-series anomaly detector.
+
+    FP-stability by construction: both engines derive every component
+    from EXACT INTEGER sums — trend numerator is a rolling integer
+    sum, the seasonal numerator is Σ(7·cnt − trend_sum) (integers
+    throughout), and division by 7/7k happens once at the end in the
+    identical expression shape — so the hash match is exact, not
+    round-rescued. Weekday numbering is aligned explicitly (Spark
+    dayofweek−1 ≡ DuckDB dow). Scale shape: every window/aggregate
+    runs over the DAYS-sized relation (one fact-table pass produces
+    it); the seasonal dim is 7 rows, broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("t7"),
+        F.count("*").over(w).alias("nw"),
+        (F.dayofweek("day") - 1).alias("dow"),
+    )
+    full7 = win.filter(F.col("nw") == 7)
+    seas = full7.groupBy("dow").agg(
+        F.sum(7 * F.col("cnt") - F.col("t7")).alias("s_num"),
+        F.count("*").alias("k"),
+    )
+    return full7.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("t7") / 7.0, 6).alias("trend"),
+        F.round(F.col("s_num") / (7.0 * F.col("k")), 6).alias("seasonal"),
+        F.round(
+            F.col("cnt") - F.col("t7") / 7.0
+            - F.col("s_num") / (7.0 * F.col("k")),
+            6,
+        ).alias("resid"),
+    )
+
+
+@query(
+    "q_item_item_cf",
+    oracle=(
+        "WITH od AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "pc AS (SELECT l_partkey, count(*) AS n FROM od GROUP BY 1), "
+        "pr AS (SELECT a.l_partkey AS ia, b.l_partkey AS ib, "
+        "  count(*) AS nab FROM od a JOIN od b "
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "  GROUP BY 1, 2), "
+        "sym AS (SELECT ia AS item, ib AS neighbor, nab FROM pr "
+        "  UNION ALL SELECT ib, ia, nab FROM pr), "
+        "sims AS (SELECT item, neighbor, nab, "
+        "  round(nab / sqrt(ca.n * cb.n), 6) AS sim "
+        "  FROM sym JOIN pc ca ON ca.l_partkey = item "
+        "  JOIN pc cb ON cb.l_partkey = neighbor) "
+        "SELECT item, neighbor, CAST(nab AS BIGINT) AS n_together, sim, "
+        "  CAST(rn AS INT) AS rnk "
+        "FROM (SELECT *, row_number() OVER "
+        "  (PARTITION BY item ORDER BY sim DESC, neighbor) AS rn FROM sims) "
+        "WHERE rn <= 5"
+    ),
+)
+def q_item_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering: top-5 nearest neighbors per
+    part by BINARY COSINE over order baskets — sim(i,j) =
+    cooc(i,j)/√(n_i·n_j) — the classic Amazon-style recommender
+    precompute, and the co-occurrence twin of q_market_basket's lift
+    ranking.
+
+    Scale shape: candidate pairs come from the order-key-blocked
+    self-join (Σ|basket|² ≈ linear for bounded baskets — never the
+    |items|² matrix); per-item supports join back as AQE-adaptive
+    dims; the top-5 cut is a per-item window over the PAIR AGGREGATE
+    (bounded by co-occurrence structure, not the corpus). The rank
+    orders by sim ROUNDED to 6 dp with a neighbor-id tiebreak, so the
+    cut is float-stable across engines.
+    """
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+
+    od = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = od.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    pr = (
+        self_join_pairs(od, ["l_orderkey"], "l_partkey")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nab"))
+    )
+    sym = pr.select(
+        F.col("id_a").alias("item"), F.col("id_b").alias("neighbor"), "nab"
+    ).unionAll(
+        pr.select(
+            F.col("id_b").alias("item"), F.col("id_a").alias("neighbor"), "nab"
+        )
+    )
+    ca = pc.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
+    cb = pc.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n").alias("nb")
+    )
+    sims = (
+        sym.join(ca, "item")
+        .join(cb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "nab",
+            F.round(
+                F.col("nab") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), "neighbor")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "item",
+            "neighbor",
+            F.col("nab").cast("bigint").alias("n_together"),
+            "sim",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "q_geo_radius_join",
+    oracle=(
+        "WITH cust AS ("
+        "  SELECT c_custkey, "
+        "    CAST((c_custkey * 9301 + 49297) % 18000 AS DOUBLE)/100 - 90 AS clat, "
+        "    CAST((c_custkey * 7919 + 104729) % 36000 AS DOUBLE)/100 - 180 AS clon "
+        "  FROM customer WHERE c_custkey % 10 = 0), "
+        "supp AS ("
+        "  SELECT s_suppkey, "
+        "    CAST((s_suppkey * 9301 + 49297) % 18000 AS DOUBLE)/100 - 90 AS slat, "
+        "    CAST((s_suppkey * 7919 + 104729) % 36000 AS DOUBLE)/100 - 180 AS slon "
+        "  FROM supplier) "
+        "SELECT c_custkey, s_suppkey, round(d, 3) AS dist_km FROM ("
+        "  SELECT c.c_custkey, s.s_suppkey, "
+        "    2 * 6371.0088 * asin(sqrt("
+        "      sin(radians(s.slat - c.clat)/2) * sin(radians(s.slat - c.clat)/2) "
+        "      + cos(radians(c.clat)) * cos(radians(s.slat)) "
+        "      * sin(radians(s.slon - c.clon)/2) * sin(radians(s.slon - c.clon)/2)"
+        "    )) AS d "
+        "  FROM cust c, supp s) WHERE d <= 500.0"
+    ),
+)
+def q_geo_radius_join(spark, sf_dir):
+    """Large×large geo RADIUS join — every (customer, supplier) pair
+    within 500 km, grid-blocked exactly (operators/spatialjoin.py::
+    geo_radius_pairs): both sides embed on the 3-D unit sphere where
+    "within 500 km" is a fixed chord length, a cubic grid with
+    chord-sized cells generates candidates (right side explodes to
+    its 3×3×3 neighborhood, left side hashes to ONE home cell — each
+    pair meets exactly once), and the exact haversine decides. This
+    is the declared scale tier behind q_geo_knn's guarded broadcast:
+    one cell-keyed shuffle instead of |L|·|R|, no pole or
+    antimeridian special cases by construction.
+
+    The oracle replays the IDENTICAL haversine arithmetic on the
+    UNBLOCKED quadratic join — pinning that blocking is
+    result-invisible (the same contract as q_point_in_polygon).
+    Distances round to 3 dp at presentation only; the ≤ filter runs
+    on the raw double, which both engines compute bit-identically
+    from the same deterministic LCG coordinates.
+    """
+    from hls_stac_parquet_spark.operators.spatialjoin import geo_radius_pairs
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (((F.col("c_custkey") * 9301 + 49297) % 18000).cast("double") / 100 - 90).alias("clat"),
+            (((F.col("c_custkey") * 7919 + 104729) % 36000).cast("double") / 100 - 180).alias("clon"),
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 9301 + 49297) % 18000).cast("double") / 100 - 90).alias("slat"),
+        (((F.col("s_suppkey") * 7919 + 104729) % 36000).cast("double") / 100 - 180).alias("slon"),
+    )
+    pairs = geo_radius_pairs(
+        cust, supp, 500.0, lat_l="clat", lon_l="clon", lat_r="slat", lon_r="slon"
+    )
+    return pairs.select(
+        "c_custkey", "s_suppkey", F.round("dist_km", 3).alias("dist_km")
+    )

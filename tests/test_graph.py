@@ -262,3 +262,59 @@ def test_coreness_duplicate_and_directed_edges_are_canonicalized(spark, tier):
     edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
     got = _spark_coreness(spark, edges, **tier)
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_sssp_bounded_matches_python_dp(spark):
+    """sssp_bounded == the textbook bounded Bellman-Ford DP on random
+    weighted graphs (exact doubles — no rounding slack needed)."""
+    import random
+
+    from hls_stac_parquet_spark.operators.graph import sssp_bounded
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        pairs = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a < b and rng.random() < 0.4
+        ]
+        if not pairs:
+            continue
+        w = {p: rng.choice([0.25, 0.5, 1.0, 2.0]) for p in pairs}
+        edges = [(a, b, w[(a, b)]) for a, b in pairs] + [
+            (b, a, w[(a, b)]) for a, b in pairs
+        ]
+        rounds = 3
+        src = min(a for a, _, _ in edges)
+        dist = {src: 0.0}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for a, b, ww in edges:
+                if a in dist:
+                    cand = dist[a] + ww
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+            dist = nxt
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        got = {
+            r["node"]: r["dist"] for r in sssp_bounded(df, rounds=rounds).collect()
+        }
+        assert got == dist, f"trial {trial}"
+
+
+def test_sssp_bounded_empty_edges(spark):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from hls_stac_parquet_spark.operators.graph import sssp_bounded
+
+    schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("w", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    assert sssp_bounded(df, rounds=2).count() == 0

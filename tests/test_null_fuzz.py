@@ -37,6 +37,9 @@ FUZZ_QUERIES = [
     "q_variant_json",
     "q_video_frame_sample",
     "q_dedup_exact",
+    # fourth-session additions touching fuzzed columns (events.value)
+    "q_psi_drift",
+    "q_seasonal_decompose",
 ]
 
 
@@ -130,6 +133,13 @@ EMPTY_OK_QUERIES = [
     "q_dedup_recall_eval",
     "q_fk_discovery",
     "q_source_overlap",
+    # fourth-session additions — every new operator must no-op cleanly
+    "q_psi_drift",
+    "q_seasonal_decompose",
+    "q_item_item_cf",
+    "q_sssp_weighted",
+    "q_er_sorted_neighborhood",
+    "q_geo_radius_join",
 ]
 
 

@@ -99,3 +99,49 @@ def test_negative_coordinates_block_correctly(spark):
         for r in point_in_polygon_join(tdf, pdf, cell_size=2.5).collect()
     }
     assert got == {0}
+
+
+def test_geo_radius_pairs_matches_brute_force(spark):
+    """Grid blocking is result-invisible: pairs within R from
+    geo_radius_pairs == the quadratic haversine filter, on random
+    coordinates including poles and antimeridian neighborhoods."""
+    import math
+    import random
+
+    from hls_stac_parquet_spark.operators.spatialjoin import geo_radius_pairs
+
+    rng = random.Random(42)
+
+    def hav_km(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(40)]
+    # adversarial: polar cluster + antimeridian straddle
+    pts += [
+        (100, 89.9, 10.0), (101, 89.8, -170.0),
+        (102, 0.0, 179.9), (103, 0.0, -179.9),
+        (104, -89.95, 55.0), (105, -89.9, -120.0),
+    ]
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo in pts], ["lid", "llat", "llon"]
+    )
+    right = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo in pts], ["rid", "rlat", "rlon"]
+    )
+    for r_km in (300.0, 1500.0):
+        got = {
+            (r["lid"], r["rid"])
+            for r in geo_radius_pairs(
+                left, right, r_km,
+                lat_l="llat", lon_l="llon", lat_r="rlat", lon_r="rlon",
+            ).collect()
+        }
+        want = {
+            (a[0], b[0]) for a in pts for b in pts if hav_km(a, b) <= r_km
+        }
+        assert got == want, f"radius {r_km}"
