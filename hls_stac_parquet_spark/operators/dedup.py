@@ -614,3 +614,73 @@ def containment_pairs(
     return out.filter(F.col("containment") >= min_containment).select(
         "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     )
+
+
+def ngram_jaccard_pairs_between(
+    probe: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN two document sets — the
+    incremental-ingest shape: a small probe batch joins the corpus's
+    shingle postings instead of re-running the corpus×corpus
+    self-join. Cost is driven by |probe postings| × per-shingle df,
+    not |corpus|²; at scale the base side is the maintained postings
+    index (cf. q_dedup_incremental's exact-digest variant).
+
+    Output: (probe_id, base_id, jaccard) with probe_id from ``probe``
+    and base_id from ``base`` (caller canonicalizes orientation if it
+    unions these with self-join pairs).
+    """
+
+    def grams(df):
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        b = df.select(F.col(id_col), toks.alias("ts")).filter(
+            F.size("ts") >= n
+        )
+        return b.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at("ts", (i + j).cast("int"))
+                                for j in range(n)
+                            ],
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+
+    gp = grams(probe)
+    gb = grams(base)
+    cp = gp.groupBy(id_col).agg(F.count("*").alias("n_p"))
+    cb = gb.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    common = (
+        gp.select(F.col(id_col).alias("probe_id"), "shingle")
+        .join(gb.select(F.col(id_col).alias("base_id"), "shingle"), "shingle")
+        .groupBy("probe_id", "base_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            cp.select(F.col(id_col).alias("probe_id"), "n_p"), "probe_id"
+        )
+        .join(cb.select(F.col(id_col).alias("base_id"), "n_b"), "base_id")
+        .select(
+            "probe_id",
+            "base_id",
+            (
+                F.col("n_common")
+                / (F.col("n_p") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -57,3 +57,61 @@ def grouped_quantiles(
         ).when(F.col("_rn") == lo + 1, F.col(value_col) * frac)
         aggs.append(F.sum(contrib).alias(alias))
     return d.groupBy(*gcols).agg(*aggs)
+
+
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    aliases: Sequence[str],
+) -> DataFrame:
+    """One row with exact interpolated GLOBAL quantiles of
+    ``value_col`` — the scale tier of :func:`grouped_quantiles` for a
+    single monstrous group.
+
+    An unpartitioned ``row_number`` window funnels every row through
+    ONE task; instead this composes the range-partitioned global-rank
+    recipe (q_auc, stats.py — pinned independently by
+    tests/test_properties.py::test_range_partitioned_global_rank_invariant):
+    range-partition by value, rank locally per partition, add
+    broadcast prefix-sum offsets from the #partitions-sized count
+    dim, then the same conditional-sum interpolation tail as
+    grouped_quantiles. Equal values never straddle a range boundary
+    (RangePartitioning compares by value), and the multiset at any
+    rank is tie-order-invariant, so the result is identical to the
+    single-window form — returned values interpolate as
+    v_lo·(1−frac) + v_hi·frac, ≡ DuckDB ``quantile_cont``.
+    """
+    if len(probs) != len(aliases):
+        raise ValueError("probs and aliases must align")
+    part = (
+        df.select(value_col)
+        .repartitionByRange(F.col(value_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_all).alias("_cnt"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(value_col)
+    d = (
+        part.withColumn("_lrn", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.col("_lrn") + F.col("_off") - 1)
+    )
+    aggs = []
+    for p, alias in zip(probs, aliases):
+        pos = (F.col("_cnt") - 1) * float(p)
+        lo = F.floor(pos)
+        frac = pos - lo
+        contrib = F.when(
+            F.col("_rn") == lo, F.col(value_col) * (1 - frac)
+        ).when(F.col("_rn") == lo + 1, F.col(value_col) * frac)
+        aggs.append(F.sum(contrib).alias(alias))
+    return d.groupBy().agg(*aggs)

@@ -2656,3 +2656,307 @@ def q_dedup_recall_eval(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "q_knn_classifier",
+    oracle=(
+        "WITH knn AS (SELECT vec_id, neighbor_id FROM ("
+        "  SELECT a.vec_id, b.vec_id AS neighbor_id, row_number() OVER ("
+        "    PARTITION BY a.vec_id ORDER BY "
+        "    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "      CAST(b.embedding AS DOUBLE[])), 6) DESC, b.vec_id) AS rnk "
+        "  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id) "
+        "  WHERE rnk <= 5), "
+        "votes AS (SELECT k.vec_id, e.label, count(*) AS c "
+        "  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id "
+        "  GROUP BY 1, 2), "
+        "pred AS (SELECT vec_id, label AS plabel FROM ("
+        "  SELECT vec_id, label, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY c DESC, label) AS r FROM votes) "
+        "  WHERE r = 1) "
+        "SELECT e.label, CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(sum(CASE WHEN p.plabel = e.label THEN 1 ELSE 0 END) "
+        "    AS BIGINT) AS n_correct, "
+        "  round(sum(CASE WHEN p.plabel = e.label THEN 1 ELSE 0 END) "
+        "    * 1.0 / count(*), 6) AS accuracy "
+        "FROM embeddings e JOIN pred p ON p.vec_id = e.vec_id "
+        "GROUP BY e.label"
+    ),
+)
+def q_knn_classifier(spark, sf_dir):
+    """Leave-one-out k-NN classification quality on the embedding
+    table: each vector is classified by the MAJORITY LABEL of its 5
+    exact cosine neighbors (self excluded; ties to the smallest
+    label), reported as per-class accuracy — the standard
+    embedding-quality probe run before trusting a space for semantic
+    dedup or retrieval.
+
+    Reuses the exact cosine_topk operator (broadcast-GEMM tier with
+    the counted guard; IVF is the declared 100 TB path), so the
+    neighbor set is deterministic and engine-portable (rank on
+    ROUNDED cosine, id tiebreak). Voting and accuracy run on the
+    |V|·5-row neighbor relation and the |labels|-row aggregate —
+    negligible next to the similarity search itself.
+    """
+    from hls_stac_parquet_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    knn = cosine_topk(emb, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "label")
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("label").alias("plabel"))
+    )
+    hit = F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
+    return (
+        labels.join(pred, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count("*"), 6).alias("accuracy"),
+        )
+    )
+
+
+@query(
+    "q_ndcg",
+    oracle=(
+        "WITH rel AS (SELECT source, doc_id, n_chars, "
+        "  CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS rel "
+        "  FROM documents), "
+        "ranked AS (SELECT source, rel, row_number() OVER ("
+        "  PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk "
+        "  FROM rel), "
+        "top AS (SELECT source, list(rel ORDER BY rnk) AS rels "
+        "  FROM ranked WHERE rnk <= 10 GROUP BY source), "
+        "tot AS (SELECT source, CAST(sum(rel) AS BIGINT) AS n_rel "
+        "  FROM rel GROUP BY source), "
+        "calc AS (SELECT top.source, tot.n_rel, "
+        "  round(coalesce(list_sum(list_transform("
+        "    range(1, len(rels) + 1), i -> rels[i] / log2(i + 1))), 0), 6) "
+        "    AS dcg, "
+        "  CASE WHEN least(10, tot.n_rel) >= 1 THEN "
+        "    round(list_sum(list_transform("
+        "      range(1, least(10, tot.n_rel) + 1), i -> 1.0 / log2(i + 1))"
+        "    ), 6) ELSE 0.0 END AS idcg "
+        "  FROM top JOIN tot ON tot.source = top.source) "
+        "SELECT source, n_rel, dcg, "
+        "  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg "
+        "FROM calc"
+    ),
+)
+def q_ndcg(spark, sf_dir):
+    """NDCG@10 per source — the standard graded ranking-quality
+    metric for retrieval evaluation: rank each source's documents by
+    a retrieval signal (length-prior: n_chars DESC, id tiebreak),
+    score binary relevance (document mentions 'spark'), and report
+    DCG@10 / ideal-DCG@10. Complements q_auc (classification) and
+    q_rrf_fusion (rank merging) in the evaluation toolkit.
+
+    Exactness: BOTH dcg and idcg are computed as ordered left-to-
+    right folds over rank-sorted arrays (collect top-10 rels per
+    source sorted by rank, then a HOF aggregate) — never an
+    arbitrary-order float aggregate — and are rounded before the
+    final division, so the cross-engine hash match does not depend
+    on summation order. Scale shape: the rank window is partitioned
+    by source; per-source state is a ≤10-element array plus one
+    count; the metric runs on the |sources|-row aggregate. NULL text
+    scores relevance 0 on both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    rel = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.when(F.col("text").like("%spark%"), 1.0).otherwise(0.0).alias("rel"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = rel.select(
+        "source", "rel", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    top = ranked.groupBy("source").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rnk, rel))), x -> x.rel)"
+        ).alias("rels")
+    )
+    tot = rel.groupBy("source").agg(
+        F.sum("rel").cast("bigint").alias("n_rel")
+    )
+    calc = top.join(tot, "source").select(
+        "source",
+        "n_rel",
+        F.round(
+            F.coalesce(
+                F.expr(
+                    "aggregate(transform(rels, (x, i) -> x / log2(i + 2)), "
+                    "0D, (a, b) -> a + b)"
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dcg"),
+        F.when(
+            F.least(F.lit(10), F.col("n_rel")) >= 1,
+            F.round(
+                F.expr(
+                    "aggregate(transform(sequence(1, least(10, n_rel)), "
+                    "i -> 1.0D / log2(i + 1)), 0D, (a, b) -> a + b)"
+                ),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("idcg"),
+    )
+    return calc.select(
+        "source",
+        "n_rel",
+        "dcg",
+        F.when(F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)).alias(
+            "ndcg"
+        ),
+    )
+
+
+@query(
+    "q_dedup_clusters_incremental",
+    oracle=(
+        "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + ", "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lbl) AS ("
+        "SELECT DISTINCT a, a FROM edges "
+        "UNION "
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node) "
+        "SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node"
+    ),
+    bench=False,  # built on the quadratic ground-truth pair path, like
+    # q_dedup_clusters; the operator's value is the refresh shape
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """INCREMENTAL dedup-cluster maintenance — the continuous-ingest
+    variant of q_dedup_clusters: a stored cluster map (built from the
+    existing corpus, doc_id % 4 != 0) is refreshed with a new batch
+    (doc_id % 4 == 0) WITHOUT recomputing old-old pairs. Delta pairs
+    come from the incremental probe shape (operators/dedup.py::
+    ngram_jaccard_pairs_between — new-batch postings join the corpus
+    postings index; never corpus×corpus), and the refresh runs
+    connected components over (stored map AS edges ∪ delta pairs):
+    each stored (node → cluster_id) row is an edge to the cluster's
+    min-id hub, so old connectivity is preserved at |V| edges and a
+    new doc bridging two old clusters merges them correctly.
+
+    The oracle is the FULL recompute over all pairs — the IVM
+    property (refresh ≡ rebuild, cf. q_ivm_refresh) is the contract
+    being hash-checked, not just the output shape. At 100 TB this is
+    the difference between a nightly corpus×corpus dedup and a
+    per-batch probe against the maintained index.
+    """
+    from hls_stac_parquet_spark.operators.dedup import (
+        ngram_jaccard_pairs_between,
+    )
+    from hls_stac_parquet_spark.operators.graph import (
+        connected_components_auto,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    # the "stored" snapshot a previous run would have persisted
+    base_map = connected_components_auto(
+        ngram_jaccard_pairs(old, n=2, min_jaccard=0.5).select(
+            "doc_a", "doc_b"
+        ),
+        "doc_a",
+        "doc_b",
+    )
+    # delta: new-new self pairs + new-old probe pairs, canonicalized
+    nn = ngram_jaccard_pairs(new, n=2, min_jaccard=0.5).select(
+        "doc_a", "doc_b"
+    )
+    no = ngram_jaccard_pairs_between(new, old, n=2, min_jaccard=0.5).select(
+        F.least("probe_id", "base_id").alias("doc_a"),
+        F.greatest("probe_id", "base_id").alias("doc_b"),
+    )
+    refresh_edges = (
+        base_map.select(
+            F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
+        )
+        .unionAll(nn)
+        .unionAll(no)
+    )
+    return connected_components_auto(refresh_edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query("q_textrank", oracle=None, bench=False)  # iterative multi-job op
+# (8 pagerank rounds ≈ fixed per-job overhead × 8, like q_pagerank /
+# q_bfs_reachability — excluded from the headline set on the same
+# precedent); pagerank kernel numpy-replay tested
+def q_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the word co-occurrence graph (words adjacent within a 2-token
+    window are linked), top-20 words by centrality — the
+    graph-centrality companion to q_keywords_rake's frequency/degree
+    scoring, built ENTIRELY from existing engine operators
+    (posexplode postings → two position-keyed equi-joins →
+    operators/graph.py::pagerank).
+
+    Scale shape: co-occurrence candidates come from equi-joins on
+    (doc_id, pos+k) — never an inequality or windowed self-join over
+    the corpus; the graph aggregates to |vocab|² edges max (tiny vs
+    the corpus; the per-round PageRank shuffle is node-bounded).
+    Rows-only (iterative fixpoint is not SQL-expressible); the
+    pagerank kernel's exactness is pinned vs numpy power iteration in
+    tests/test_graph.py, and determinism comes from rounded ranks +
+    word tiebreak.
+    """
+    from hls_stac_parquet_spark.operators.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    # co-occurrence within distance 1..2: two equi-joins on shifted pos
+    def shifted(k):
+        a = toks.select("doc_id", "pos", F.col("word").alias("wa"))
+        b = toks.select(
+            "doc_id",
+            (F.col("pos") - k).alias("pos"),
+            F.col("word").alias("wb"),
+        )
+        return a.join(b, ["doc_id", "pos"]).select("wa", "wb")
+
+    co = (
+        shifted(1)
+        .unionAll(shifted(2))
+        .filter(F.col("wa") != F.col("wb"))
+        .distinct()
+    )
+    edges = co.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst")
+    ).unionAll(co.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
+    # materialize + truncate lineage: pagerank joins the edge relation
+    # EVERY round — without this the corpus-wide position joins replay
+    # 8×+ (measured 18.8 s → ~2 s at sf0.1)
+    edges = edges.distinct().localCheckpoint()
+    pr = pagerank(edges, iterations=8)
+    return (
+        pr.select(F.col("node").alias("word"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "word")
+        .limit(20)
+    )

@@ -1780,23 +1780,25 @@ def q_psi_drift(spark, sf_dir):
     +1/+10 smoothing so empty bins stay finite); Σ psi_term > 0.2 is
     the conventional retrain trigger.
 
-    Scale shape: decile boundaries come from the shared sort-based
-    quantile kernel (operators/quantiles.py — no value-map aggregation
-    buffer), are ROUNDED to 6 dp so the bin cut is float-stable across
-    engines, and travel as a broadcast 1-row array dim; binning is a
+    Scale shape: decile boundaries come from the GLOBAL exact-quantile
+    kernel (operators/quantiles.py::global_quantiles — range-partition
+    + broadcast prefix-sum offsets, never an unpartitioned window or a
+    value-map aggregation buffer), are ROUNDED to 6 dp so the bin cut
+    is float-stable across engines, and travel as a broadcast 1-row
+    array dim; binning is a
     codegen'd array filter per row (no per-row join), and the PSI
     arithmetic runs on the 10-row bin aggregate. Two fact passes total
     (boundary sort + bin count), each a plain keyed shuffle. NULL
     values are excluded explicitly on both engines.
     """
-    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+    from hls_stac_parquet_spark.operators.quantiles import global_quantiles
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
     cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
     probs = [i / 10.0 for i in range(1, 10)]
     names = [f"_q{i}" for i in range(1, 10)]
-    bdim = grouped_quantiles(ref, [], "value", probs, names).select(
+    bdim = global_quantiles(ref, "value", probs, names).select(
         F.array(*[F.round(F.col(n), 6) for n in names]).alias("bnds")
     )
 
@@ -2049,4 +2051,40 @@ def q_geo_radius_join(spark, sf_dir):
     )
     return pairs.select(
         "c_custkey", "s_suppkey", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+@query(
+    "q_global_quantiles",
+    oracle=(
+        "SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, "
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS p99, "
+        "CAST(count(l_extendedprice) AS BIGINT) AS n FROM lineitem"
+    ),
+)
+def q_global_quantiles(spark, sf_dir):
+    """Exact GLOBAL quantiles of a fact-table column — the
+    single-monstrous-group case every per-group quantile kernel
+    dodges. Computed scalably (operators/quantiles.py::
+    global_quantiles): range-partition by value, rank locally, add
+    broadcast prefix-sum offsets (#partitions-sized dim), one
+    conditional-sum interpolation aggregate — never an unpartitioned
+    row_number window over the fact table, never the builtin
+    `percentile`'s value-map buffer. ≡ DuckDB quantile_cont (type-7
+    interpolation); equality with the single-window kernel is also
+    property-pinned independent of this oracle.
+    """
+    from hls_stac_parquet_spark.operators.quantiles import global_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    q = global_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99], ["_p50", "_p90", "_p99"]
+    )
+    n = li.agg(F.count("l_extendedprice").cast("bigint").alias("n"))
+    return q.join(F.broadcast(n)).select(
+        F.round("_p50", 6).alias("p50"),
+        F.round("_p90", 6).alias("p90"),
+        F.round("_p99", 6).alias("p99"),
+        "n",
     )

@@ -419,3 +419,90 @@ def foreach_batch_sketch_monitor(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_digest_monitor(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    k: int = 200,
+):
+    """Streaming QUANTILE monitor: maintain one mergeable t-digest per
+    group over the whole stream (operators/sketches.py::tdigest_build)
+    — the latency/size drift companion to the Count-Min frequency
+    monitor above.
+
+    Each micro-batch compresses to ≤k centroids per group, then
+    recompresses against the persisted snapshot — per-group state is
+    O(k) regardless of stream length, and the snapshot answers
+    any-quantile queries at any time via merge_digest_tables without
+    rescanning the stream. Rank error grows one 1/k term per merge
+    level (≈ #batches/k worst case), the documented t-digest trade.
+    Same idempotency envelope as foreach_batch_sketch_monitor:
+    batch-id-suffixed temp + atomic swap.
+    """
+    import os
+    import shutil
+
+    from hls_stac_parquet_spark.operators.sketches import tdigest_build
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_digests = tdigest_build(
+            batch_df.select(group_col, value_col), [group_col], value_col, k=k
+        )
+        if os.path.exists(dest):
+            from hls_stac_parquet_spark.operators.sketches import (
+                _compress,  # same kernel the build uses
+            )
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.types import (
+                ArrayType,
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            current = spark.read.parquet(dest)
+            schema = StructType(
+                [current.schema[group_col]]
+                + [
+                    StructField("means", ArrayType(DoubleType())),
+                    StructField("weights", ArrayType(DoubleType())),
+                ]
+            )
+
+            def remerge(key, pdfs):
+                m = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in pdfs["means"]]
+                )
+                w = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in pdfs["weights"]]
+                )
+                m, w = _compress(m, w, k)
+                return pd.DataFrame(
+                    [(*key, list(m), list(w))],
+                    columns=[group_col, "means", "weights"],
+                )
+
+            merged = (
+                current.unionByName(batch_digests)
+                .groupBy(group_col)
+                .applyInPandas(remerge, schema)
+            )
+        else:
+            merged = batch_digests
+        tmp = f"{dest}.__new__{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -37,9 +37,11 @@ FUZZ_QUERIES = [
     "q_variant_json",
     "q_video_frame_sample",
     "q_dedup_exact",
-    # fourth-session additions touching fuzzed columns (events.value)
+    # fourth-session additions touching fuzzed columns
     "q_psi_drift",
     "q_seasonal_decompose",
+    "q_ndcg",
+    "q_dedup_clusters_incremental",
 ]
 
 
@@ -140,6 +142,11 @@ EMPTY_OK_QUERIES = [
     "q_sssp_weighted",
     "q_er_sorted_neighborhood",
     "q_geo_radius_join",
+    "q_knn_classifier",
+    "q_ndcg",
+    "q_global_quantiles",
+    "q_dedup_clusters_incremental",
+    "q_textrank",
 ]
 
 

@@ -285,3 +285,36 @@ def test_snapshot_diff_check_unique_raises(spark):
     newf = spark.createDataFrame([(1, 3)], "k long, v long")
     with pytest.raises(ValueError, match="duplicate key"):
         snapshot_diff(oldf, newf, ["k"], ["v"], check_unique=True)
+
+
+def test_global_quantiles_match_single_window_kernel(spark):
+    """global_quantiles (range-partition + prefix offsets) == the
+    single-window grouped_quantiles on dup-heavy random inputs — pins
+    the partition-id/rank composition independently of any oracle."""
+    import random
+
+    from hls_stac_parquet_spark.operators.quantiles import (
+        global_quantiles,
+        grouped_quantiles,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        vals = [float(rng.randint(0, 12)) for _ in range(rng.randint(5, 400))]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(7)
+        probs = [0.1, 0.5, 0.9]
+        names = ["a", "b", "c"]
+        got = global_quantiles(df, "v", probs, names).collect()[0]
+        want = grouped_quantiles(df, [], "v", probs, names).collect()[0]
+        for n in names:
+            assert abs(got[n] - want[n]) <= 1e-12, (trial, n, got[n], want[n])
+
+
+def test_global_quantiles_empty_input(spark):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from hls_stac_parquet_spark.operators.quantiles import global_quantiles
+
+    df = spark.createDataFrame([], StructType([StructField("v", DoubleType())]))
+    row = global_quantiles(df, "v", [0.5], ["m"]).collect()
+    assert len(row) == 1 and row[0]["m"] is None

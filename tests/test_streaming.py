@@ -506,3 +506,47 @@ def test_stream_countmin_monitor_equals_batch_sketch(spark, tmp_path):
         for r in countmin_build(df, "k", depth=3, width=64).collect()
     }
     assert got == want
+
+
+def test_stream_digest_monitor_quantiles_within_bound(spark, tmp_path):
+    """The streamed per-group t-digest snapshot answers quantile
+    queries within the documented rank-error envelope (~#levels/k) of
+    the exact quantiles over the same rows — bounded state per group
+    no matter how long the stream runs."""
+    from hls_stac_parquet_spark.operators.sketches import merge_digest_tables
+    from hls_stac_parquet_spark.streaming.incremental import (
+        foreach_batch_digest_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    # two groups with different uniform ranges so a group mix-up fails
+    rows = [("a", (i % 1000) / 1000.0) for i in range(3000)]
+    rows += [("b", 5.0 + (i % 800) / 800.0) for i in range(2400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    dest, ckpt = str(tmp_path / "digest"), str(tmp_path / "ckpt")
+    q = foreach_batch_digest_monitor(
+        stream, dest, ckpt, "g", "v", k=200
+    ).start()
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(dest)
+    assert snap.count() == 2  # one digest row per group, O(k) state
+    est = {
+        r["g"]: (r["q_10"], r["q_50"], r["q_90"])
+        for r in merge_digest_tables(snap, ["g"], [0.1, 0.5, 0.9]).collect()
+    }
+    import numpy as np
+
+    for g, base in (("a", rows[:3000]), ("b", rows[3000:])):
+        vals = np.sort([v for _, v in base])
+        for got, p in zip(est[g], (0.1, 0.5, 0.9)):
+            exact = float(np.quantile(vals, p))
+            span = vals[-1] - vals[0]
+            assert abs(got - exact) <= 0.05 * span, (g, p, got, exact)
