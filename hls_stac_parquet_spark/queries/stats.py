@@ -1803,13 +1803,17 @@ def q_psi_drift(spark, sf_dir):
     )
 
     def bins(side):
+        # declared semantic: bins are UNDEFINED without a reference
+        # sample — when every boundary is NULL (empty ref), bin is
+        # NULL, matching DuckDB's list_filter(NULL)=NULL, instead of
+        # silently binning everything to 0
+        bin_col = F.when(
+            F.size(F.filter("bnds", lambda x: x.isNotNull())) == 0,
+            F.lit(None).cast("int"),
+        ).otherwise(F.size(F.filter("bnds", lambda x: x <= F.col("value"))))
         return (
             side.join(F.broadcast(bdim))
-            .select(
-                F.size(
-                    F.filter("bnds", lambda x: x <= F.col("value"))
-                ).alias("bin")
-            )
+            .select(bin_col.alias("bin"))
             .groupBy("bin")
             .agg(F.count("*").alias("n"))
         )
@@ -2087,4 +2091,72 @@ def q_global_quantiles(spark, sf_dir):
         F.round("_p90", 6).alias("p90"),
         F.round("_p99", 6).alias("p99"),
         "n",
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt "
+        "  FROM events GROUP BY 1), "
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS n FROM daily), "
+        "pre AS (SELECT day, cnt, "
+        "  sum(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "    AND CURRENT ROW) AS pfx, "
+        "  row_number() OVER (ORDER BY day) AS d "
+        "  FROM daily), "
+        "s AS (SELECT day, cnt, n * pfx - d * total AS s_num, n "
+        "  FROM pre CROSS JOIN tot) "
+        "SELECT day, CAST(cnt AS BIGINT) AS cnt, "
+        "  round(s_num * 1.0 / n, 6) AS cusum, "
+        "  CAST(abs(s_num) = (SELECT max(abs(s_num)) FROM s) AS BOOLEAN) "
+        "    AS is_changepoint "
+        "FROM s"
+    ),
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection over the daily event series: the
+    cumulative sum of deviations from the global mean, S_d = Σ_{t≤d}
+    (cnt_t − mean), peaks in |S| at the most likely level-shift day —
+    the classic offline changepoint statistic (Page's CUSUM /
+    binary-segmentation step) behind pipeline-volume regression
+    alarms.
+
+    Exactness: the statistic is computed as the INTEGER n·S_d =
+    n·prefix_d − d·total (no float accumulates anywhere), so the
+    argmax comparison — where float ulps would misflag the peak — is
+    exact integer equality on both engines; division by n happens
+    once at presentation. Scale shape: one fact pass builds the
+    days-sized aggregate; prefix sums and the peak test run over
+    |days| rows (the running-sum window is a days-sized relation, as
+    in q_max_concurrency).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = daily.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("pfx"),
+        F.row_number().over(Window.orderBy("day")).alias("d"),
+    )
+    s = pre.join(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        (F.col("n") * F.col("pfx") - F.col("d") * F.col("total")).alias(
+            "s_num"
+        ),
+        "n",
+    )
+    mx = s.agg(F.max(F.abs("s_num")).alias("mx"))
+    return s.join(F.broadcast(mx)).select(
+        "day",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("s_num") * 1.0 / F.col("n"), 6).alias("cusum"),
+        (F.abs("s_num") == F.col("mx")).alias("is_changepoint"),
     )

@@ -38,6 +38,12 @@ REPRESENTATIVE = [
     "q_corpus_pipeline",
     "q_triangle_count",
     "q_attribution",
+    # fourth-session additions with distinct scale shapes: basket-
+    # blocked CF pairs, unit-sphere grid-blocked spatial join, and
+    # the range-partitioned global-quantile + broadcast-bin PSI
+    "q_item_item_cf",
+    "q_geo_radius_join",
+    "q_psi_drift",
 ]
 
 
@@ -147,8 +153,19 @@ def main() -> None:
         f"| {n}× data, 8 cells (fixed — the anti-pattern) | {in_fixed} |",
         f"| {n}× data, {8 * n} cells (dial ∝ data) | {in_scaled} |",
     ]
+    # preserve hand-curated sections (convergence footnotes, the
+    # three-point 30× curve) below the marker across regenerations
+    marker = "<!-- MANUAL-SECTIONS -->"
+    manual = ""
+    if os.path.exists("SCALING.md"):
+        with open("SCALING.md") as f:
+            prev = f.read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+        if manual:
+            f.write("\n" + manual)
     print("wrote SCALING.md")
 
 

@@ -147,6 +147,7 @@ EMPTY_OK_QUERIES = [
     "q_global_quantiles",
     "q_dedup_clusters_incremental",
     "q_textrank",
+    "q_cusum_changepoint",
 ]
 
 
@@ -174,3 +175,31 @@ def test_logreg_train_raises_named_error_on_empty(spark, empty_dir):
 
     with pytest.raises(Exception, match="empty input"):
         REGISTRY["q_logreg_train"].fn(spark, empty_dir).collect()
+
+
+def test_psi_drift_empty_reference_window(spark, tmp_path):
+    """PSI with an EMPTY reference sample (all events after day 15):
+    bins are undefined without reference deciles — both engines must
+    emit the 10 zero-count bin rows rather than Spark silently binning
+    current rows to 0 while DuckDB bins them to NULL."""
+    import duckdb
+
+    out = str(tmp_path / "lateonly")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF0001}/events.parquet') "
+        f"WHERE extract(day FROM ts) > 15) "
+        f"TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "documents", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{tbl}.parquet')) "
+            f"TO '{out}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    r = check_query(spark, out, "q_psi_drift")
+    assert r.match, r
+    assert r.spark_rows == 10
