@@ -106,6 +106,13 @@ PRIORITY_QUERIES = [
     "q_cosine_pairs", "q_simhash_dedup", "q_train_test_split",
     "q_jaccard_prefix_join", "q_lang_id", "q_quality_score",
     "q_token_count", "q_fingerprint",
+    # second wave: the fourth-session flagships, so each earns a
+    # driver row before the long alphabetical tail drains
+    "q_dedup_clusters_incremental", "q_knn_classifier", "q_psi_drift",
+    "q_item_item_cf", "q_geo_radius_join", "q_global_quantiles",
+    "q_ndcg", "q_seasonal_decompose", "q_er_sorted_neighborhood",
+    "q_golden_record", "q_theil_sen", "q_cusum_changepoint",
+    "q_sssp_weighted", "q_textrank",
 ]
 
 

@@ -1437,3 +1437,128 @@ def q_er_sorted_neighborhood(spark, sf_dir):
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     )
+
+
+@query(
+    "q_golden_record",
+    oracle=(
+        "WITH RECURSIVE s AS ("
+        "  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk, "
+        "    lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS n1, "
+        "    lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS n2 "
+        "  FROM part "
+        "  WINDOW w AS (PARTITION BY string_split(p_name, ' ')[1] "
+        "               ORDER BY p_name, p_partkey)), "
+        "cand AS ("
+        "  SELECT p_partkey AS a, k1 AS b, p_name AS na, n1 AS nb "
+        "  FROM s WHERE k1 IS NOT NULL "
+        "  UNION ALL SELECT p_partkey, k2, p_name, n2 FROM s "
+        "  WHERE k2 IS NOT NULL), "
+        "pairs AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 12), "
+        "edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+        "reach(node, lbl) AS ("
+        "  SELECT DISTINCT a, a FROM edges "
+        "  UNION SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node), "
+        "comp AS (SELECT node, min(lbl) AS cluster_id FROM reach "
+        "  GROUP BY node), "
+        "members AS (SELECT c.cluster_id, p.p_brand, p.p_type "
+        "  FROM comp c JOIN part p ON p.p_partkey = c.node), "
+        "bp AS (SELECT cluster_id, p_brand FROM ("
+        "  SELECT cluster_id, p_brand, row_number() OVER ("
+        "    PARTITION BY cluster_id ORDER BY count(*) DESC, p_brand) AS r "
+        "  FROM members GROUP BY cluster_id, p_brand) WHERE r = 1), "
+        "tp AS (SELECT cluster_id, p_type FROM ("
+        "  SELECT cluster_id, p_type, row_number() OVER ("
+        "    PARTITION BY cluster_id ORDER BY count(*) DESC, p_type) AS r "
+        "  FROM members GROUP BY cluster_id, p_type) WHERE r = 1) "
+        "SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+        "  min(bp.p_brand) AS brand, min(tp.p_type) AS type_ "
+        "FROM members m "
+        "JOIN bp ON bp.cluster_id = m.cluster_id "
+        "JOIN tp ON tp.cluster_id = m.cluster_id "
+        "GROUP BY m.cluster_id"
+    ),
+    bench=False,  # built on the ER candidate path + recursive closure;
+    # the operator's value is the merge semantics, not throughput
+)
+def q_golden_record(spark, sf_dir):
+    """GOLDEN-RECORD construction — the step after entity resolution:
+    sorted-neighborhood candidate pairs (the q_er_sorted_neighborhood
+    edge set) collapse into entity clusters via connected components,
+    then each cluster elects canonical attribute values by
+    deterministic majority vote (count DESC, value ASC — the q_mode
+    rule) per attribute. This is the survivorship/merge stage of
+    every MDM / record-linkage pipeline (Hernández & Stolfo's
+    merge/purge 'prime representative').
+
+    Scale shape: candidates are (w−1)·n by construction, clusters
+    come from the counted-guard CC operator (driver union-find under
+    1M pairs, large-star/small-star above), attribute votes are
+    per-cluster aggregates over the members relation, and every pick
+    is a window over the VOTES aggregate. The oracle replays the
+    identical candidate set, a recursive-CTE closure, and the same
+    vote rule.
+    """
+    from hls_stac_parquet_spark.operators.graph import (
+        connected_components_auto,
+    )
+
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+    s = p.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.lead("p_partkey", 1).over(w).alias("k1"),
+        F.lead("p_name", 1).over(w).alias("n1"),
+        F.lead("p_partkey", 2).over(w).alias("k2"),
+        F.lead("p_name", 2).over(w).alias("n2"),
+    )
+    cand = s.filter(F.col("k1").isNotNull()).select(
+        F.col("p_partkey").alias("a"),
+        F.col("k1").alias("b"),
+        F.col("p_name").alias("na"),
+        F.col("n1").alias("nb"),
+    ).unionAll(
+        s.filter(F.col("k2").isNotNull()).select(
+            F.col("p_partkey").alias("a"),
+            F.col("k2").alias("b"),
+            F.col("p_name").alias("na"),
+            F.col("n2").alias("nb"),
+        )
+    )
+    pairs = cand.filter(F.levenshtein("na", "nb") <= 12).select("a", "b")
+    comp = connected_components_auto(pairs, "a", "b").select(
+        F.col("node").alias("p_partkey"), F.col("component").alias("cluster_id")
+    )
+    members = comp.join(
+        p.select("p_partkey", "p_brand", "p_type"), "p_partkey"
+    ).select("cluster_id", "p_brand", "p_type")
+
+    def pick(col):
+        votes = members.groupBy("cluster_id", col).agg(
+            F.count("*").alias("c")
+        )
+        wv = Window.partitionBy("cluster_id").orderBy(F.desc("c"), col)
+        return (
+            votes.withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select("cluster_id", col)
+        )
+
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        sizes.join(pick("p_brand"), "cluster_id")
+        .join(pick("p_type"), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type_"),
+        )
+    )

@@ -2160,3 +2160,76 @@ def q_cusum_changepoint(spark, sf_dir):
         F.round(F.col("s_num") * 1.0 / F.col("n"), 6).alias("cusum"),
         (F.abs("s_num") == F.col("mx")).alias("is_changepoint"),
     )
+
+
+@query(
+    "q_theil_sen",
+    oracle=(
+        "WITH pts AS (SELECT user_id, epoch_us(ts) AS t, value AS v "
+        "  FROM events WHERE value IS NOT NULL), "
+        "slopes AS (SELECT a.user_id, "
+        "  (b.v - a.v) * 3600000000.0 / (b.t - a.t) AS slope "
+        "  FROM pts a JOIN pts b "
+        "  ON a.user_id = b.user_id AND a.t < b.t), "
+        "med AS (SELECT user_id, count(*) AS n_pairs, "
+        "  quantile_cont(slope, 0.5) AS m FROM slopes GROUP BY user_id) "
+        "SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs, "
+        "  round(m, 6) AS slope_per_hour FROM med"
+    ),
+    bench=False,  # quadratic-per-user pair path is the ESTIMATOR's
+    # definition (Σ per-user² like q_funnel_windowed), not plan waste;
+    # excluded from the headline set to keep the bench scan-bound
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise
+    slopes of (value vs time) — the standard outlier-immune
+    alternative to OLS (q_linreg_by_group), 29%-breakdown-point
+    trend estimation for noisy per-entity series.
+
+    The pairwise join is BLOCKED BY USER (co-partitioned equi join;
+    Σ per-user² for bounded per-user event counts — the
+    q_funnel_windowed envelope), never a global pair relation. The
+    per-user slope median uses the shared sort-based exact-quantile
+    kernel (operators/quantiles.py — ≡ DuckDB quantile_cont).
+    Timestamps compare as integer microseconds (epoch_us ≡
+    timestampdiff MICROSECOND on NTZ), slopes scale to per-hour with
+    multiply-before-divide so both engines evaluate the identical
+    IEEE expression; equal timestamps are excluded by the strict
+    t-inequality on both sides (no 0-division row). NULL values are
+    excluded explicitly.
+    """
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("_t"),
+            F.col("value").alias("_v"),
+        )
+    )
+    a = pts.select("user_id", F.col("_t").alias("ta"), F.col("_v").alias("va"))
+    b = pts.select("user_id", F.col("_t").alias("tb"), F.col("_v").alias("vb"))
+    slopes = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "user_id",
+            (
+                (F.col("vb") - F.col("va"))
+                * 3600000000.0
+                / (F.col("tb") - F.col("ta"))
+            ).alias("slope"),
+        )
+    )
+    med = grouped_quantiles(slopes, ["user_id"], "slope", [0.5], ["_m"])
+    cnt = slopes.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    return cnt.join(med, "user_id").select(
+        "user_id", "n_pairs", F.round("_m", 6).alias("slope_per_hour")
+    )

@@ -42,6 +42,7 @@ FUZZ_QUERIES = [
     "q_seasonal_decompose",
     "q_ndcg",
     "q_dedup_clusters_incremental",
+    "q_theil_sen",
 ]
 
 
@@ -148,6 +149,8 @@ EMPTY_OK_QUERIES = [
     "q_dedup_clusters_incremental",
     "q_textrank",
     "q_cusum_changepoint",
+    "q_theil_sen",
+    "q_golden_record",
 ]
 
 

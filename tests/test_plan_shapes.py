@@ -660,3 +660,66 @@ def test_dhash_hashes_shuffle_not_bytes(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag[:200]
         assert "content" not in head, head
+
+
+def test_geo_radius_join_is_cell_keyed_no_cartesian(spark):
+    """The large×large spatial tier must join on the grid-cell key —
+    never a cartesian/BNLJ over the two point sets."""
+    plan = _plan(spark, "q_geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cell" in plan  # equi-join key is the grid cell
+
+
+def test_psi_drift_boundaries_broadcast(spark):
+    """Decile boundaries must reach the binning passes as a broadcast
+    1-row array dim, and the NULL filter must push to the scan."""
+    plan = _plan(spark, "q_psi_drift")
+    assert "BroadcastExchange" in plan
+    assert "isnotnull(value" in plan.lower() or "IsNotNull(value" in plan
+
+
+def test_item_item_cf_no_cartesian_and_pushed_prune(spark):
+    """Pair generation must stay order-key-blocked (equi self-join) —
+    the |items|² matrix must never appear — and the lineitem scan must
+    prune to the two join columns."""
+    plan = _plan(spark, "q_item_item_cf")
+    assert "CartesianProduct" not in plan
+    assert "l_orderkey" in plan and "l_partkey" in plan
+    assert "l_extendedprice" not in plan  # column pruning reached the scan
+
+
+def test_er_sorted_neighborhood_window_is_partitioned(spark):
+    """The sliding pass must be a PER-BLOCK window — an unpartitioned
+    global sort window would single-task the corpus."""
+    import re
+
+    plan = _plan(spark, "q_er_sorted_neighborhood")
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():plan.index("\n", m.start())]
+        assert "blk" in seg, seg  # every window partitioned by the block
+
+
+def test_sssp_edges_feed_from_checkpoint(spark):
+    """Bellman-Ford rounds must join the MATERIALIZED edge relation
+    (localCheckpoint scan), not replay the basket self-join per
+    round."""
+    plan = _plan(spark, "q_sssp_weighted")
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_quantiles_no_unpartitioned_fact_window(spark):
+    """The fact-table rank must come from range partitioning + local
+    row_number — the only unpartitioned windows allowed are over the
+    #partitions-sized offsets dim."""
+    import re
+
+    plan = _plan(spark, "q_global_quantiles")
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    # the fact-side rank window is partitioned by _pid ...
+    assert "windowspecdefinition(_pid" in low
+    # ... and no window spec starts with the value column (which would
+    # be an unpartitioned rank over the whole fact table)
+    assert "windowspecdefinition(l_extendedprice" not in low
