@@ -62,7 +62,9 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: joined every round — truncate
+        # lineage once, immune to cache eviction mid-fixpoint
+        .localCheckpoint()
     )
     # eager localCheckpoint: materializes AND truncates lineage, so
     # round N's plan is a constant-size join of two checkpointed
@@ -104,7 +106,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -410,18 +411,20 @@ def propagate_labels(
     are driver-sequenced (iterative algorithms are control-plane
     loops over data-plane shuffles, like pagerank above).
     """
-    # persist: every round joins against the SAME symmetrized edge
-    # set — without the cache each round re-runs the union+distinct
-    # shuffle over the raw edges (max_iter× the dominant input scan).
+    # localCheckpoint: every round joins against the SAME symmetrized
+    # edge set — checkpointing materializes it once AND truncates
+    # lineage, so no round re-runs the union+distinct over raw edges
+    # and round-k task binaries don't carry the full history (the
+    # persist-was-bimodal lesson from triangle_count/pagerank).
     sym = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).union(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    ).filter(F.col("_s") != F.col("_d")).distinct().persist()
+    ).filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint()
 
     seed_labels = seeds.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_lbl")
-    ).withColumn("_seed", F.lit(True)).persist()
+    ).withColumn("_seed", F.lit(True)).localCheckpoint()
 
     labels = seed_labels
     for _ in range(max_iter):
@@ -449,11 +452,8 @@ def propagate_labels(
                 # (e.g. isolated seeds) must not lose their label
                 labels.join(winner.select("_n"), "_n", "left_anti")
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_labels.count()
-        if labels is not seed_labels:
-            labels.unpersist()
         labels = new_labels
     out = labels.select(
         F.col("_n").alias(node_col),
@@ -556,7 +556,7 @@ def core_numbers(
 
     sym = e.select(F.col("_u").alias("_n"), F.col("_v").alias("_nb")).union(
         e.select(F.col("_v").alias("_n"), F.col("_u").alias("_nb"))
-    ).persist()
+    ).localCheckpoint()
     cur = (
         sym.groupBy("_n")
         .agg(F.count("*").cast("long").alias("_c"))
@@ -612,7 +612,6 @@ def core_numbers(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         raise RuntimeError(
             f"core_numbers did not converge within max_iter={max_iter} "
