@@ -36,26 +36,32 @@ def q_skyline(spark, sf_dir):
     The oracle is the O(n²) NOT EXISTS definition; the Spark plan is
     the O(n log n) sort-based formulation that survives scale: one
     tiny aggregate per distinct price (max size at that price), a
-    running max over prices strictly cheaper, then a broadcast join
-    back.  A row is dominated iff some strictly-cheaper price reached
-    its size (>=), or an equal-price row strictly exceeds it — no
-    cross product anywhere, and the window runs over the distinct-
-    price aggregate, not the fact table.
+    DISTRIBUTED running max over prices strictly cheaper (the
+    range-partitioned prefix kernel, operators/ranking.py — a price
+    domain can itself be huge), then an equi join back (AQE
+    broadcasts it while small).  A row is dominated iff some
+    strictly-cheaper price reached its size (>=), or an equal-price
+    row strictly exceeds it — no cross product anywhere, and the
+    running max runs over the distinct-price aggregate, not the fact
+    table.
     """
+    from hls_stac_parquet_spark.operators.ranking import with_global_cummax
+
     p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(
         F.max("p_size").alias("_gmax")
     )
-    w = (
-        Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per_price = with_global_cummax(
+        per_price,
+        [F.col("p_retailprice")],
+        {"_prev_max": "_gmax"},
+        inclusive=False,
     )
-    per_price = per_price.withColumn("_prev_max", F.max("_gmax").over(w))
     dominated = (
         F.col("_prev_max").isNotNull() & (F.col("_prev_max") >= F.col("p_size"))
     ) | (F.col("_gmax") > F.col("p_size"))
     return (
-        p.join(F.broadcast(per_price), "p_retailprice")
+        p.join(per_price, "p_retailprice")
         .filter(~dominated)
         .select("p_partkey", "p_retailprice", "p_size")
     )
@@ -195,12 +201,18 @@ def q_rfm_segments(spark, sf_dir):
     canonical cohorting operator; the same shape scores corpus sources
     by last-crawl recency, page count, and total bytes.
 
-    One fact-table aggregate, then three ntile(4) windows over the
-    per-customer aggregate (orders of magnitude smaller than the fact
-    table), each with a custkey tiebreak so the quartile assignment is
-    total-order deterministic on both engines.  Higher score = better:
-    recency ranks DESC (older first → oldest lands in bucket 1).
+    One fact-table aggregate, then three ntile(4) quartile cuts over
+    the per-customer aggregate — but a customer dim is still billions
+    of rows at corpus scale, so each cut is the DISTRIBUTED closed
+    form (operators/ranking.py::with_global_ntile — range-partitioned
+    global rank + broadcast total), never a single-partition ntile
+    window.  Each cut carries a custkey tiebreak so the quartile
+    assignment is total-order deterministic on both engines.  Higher
+    score = better: recency ranks DESC (older first → oldest lands in
+    bucket 1).
     """
+    from hls_stac_parquet_spark.operators.ranking import with_global_ntile
+
     o = t(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("maxd"))
     rfm = (
@@ -213,17 +225,14 @@ def q_rfm_segments(spark, sf_dir):
         .join(F.broadcast(maxd))
         .withColumn("recency", F.datediff("maxd", "lastd"))
     )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(4).over(Window.orderBy(F.desc("recency"), "o_custkey")),
-        )
-        .withColumn(
-            "f_score", F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
-        )
-        .withColumn(
-            "m_score", F.ntile(4).over(Window.orderBy("monetary", "o_custkey"))
-        )
+    scored = with_global_ntile(
+        rfm, [F.desc("recency"), F.col("o_custkey")], 4, "r_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("frequency"), F.col("o_custkey")], 4, "f_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("monetary"), F.col("o_custkey")], 4, "m_score"
     )
     return scored.select(
         "o_custkey",

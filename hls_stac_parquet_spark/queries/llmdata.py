@@ -751,19 +751,21 @@ def q_pack_sequences(spark, sf_dir):
     """Sequence packing for training batches: documents in doc_id
     order are laid head-to-tail on a token tape; bin = which
     512-token context window the document STARTS in (offset
-    prefix-sum // capacity). One running-sum window + arithmetic — no
-    per-bin iteration. The global window is single-partition at test
-    scale; the scale path range-partitions by doc_id and seeds each
-    partition with the per-partition token-count prefix sums (two
-    tiny jobs), keeping assignment deterministic and distributed."""
+    prefix-sum // capacity). The running sum is DISTRIBUTED — the
+    range-partition + broadcast-prefix-offset kernel
+    (operators/ranking.py), not an unpartitioned window that would
+    funnel the corpus through one task — so assignment stays
+    deterministic at any partition count."""
+    from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
+
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(tokens(F.lower(F.col("text"))), lambda x: x != "")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     d = docs.select("doc_id", F.size(toks).cast("bigint").alias("n_tok"))
-    return d.select(
+    run = with_global_cumsum(d, [F.col("doc_id")], {"_run": "n_tok"})
+    return run.select(
         "doc_id",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("bin"),
+        F.floor((F.col("_run") - F.col("n_tok")) / 512).alias("bin"),
     )
 
 
@@ -1006,11 +1008,15 @@ def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov-Smirnov statistic — distribution
     drift between document populations (even- vs odd-numbered
     sources, over length): the monitoring gate that catches a corpus
-    shift before it poisons a training run. One sorted cumulative
-    window over the union (the default RANGE frame includes ties
-    identically on both engines), then a max-abs-difference
-    aggregate. The global sort is a range-partitioned window at test
-    scale; sample counts ride in as a broadcast 1-row dim."""
+    shift before it poisons a training run. RANGE-frame (tie-
+    inclusive) ECDF semantics come from aggregating per distinct
+    value FIRST, then running totals over the |distinct v|-sized
+    aggregate via the distributed prefix-offset kernel
+    (operators/ranking.py) — no corpus-wide single-partition window,
+    and the KS max is invariant to collapsing ties. Sample counts
+    ride in as a broadcast 1-row dim."""
+    from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
+
     docs = t(spark, sf_dir, "documents")
     s = docs.select(
         F.col("n_chars").alias("v"),
@@ -1021,10 +1027,13 @@ def q_ks_drift(spark, sf_dir):
     n = s.agg(
         F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
     )
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    c = s.select(
-        (F.sum("is_a").over(w) * 1.0).alias("ca"),
-        (F.sum(1 - F.col("is_a")).over(w) * 1.0).alias("cb"),
+    per_v = s.groupBy("v").agg(
+        F.sum("is_a").alias("_a"), F.sum(1 - F.col("is_a")).alias("_b")
+    )
+    c = with_global_cumsum(
+        per_v, [F.col("v")], {"_ca": "_a", "_cb": "_b"}
+    ).select(
+        (F.col("_ca") * 1.0).alias("ca"), (F.col("_cb") * 1.0).alias("cb")
     )
     return c.crossJoin(F.broadcast(n)).agg(
         F.round(
@@ -2125,16 +2134,16 @@ def q_vocab_growth(spark, sf_dir):
     first_doc = terms.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
     new_terms = first_doc.groupBy("doc_id").agg(F.count("*").alias("n_new"))
     docs = t(spark, sf_dir, "documents").select("doc_id").distinct()
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
+
+    d = docs.join(new_terms, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_terms")
     )
-    return (
-        docs.join(new_terms, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new_terms")
-        )
-        .withColumn("vocab_size", F.sum("n_new_terms").over(w))
-    )
+    # running vocab size over ingest order, distributed (prefix-offset
+    # kernel) — no corpus-wide single-partition window
+    return with_global_cumsum(
+        d, [F.col("doc_id")], {"vocab_size": "n_new_terms"}
+    ).select("doc_id", "n_new_terms", "vocab_size")
 
 
 @query(
@@ -2161,13 +2170,14 @@ def q_zipf_slope(spark, sf_dir):
 
     One corpus explode + term aggregate (the only fact-scale
     shuffle); ranks over the |vocab|-sized aggregate are assigned the
-    scale-safe way — range-partition by (freq desc, term), rank
-    locally per partition, add broadcast prefix-sum offsets — because
-    a web-scale vocabulary is itself billions of rows and an
-    unpartitioned rank window would funnel them through one task.
-    The regression reduces to sufficient statistics map-side.
-    ln() (not log10) on both engines.
+    scale-safe way — the range-partition + broadcast-prefix-offset
+    kernel (operators/ranking.py) — because a web-scale vocabulary is
+    itself billions of rows and an unpartitioned rank window would
+    funnel them through one task. The regression reduces to
+    sufficient statistics map-side. ln() (not log10) on both engines.
     """
+    from hls_stac_parquet_spark.operators.ranking import with_global_rank
+
     tf = (
         t(spark, sf_dir, "documents")
         .select(
@@ -2177,20 +2187,7 @@ def q_zipf_slope(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    part = tf.repartitionByRange(F.desc("freq"), F.col("term")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    counts = part.groupBy("pid").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).select("pid", "_off")
-    w_local = Window.partitionBy("pid").orderBy(F.desc("freq"), "term")
-    ranked = (
-        part.withColumn("rn_local", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rnk", F.col("_off") + F.col("rn_local"))
-    )
+    ranked = with_global_rank(tf, [F.desc("freq"), F.col("term")], "rnk")
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_terms"),
         F.round(

@@ -630,15 +630,19 @@ def q_topk(spark, sf_dir):
 def q_sort_global(spark, sf_dir):
     """Global total order by a derived space-filling-curve key
     (A16/A17): rank materializes the order so the oracle can verify
-    it value-wise despite order-insensitive hashing."""
+    it value-wise despite order-insensitive hashing. Ranks are
+    assigned by the distributed range-partition + prefix-offset
+    kernel (operators/ranking.py) — the same mechanism Spark's own
+    global sort uses, never a single-partition window."""
     from hls_stac_parquet_spark.functions.spatial import morton_key
+    from hls_stac_parquet_spark.operators.ranking import with_global_rank
 
     e = t(spark, sf_dir, "events").select(
         "event_id",
         morton_key(F.col("user_id") % 256, F.col("event_id") % 256).alias("z_key"),
     )
-    w = Window.orderBy("z_key", "event_id")
-    return e.withColumn("z_rank", F.row_number().over(w))
+    ranked = with_global_rank(e, [F.col("z_key"), F.col("event_id")], "z_rank")
+    return ranked.withColumn("z_rank", F.col("z_rank").cast("int"))
 
 
 def _sort_global_oracle() -> str:
@@ -1040,16 +1044,18 @@ def q_stratified_sample(spark, sf_dir):
 def q_shuffle_order(spark, sf_dir):
     """Deterministic pseudo-random global ordering (training-data
     shuffle): position = rank in md5-hash order. Reproducible across
-    engines/cluster layouts, unlike rand()-based shuffles. The global
-    row_number here is a single-partition window at test scale; the
-    scale path is the same hash as a sort KEY into
-    repartitionByRange + sortWithinPartitions (total order without a
-    global window) with positions assigned per-range-partition from
-    the partition row-count prefix sums."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
-    return o.select(
-        "o_orderkey", F.row_number().over(w).cast("int").alias("shuffle_pos")
+    engines/cluster layouts, unlike rand()-based shuffles. Positions
+    are assigned per-range-partition with broadcast prefix-offset
+    ranks (operators/ranking.py) — a total order without a
+    single-partition global window."""
+    from hls_stac_parquet_spark.operators.ranking import with_global_rank
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("_h")
+    )
+    ranked = with_global_rank(o, [F.col("_h"), F.col("o_orderkey")], "_pos")
+    return ranked.select(
+        "o_orderkey", F.col("_pos").cast("int").alias("shuffle_pos")
     )
 
 

@@ -1035,22 +1035,9 @@ def q_auc(spark, sf_dir):
             ),
         )
     )
-    part = scored.repartitionByRange(F.col("score")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    counts = part.groupBy("pid").agg(F.count("*").alias("_n"))
-    w_off = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).select("pid", "_off")
-    w_local = Window.partitionBy("pid").orderBy("score")
-    ranked = (
-        part.withColumn("rn_local", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rn", F.col("_off") + F.col("rn_local"))
-    )
+    from hls_stac_parquet_spark.operators.ranking import with_global_rank
+
+    ranked = with_global_rank(scored, [F.col("score")], "rn")
     per_score = ranked.groupBy("score").agg(
         F.avg("rn").alias("avg_rank"),
         F.sum("label").alias("pos_s"),

@@ -151,6 +151,17 @@ EMPTY_OK_QUERIES = [
     "q_cusum_changepoint",
     "q_theil_sen",
     "q_golden_record",
+    # fifth-session: queries rewritten onto the global-order kernel
+    # (operators/ranking.py) — range shuffle + offsets must no-op
+    "q_pack_sequences",
+    "q_ks_drift",
+    "q_vocab_growth",
+    "q_zipf_slope",
+    "q_auc",
+    "q_sort_global",
+    "q_shuffle_order",
+    "q_rfm_segments",
+    "q_skyline",
 ]
 
 

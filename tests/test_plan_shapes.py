@@ -263,13 +263,18 @@ def test_scd2_single_user_shuffle(spark):
 
 def test_skyline_is_window_plus_broadcast(spark):
     """The Pareto frontier must be the O(n log n) formulation: a
-    window over the distinct-price aggregate broadcast-joined back —
-    never the O(n²) NOT EXISTS self-join the oracle runs."""
+    distributed running max over the distinct-price aggregate,
+    equi-joined back (AQE broadcasts it at this scale) — never the
+    O(n²) NOT EXISTS self-join the oracle runs, and never a
+    single-partition window over the price domain."""
     plan = _plan(spark, "q_skyline")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+    low = plan.lower()
+    assert "rangepartitioning" in low
+    assert "windowspecdefinition(p_retailprice" not in low
 
 
 def test_max_concurrency_day_partitioned_window(spark):
