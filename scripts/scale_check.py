@@ -44,6 +44,12 @@ REPRESENTATIVE = [
     "q_item_item_cf",
     "q_geo_radius_join",
     "q_psi_drift",
+    # fifth-session: global-order kernel users (range-partitioned
+    # rank / cumsum / ntile — the distributed replacements for
+    # single-partition windows; q_sort_global above also routes
+    # through the kernel now)
+    "q_rfm_segments",
+    "q_pack_sequences",
 ]
 
 
