@@ -925,11 +925,16 @@ def q_fk_discovery(spark, sf_dir):
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (corpus governance): for every
     pair of sources, how much verbatim CONTENT they share — measured
-    on 7-token window fingerprints (the q_substring_dup_pairs
+    on 8-token window fingerprints (the q_substring_dup_pairs
     construction, so near-duplicate republications register even when
     no whole document matches exactly), normalized by the smaller
     source (containment). The audit that catches one feed
     re-publishing another before mixture weights are chosen.
+    (The window width was 7 tokens in the Spark code vs 8 in the
+    oracle until this fix — DuckDB list slices are end-INCLUSIVE, so
+    ``ts[i:i+7]`` is eight tokens; the outputs coincided on every
+    corpus swept, but the fingerprints were not the replayed-identical
+    construction the oracle contract promises. Now both hash 8.)
 
     Scale shape: documents collapse to DISTINCT (source, window-md5)
     rows first — the text never joins; the fingerprint self-join is
@@ -940,7 +945,7 @@ def q_source_overlap(spark, sf_dir):
     wins = F.transform(
         F.sequence(F.lit(1), F.size(ts) - 7),
         lambda i: F.md5(
-            F.array_join(F.slice(ts, i, 7), " ")
+            F.array_join(F.slice(ts, i, 8), " ")
         ),
     )
     fp = (

@@ -2225,6 +2225,228 @@ def q_label_propagation(spark, sf_dir):
 
 
 @query(
+    "q_boilerplate_removal",
+    oracle=(
+        "WITH base AS (SELECT doc_id, list_filter("
+        "  string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS ts "
+        "  FROM documents), "
+        "sized AS (SELECT doc_id, ts, "
+        "  CAST(ceil(len(ts) / 8.0) AS BIGINT) AS n_chunks FROM base), "
+        "ch AS (SELECT doc_id, unnest(list_transform("
+        "  range(1, n_chunks + 1), i -> struct_pack(pos := i, "
+        "  chunk := array_to_string(ts[(i-1)*8+1:(i-1)*8+8], ' ')))) AS u "
+        "  FROM sized WHERE n_chunks > 0), "
+        "flat AS (SELECT doc_id, u.pos AS pos, md5(u.chunk) AS ck, "
+        "  u.chunk AS chunk FROM ch), "
+        "boiler AS (SELECT ck FROM flat GROUP BY ck "
+        "  HAVING count(DISTINCT doc_id) >= 2), "
+        "kept AS (SELECT * FROM flat "
+        "  WHERE ck NOT IN (SELECT ck FROM boiler)), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "  array_to_string(list(chunk ORDER BY pos), ' ') AS cleaned_text "
+        "  FROM kept GROUP BY doc_id) "
+        "SELECT s.doc_id, s.n_chunks, "
+        "  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+        "  coalesce(a.cleaned_text, '') AS cleaned_text "
+        "FROM sized s LEFT JOIN agg a USING (doc_id)"
+    ),
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """Boilerplate / shared-passage removal (the CCNet-style
+    paragraph-dedup cleaning pass): split every document into
+    non-overlapping 8-token chunks, compute each chunk's document
+    frequency, DROP chunks appearing in >= 2 distinct documents
+    (navigation, footers, republished passages — here the planted
+    duplicate passages), and reassemble each document from its
+    surviving chunks in order. Unlike whole-doc dedup this keeps the
+    unique remainder of partially-duplicated documents.
+
+    Scale shape: the document-frequency aggregate is keyed on the
+    chunk md5 (text never enters the df shuffle); the boilerplate key
+    set (df >= 2) is the SMALL side of a left-anti join, so clean
+    chunks — the overwhelming majority — stream through; reassembly
+    is one per-doc aggregate whose state is the doc's own chunk list.
+    NULL text ≡ empty document (the repo-wide declared semantic):
+    n_chunks = 0, cleaned_text = '' — preserved by the left join back
+    to the full corpus, which also keeps fully-boilerplate documents
+    visible as (n_kept = 0, '') rows rather than dropping them.
+    """
+    d = t(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    sized = d.select(
+        "doc_id",
+        ts.alias("ts"),
+        F.ceil(F.size(ts) / 8.0).cast("bigint").alias("n_chunks"),
+    )
+    chunks = (
+        sized.filter(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_chunks")),
+                    lambda i: F.array_join(
+                        F.slice("ts", (i - 1) * 8 + 1, 8), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("ck", F.md5("chunk"))
+    )
+    boiler = (
+        chunks.groupBy("ck")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("ck")
+    )
+    kept = chunks.join(boiler, "ck", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, chunk))), "
+                "x -> x.chunk)"
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return sized.select("doc_id", "n_chunks").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+@query(
+    "q_dsir_resample",
+    oracle=(
+        "WITH feat AS ("
+        "  SELECT doc_id, source, "
+        "    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b "
+        "  FROM (SELECT doc_id, source, "
+        "          unnest(string_split(lower(text), ' ')) AS term "
+        "        FROM documents) WHERE term <> ''), "
+        "tgt AS (SELECT b, count(*) AS n FROM feat "
+        "  WHERE source IN ('src0', 'src1') GROUP BY b), "
+        "rawc AS (SELECT b, count(*) AS n FROM feat "
+        "  WHERE source NOT IN ('src0', 'src1') GROUP BY b), "
+        "tot AS (SELECT (SELECT coalesce(sum(n), 0) FROM tgt) AS t_tot, "
+        "  (SELECT coalesce(sum(n), 0) FROM rawc) AS r_tot), "
+        "lr AS (SELECT r.i AS b, "
+        "    ln((coalesce(tn.n, 0) + 1.0) / (t_tot + 64)) "
+        "  - ln((coalesce(rn.n, 0) + 1.0) / (r_tot + 64)) AS lr "
+        "  FROM range(0, 64) r(i) CROSS JOIN tot "
+        "  LEFT JOIN tgt tn ON tn.b = r.i LEFT JOIN rawc rn ON rn.b = r.i), "
+        "lrarr AS (SELECT list(lr ORDER BY b) AS arr FROM lr), "
+        "docfeat AS (SELECT doc_id, b, count(*) AS c FROM feat "
+        "  WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id, b), "
+        "docarr AS (SELECT doc_id, list(b ORDER BY b) AS bs, "
+        "  list(c ORDER BY b) AS cs FROM docfeat GROUP BY doc_id), "
+        "scored AS (SELECT doc_id, "
+        "  round(list_sum(list_transform(range(1, len(bs) + 1), "
+        "    i -> cs[i] * arr[bs[i] + 1])), 6) AS log_weight "
+        "  FROM docarr CROSS JOIN lrarr) "
+        "SELECT doc_id, log_weight FROM scored "
+        "ORDER BY log_weight DESC, doc_id LIMIT 50"
+    ),
+)
+def q_dsir_resample(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw-pool document by how much
+    it looks like the TARGET distribution under a hashed n-gram bag
+    model, and keep the top-k. Target = sources src0/src1; raw pool =
+    the rest; features = unigrams hashed into 64 buckets with the
+    engine-portable md5-prefix bucket (q_feature_hashing); bucket
+    distributions are add-1 smoothed, and a document's importance is
+    log w(d) = Σ_b c_b(d)·(ln p̂_tgt(b) − ln p̂_raw(b)).
+
+    Scale shape: one corpus explode feeds BOTH distribution estimates
+    and the per-doc features; the bucket space is fixed (64), so the
+    distribution dims are constant-size and ride in as a broadcast
+    array; per-doc scoring is an ordered HOF fold over the ≤64-entry
+    bucket-count array — FP-stable by construction (the q_ndcg
+    pattern: left-to-right fold over a sorted array, never an
+    arbitrary-order float aggregate, rounded before the rank cut with
+    a doc_id tiebreak). The top-k is TakeOrdered, never a global
+    sort. NULL/empty text yields no features and is absent from the
+    pool on both engines.
+    """
+    TGT = ("src0", "src1")
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    feat = toks.select(
+        "doc_id", "source", bucket.cast("int").alias("b")
+    )
+    is_tgt = F.col("source").isin(*TGT)
+    # both bucket histograms from ONE pass over the hashed features
+    hist = feat.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("rn"),
+    )
+    tot = hist.agg(
+        F.coalesce(F.sum("tn"), F.lit(0)).alias("t_tot"),
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("r_tot"),
+    )
+    rng = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    lr = (
+        rng.join(F.broadcast(hist), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("tn", F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + 64)
+                )
+                - F.log(
+                    (F.coalesce("rn", F.lit(0)) + 1.0)
+                    / (F.col("r_tot") + 64)
+                )
+            ).alias("lr"),
+        )
+    )
+    lrarr = lr.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, lr))), x -> x.lr)"
+        ).alias("arr")
+    )
+    docfeat = (
+        feat.filter(~is_tgt)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    docarr = docfeat.groupBy("doc_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(b, c)))"
+        ).alias("fs")
+    )
+    scored = docarr.crossJoin(F.broadcast(lrarr)).select(
+        "doc_id",
+        F.round(
+            F.expr(
+                "aggregate(fs, 0D, (a, x) -> a + x.c * element_at(arr, x.b + 1))"
+            ),
+            6,
+        ).alias("log_weight"),
+    )
+    return scored.orderBy(F.desc("log_weight"), "doc_id").limit(50)
+
+
+@query(
     "q_feature_hashing",
     oracle=(
         "WITH toks AS ("

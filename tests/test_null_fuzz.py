@@ -162,6 +162,8 @@ EMPTY_OK_QUERIES = [
     "q_shuffle_order",
     "q_rfm_segments",
     "q_skyline",
+    "q_dsir_resample",
+    "q_boilerplate_removal",
 ]
 
 

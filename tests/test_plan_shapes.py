@@ -714,6 +714,32 @@ def test_sssp_edges_feed_from_checkpoint(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_boilerplate_removal_anti_join_and_drops(spark):
+    """The boilerplate key set must be the small side of a left-anti
+    join (clean chunks stream through), and on the fixture corpus —
+    which plants duplicated passages — the pass must actually drop
+    chunks from at least one document."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, "q_boilerplate_removal")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    df = REGISTRY["q_boilerplate_removal"].fn(spark, SF0001)
+    dropped = df.filter(F.col("n_kept") < F.col("n_chunks")).count()
+    assert dropped >= 1
+
+
+def test_dsir_resample_takeordered_and_broadcast_dims(spark):
+    """DSIR selection must end in TakeOrdered (never a global sort of
+    the scored pool), keep the 64-bucket distribution dims broadcast
+    (the only nested-loop joins are against those 1-row scalar dims),
+    and never go cartesian."""
+    plan = _plan(spark, "q_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_global_quantiles_no_unpartitioned_fact_window(spark):
     """The fact-table rank must come from range partitioning + local
     row_number — the only unpartitioned windows allowed are over the
