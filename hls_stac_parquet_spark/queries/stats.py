@@ -349,10 +349,13 @@ def q_market_basket(spark, sf_dir):
     threshold is the standard a-priori prune that keeps the ranked
     output bounded at scale.
     """
+    # localCheckpoint: od feeds support dim + scalar total + pair join
+    # — three consumers, one materialization instead of three distincts
     od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     part_orders = od.groupBy("l_partkey").agg(
         F.count("*").cast("double").alias("n_orders_part")
@@ -1514,10 +1517,13 @@ def q_itemsets_3(spark, sf_dir):
     at TPC-H basket sizes (~4 distinct parts) the direct join is
     cheaper than materializing the pair dimension. TakeOrdered
     top-20, no global sort."""
+    # localCheckpoint: the triple self-join reads od three times —
+    # one materialized distinct instead of three
     od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a = od.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
@@ -1931,16 +1937,22 @@ def q_item_item_cf(spark, sf_dir):
     """
     from hls_stac_parquet_spark.operators.lsh import self_join_pairs
 
+    # localCheckpoint at both branch points: od feeds the support dim
+    # AND the pair join (the distinct would otherwise run twice), and
+    # pr is unioned in both directions (the whole blocked self-join
+    # would otherwise replay). Measured at sf0.1: 2.1 -> 0.9 s warm.
     od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     pc = od.groupBy("l_partkey").agg(F.count("*").alias("n"))
     pr = (
         self_join_pairs(od, ["l_orderkey"], "l_partkey")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("nab"))
+        .localCheckpoint()
     )
     sym = pr.select(
         F.col("id_a").alias("item"), F.col("id_b").alias("neighbor"), "nab"
