@@ -34,9 +34,13 @@ def grouped_quantiles(
     value_col: str,
     probs: Sequence[float],
     aliases: Sequence[str],
+    count_col: str | None = None,
 ) -> DataFrame:
     """One row per group with columns ``aliases`` holding the exact
-    interpolated ``probs`` quantiles of ``value_col``."""
+    interpolated ``probs`` quantiles of ``value_col``. ``count_col``
+    additionally emits the group row count (free — the count already
+    rides in the ranking pass), so callers never re-aggregate the
+    input just to pair a count with a quantile."""
     if len(probs) != len(aliases):
         raise ValueError("probs and aliases must align")
     gcols = list(group_cols)
@@ -56,6 +60,8 @@ def grouped_quantiles(
             F.col("_rn") == lo, F.col(value_col) * (1 - frac)
         ).when(F.col("_rn") == lo + 1, F.col(value_col) * frac)
         aggs.append(F.sum(contrib).alias(alias))
+    if count_col is not None:
+        aggs.append(F.count("*").cast("bigint").alias(count_col))
     return d.groupBy(*gcols).agg(*aggs)
 
 

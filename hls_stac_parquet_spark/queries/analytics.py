@@ -282,11 +282,14 @@ def q_spell_variants(spark, sf_dir):
     the vocab aggregate is the only fact-table pass.
     """
     d = t(spark, sf_dir, "documents")
+    # localCheckpoint: the vocab aggregate is read FOUR times (both
+    # sides of both block joins) — one corpus pass instead of four
     vocab = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.length("tok") >= 2)
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
     )
     a = vocab.select(
         F.col("tok").alias("tok_a"), F.col("freq").alias("freq_a")
@@ -990,9 +993,11 @@ def q_seq_pairs(spark, sf_dir):
     |types|²-sized key space. The naive pattern-growth over raw
     event sequences is what this plan deliberately avoids."""
     ev = t(spark, sf_dir, "events")
+    # localCheckpoint: the pair expansion reads the first-occurrence
+    # aggregate on BOTH sides — one fact pass instead of two
     firsts = ev.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("fts")
-    )
+    ).localCheckpoint()
     a = firsts.select(
         "user_id", F.col("event_type").alias("type_a"), F.col("fts").alias("fa")
     )
@@ -1425,7 +1430,7 @@ def q_er_sorted_neighborhood(spark, sf_dir):
         F.lead("p_name", 1).over(w).alias("n1"),
         F.lead("p_partkey", 2).over(w).alias("k2"),
         F.lead("p_name", 2).over(w).alias("n2"),
-    )
+    ).localCheckpoint()  # read twice (next-1 and next-2 candidate legs)
     cand = s.filter(F.col("k1").isNotNull()).select(
         F.col("p_partkey").alias("key_a"),
         F.col("k1").alias("key_b"),
@@ -1525,7 +1530,7 @@ def q_golden_record(spark, sf_dir):
         F.lead("p_name", 1).over(w).alias("n1"),
         F.lead("p_partkey", 2).over(w).alias("k2"),
         F.lead("p_name", 2).over(w).alias("n2"),
-    )
+    ).localCheckpoint()  # read twice (next-1 and next-2 candidate legs)
     cand = s.filter(F.col("k1").isNotNull()).select(
         F.col("p_partkey").alias("a"),
         F.col("k1").alias("b"),

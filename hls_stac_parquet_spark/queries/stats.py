@@ -2225,10 +2225,11 @@ def q_theil_sen(spark, sf_dir):
             ).alias("slope"),
         )
     )
-    med = grouped_quantiles(slopes, ["user_id"], "slope", [0.5], ["_m"])
-    cnt = slopes.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_pairs")
+    # median AND pair count from ONE kernel pass (count_col) — a
+    # separate count aggregate would replay the blocked pair join
+    med = grouped_quantiles(
+        slopes, ["user_id"], "slope", [0.5], ["_m"], count_col="n_pairs"
     )
-    return cnt.join(med, "user_id").select(
+    return med.select(
         "user_id", "n_pairs", F.round("_m", 6).alias("slope_per_hour")
     )
