@@ -113,6 +113,8 @@ PRIORITY_QUERIES = [
     "q_ndcg", "q_seasonal_decompose", "q_er_sorted_neighborhood",
     "q_golden_record", "q_theil_sen", "q_cusum_changepoint",
     "q_sssp_weighted", "q_textrank",
+    # third wave: fifth-session flagships
+    "q_dsir_resample", "q_boilerplate_removal",
 ]
 
 
