@@ -114,7 +114,8 @@ PRIORITY_QUERIES = [
     "q_golden_record", "q_theil_sen", "q_cusum_changepoint",
     "q_sssp_weighted", "q_textrank",
     # third wave: fifth-session flagships
-    "q_dsir_resample", "q_boilerplate_removal",
+    "q_dsir_resample", "q_boilerplate_removal", "q_token_budget_mix",
+    "q_split_leakage",
 ]
 
 

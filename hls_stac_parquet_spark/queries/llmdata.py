@@ -830,6 +830,127 @@ def q_dup_rate_by_source(spark, sf_dir):
 
 
 @query(
+    "q_token_budget_mix",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        "  len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
+        "      x -> x <> '')) AS n_tok, "
+        "  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+        "c AS (SELECT doc_id, source, n_tok, "
+        "  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id "
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM d) "
+        "SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, "
+        "  CAST(cum AS BIGINT) AS cum_tokens "
+        "FROM c WHERE cum <= 3000"
+    ),
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture sampling: keep each source's documents —
+    in deterministic md5 order — until the source's TOKEN budget
+    (3000) is spent. The mixture knob real training runs use
+    (q_mix_sources samples by doc RATE; pretraining mixtures are
+    specified in tokens).
+
+    Scale shape: a per-source running token count looks like a
+    per-source window, but a source is corpus-scale — one task per
+    source is the cliff. Instead the GLOBAL prefix-sum kernel
+    (operators/ranking.py) runs once over (source, h, doc_id) order,
+    and the per-source cumulative is recovered by subtracting each
+    source's start offset — a window over the |sources|-row totals
+    dim. Exact integer arithmetic end to end; the greedy-prefix cut
+    is deterministic (md5 order, doc_id tiebreak). NULL text counts
+    0 tokens on both engines.
+    """
+    from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cs = with_global_cumsum(
+        d, [F.col("source"), F.col("h"), F.col("doc_id")], {"_cs": "n_tok"}
+    )
+    tot = d.groupBy("source").agg(F.sum("n_tok").alias("_t"))
+    w_src = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "source", F.coalesce(F.sum("_t").over(w_src), F.lit(0)).alias("_off")
+    )
+    return (
+        cs.join(F.broadcast(off), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("_cs") - F.col("_off")).cast("bigint").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 3000)
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle=(
+        "WITH " + _JACCARD_PAIRS_CTE + ", "
+        "split AS (SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 97 < 87 "
+        "  THEN 'train' ELSE 'test' END AS split FROM documents) "
+        "SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b "
+        "FROM pairs JOIN split sa ON sa.doc_id = doc_a "
+        "JOIN split sb ON sb.doc_id = doc_b "
+        "WHERE sa.split <> sb.split"
+    ),
+    bench=False,  # built on the quadratic ground-truth pair path, like
+    # q_dedup_clusters; the operator's value is the audit composition
+)
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: near-duplicate pairs (bigram Jaccard
+    >= 0.5) that STRADDLE a naive hash split — the contamination
+    check every dedup-then-split pipeline must run, because splitting
+    by document hash puts near-duplicates on both sides (this is why
+    q_train_test_split splits by CLUSTER id; this query is the audit
+    that catches the naive variant). Returns the leaking pairs with
+    their split assignments.
+
+    Scale shape: pairs come from the postings-bucketed exact Jaccard
+    operator (never corpus²); the split dim derives per-row (no
+    join); the leak filter is two AQE-joined doc-keyed lookups of the
+    pairs relation — bounded by the near-dup pair count, not the
+    corpus.
+    """
+    from hls_stac_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.5).select(
+        "doc_a", "doc_b"
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") * 2654435761) % 97 < 87, "train"
+        ).otherwise("test").alias("split"),
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+@query(
     "q_mix_sources",
     oracle=(
         "WITH wt AS (SELECT source, CASE WHEN CAST(substr(source, 4) AS INT) "

@@ -164,6 +164,8 @@ EMPTY_OK_QUERIES = [
     "q_skyline",
     "q_dsir_resample",
     "q_boilerplate_removal",
+    "q_token_budget_mix",
+    "q_split_leakage",
 ]
 
 
