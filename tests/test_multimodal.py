@@ -60,9 +60,18 @@ def test_sample_frames_fanout(media):
     assert per_id[2] == [0]  # short payload still yields one frame
 
 
-def test_real_codec_seam_is_explicit():
-    with pytest.raises(NotImplementedError, match="image codec"):
-        _decode_image_real(b"payload")
+def test_real_codec_seam_dispatch():
+    """PNG decodes for real through the seam; non-PNG formats raise
+    the explicit NotImplementedError naming the deployment hook."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.codecs import encode_png
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = _decode_image_real(encode_png(px, filter_type=2))
+    assert np.array_equal(out[:, :, 0], px)
+    with pytest.raises(NotImplementedError, match="PNG"):
+        _decode_image_real(b"\xff\xd8\xff jpeg-ish payload")
 
 
 class TestResizeRawImages:

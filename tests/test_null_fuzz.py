@@ -166,6 +166,7 @@ EMPTY_OK_QUERIES = [
     "q_boilerplate_removal",
     "q_token_budget_mix",
     "q_split_leakage",
+    "q_png_decode_stats",
 ]
 
 
