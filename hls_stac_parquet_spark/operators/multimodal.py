@@ -388,6 +388,81 @@ def decode_image_stats(
     return _par(media).mapInPandas(gen, _PNG_STATS_SCHEMA)
 
 
+def encode_audio_wav(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL WAV encode: payload bytes are little-endian int16 samples
+    (the raw-PCM convention of pcm_stats/resample_pcm; odd trailing
+    byte dropped), wrapped as a 16-bit PCM RIFF/WAVE file
+    (operators/codecs.py). One mapInPandas, no shuffle."""
+    from hls_stac_parquet_spark.operators.codecs import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                payload = _as_bytes(payload)
+                n = len(payload) - (len(payload) % 2)
+                samples = np.frombuffer(payload[:n], dtype="<i2")
+                out.append(encode_wav(sample_rate, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "content": out}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return _par(media).mapInPandas(gen, schema)
+
+
+def decode_audio_wav(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL WAV decode (operators/codecs.py): RIFF/WAVE payloads →
+    (sample_rate, content = first channel as raw little-endian int16
+    bytes), the layout the downstream PCM DSP operators consume.
+    Malformed payloads survive as (sample_rate = -1, empty content)
+    rows. One mapInPandas, no shuffle, 1:1 rows."""
+    from hls_stac_parquet_spark.operators.codecs import decode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, out = [], []
+            for payload in pdf[bytes_col]:
+                payload = _as_bytes(payload)
+                try:
+                    sr, samples = decode_wav(payload)
+                    srs.append(sr)
+                    out.append(samples[:, 0].astype("<i2").tobytes())
+                except (ValueError, struct.error):
+                    srs.append(-1)
+                    out.append(b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "sample_rate": np.asarray(srs, dtype=np.int32),
+                    "content": out,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return _par(media).mapInPandas(gen, schema)
+
+
 _PCM_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -115,7 +115,7 @@ PRIORITY_QUERIES = [
     "q_sssp_weighted", "q_textrank",
     # third wave: fifth-session flagships
     "q_dsir_resample", "q_boilerplate_removal", "q_token_budget_mix",
-    "q_split_leakage", "q_png_decode_stats",
+    "q_split_leakage", "q_png_decode_stats", "q_wav_decode_pipeline",
 ]
 
 

@@ -1564,6 +1564,41 @@ def q_pcm_audio_pipeline(spark, sf_dir):
     )
 
 
+@query("q_wav_decode_pipeline", oracle=None)  # codec work — not SQL-expressible
+def q_wav_decode_pipeline(spark, sf_dir):
+    """REAL compressed-audio pipeline: documents' text bytes stand in
+    for int16 samples, WAV-ENCODED (pure stdlib RIFF writer,
+    operators/codecs.py), DECODED back (header walk + first-channel
+    extraction; malformed payloads survive as empty-content rows),
+    then the same real DSP as q_pcm_audio_pipeline (16 kHz → 8 kHz
+    linear-interp resample + RMS/peak/ZCR). Closes the audio half of
+    the codec seam for lossless files — the decode is an actual
+    container parse, bit-exact round-trip pinned in
+    tests/test_codecs.py. Rows-only (no SQL expression)."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        decode_audio_wav,
+        encode_audio_wav,
+        pcm_stats,
+        resample_pcm,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    decoded = decode_audio_wav(encode_audio_wav(media, sample_rate=16000))
+    resampled = resample_pcm(
+        decoded.select("media_id", "content"), src_rate=16000, dst_rate=8000
+    )
+    return pcm_stats(resampled).select(
+        "media_id",
+        "n_samples",
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("peak").cast("double"), 6).alias("peak"),
+        F.round(F.col("zero_crossing_rate").cast("double"), 6).alias("zcr"),
+    )
+
+
 # --- round 2: repetition signals, incremental dedup, leakage-safe split ----
 
 _BOW_FP_SQL = (

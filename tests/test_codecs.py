@@ -88,6 +88,33 @@ def test_decode_image_stats_real_png_pipeline(spark):
         assert r["n_bytes"] > 0
 
 
+def test_wav_pipeline_equals_raw_pcm_pipeline(spark):
+    """The WAV round-trip is lossless (both paths drop an odd trailing
+    byte), so q_wav_decode_pipeline must produce EXACTLY
+    q_pcm_audio_pipeline's stats on the same corpus."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    wav = sorted(
+        map(tuple, REGISTRY["q_wav_decode_pipeline"].fn(spark, SF0001).collect())
+    )
+    raw = sorted(
+        map(tuple, REGISTRY["q_pcm_audio_pipeline"].fn(spark, SF0001).collect())
+    )
+    assert wav == raw
+
+
+def test_decode_audio_wav_malformed_blob_survives(spark):
+    from hls_stac_parquet_spark.operators.multimodal import decode_audio_wav
+
+    media = spark.createDataFrame(
+        [(1, b"not audio"), (2, None)], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in decode_audio_wav(media).collect()}
+    assert rows[1]["sample_rate"] == -1 and rows[1]["content"] == bytearray()
+    assert rows[2]["sample_rate"] == -1
+
+
 def test_decode_image_stats_malformed_blob_survives(spark):
     from hls_stac_parquet_spark.operators.multimodal import decode_image_stats
 

@@ -167,6 +167,7 @@ EMPTY_OK_QUERIES = [
     "q_token_budget_mix",
     "q_split_leakage",
     "q_png_decode_stats",
+    "q_wav_decode_pipeline",
 ]
 
 
