@@ -1,0 +1,133 @@
+"""Unicode parity: the oracle sweep re-run on multibyte-injected text.
+
+100 TB corpora are not ASCII. A full-registry sweep over a
+unicode-fuzzed copy found exactly TWO divergence classes, both
+library differences on the ORACLE side rather than engine defects —
+they are pinned here as DECLARED engine semantics with the oracle's
+limitation documented, and the committed fuzz corpus then exercises
+the broad repertoire where both engines agree (accented latin,
+eszett, greek, CJK, titlecase digraphs, full-width forms):
+
+1. ``lower()``: Spark's JVM/ICU mapping is FULL Unicode — 'İ'
+   (U+0130) lowers to 'i' + combining dot above (dot preserved), and
+   final sigma is context-sensitive ('ΟΣ' → 'ος'). DuckDB's utf8proc
+   mapping is simple — 'İ' → 'i', 'ΟΣ' → 'οσ'. The engine semantic
+   is the ICU one (linguistically correct); md5-of-lowered-text
+   fingerprints therefore cannot be oracle-replayed for text
+   containing U+0130 or word-final capital sigma.
+
+2. ``levenshtein()``: Spark counts CODEPOINTS ('Çapa'→'Capa' = 1
+   edit), DuckDB counts BYTES (= 2). The engine semantic is
+   codepoints; oracle replay of the edit-distance queries
+   (q_spell_variants, q_er_sorted_neighborhood, q_golden_record) is
+   exact only for single-byte text.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hls_stac_parquet_spark.testing import check_query
+from tests.conftest import SF0001
+
+# text-normalization-heavy queries: every md5/token/dedup path that
+# the unicode injection can reach (levenshtein queries get ASCII-only
+# injection via part.parquet staying byte-pure — see fixture)
+UNICODE_QUERIES = [
+    "q_dedup_exact",
+    "q_fingerprint",
+    "q_tfidf",
+    "q_feature_hashing",
+    "q_dsir_resample",
+    "q_boilerplate_removal",
+    "q_corpus_pipeline",
+    "q_dedup_incremental",
+    "q_token_count",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_top_terms",
+    "q_zipf_slope",
+    "q_vocab_growth",
+    "q_pack_sequences",
+    "q_source_overlap",
+    "q_substring_dup_pairs",
+    "q_ngram_jaccard",
+    "q_split_leakage",
+    "q_token_budget_mix",
+    "q_chunk_documents",
+    "q_entropy",
+    "q_spell_variants",
+    "q_er_sorted_neighborhood",
+    "q_golden_record",
+]
+
+# agreeing repertoire: both engines lower() these identically, and
+# none hit the utf8proc/ICU divergences pinned below
+_SAFE_SUFFIX = " Straße ÜNICODE café CAFÉ ǅungla 中文词 Ωmega școală"
+
+
+@pytest.fixture(scope="module")
+def uni_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("unifuzz"))
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT doc_id,
+          CASE WHEN doc_id % 17 = 4 THEN text || '{_SAFE_SUFFIX}'
+               WHEN doc_id % 17 = 9 THEN 'ȘĂPTE grüß 東京 ' || text
+               ELSE text END AS text,
+          lang, source, n_chars
+         FROM read_parquet('{SF0001}/documents.parquet'))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{tbl}.parquet')) "
+            f"TO '{out}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", UNICODE_QUERIES)
+def test_parity_on_unicode_fuzzed_data(spark, uni_dir, name):
+    r = check_query(spark, uni_dir, name)
+    assert r.match, f"{name}: {r.detail}"
+
+
+def test_declared_lower_semantics(spark):
+    """The engine's case mapping is ICU-full: dotted capital I keeps
+    its dot, final sigma is context-sensitive. Pinned so a Spark
+    upgrade changing this is caught — and as the documented reason
+    those codepoints are excluded from the oracle-replayed fuzz."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame([("İstanbul", "ΣΙΣΥΦΟΣ ΟΣ")], "a string, b string")
+        .select(F.lower("a").alias("a"), F.lower("b").alias("b"))
+        .first()
+    )
+    assert row["a"] == "i̇stanbul"
+    assert row["b"] == "σισυφος ος"
+    # ...and the oracle engine genuinely differs (documents why these
+    # codepoints cannot appear in the hash-replayed fuzz corpus)
+    d = duckdb.connect().execute(
+        "SELECT lower('İstanbul'), lower('ΣΙΣΥΦΟΣ ΟΣ')"
+    ).fetchone()
+    assert d[0] != row["a"] and d[1] != row["b"]
+
+
+def test_declared_levenshtein_semantics(spark):
+    """Edit distance is over CODEPOINTS (Spark), not UTF-8 bytes
+    (DuckDB): one accented substitution is one edit."""
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.range(1)
+        .select(F.levenshtein(F.lit("Çapa"), F.lit("Capa")).alias("d"))
+        .first()["d"]
+    )
+    assert got == 1
+    assert duckdb.connect().execute(
+        "SELECT levenshtein('Çapa', 'Capa')"
+    ).fetchone()[0] == 2
