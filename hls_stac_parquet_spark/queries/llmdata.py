@@ -3369,3 +3369,133 @@ def q_textrank(spark, sf_dir):
         .orderBy(F.desc("rank"), "word")
         .limit(20)
     )
+
+
+@query(
+    "q_perplexity_filter",
+    oracle=(
+        "WITH ts AS (SELECT doc_id, lang, "
+        "  list_filter(string_split(lower(coalesce(text, '')), ' '), "
+        "    x -> x <> '') AS ts FROM documents), "
+        "bg AS (SELECT doc_id, lang, "
+        "  unnest(list_transform(range(1, len(ts)), "
+        "    i -> ts[i] || ' ' || ts[i + 1])) AS bg FROM ts), "
+        "k AS (SELECT doc_id, bg, count(*) AS k FROM bg "
+        "  GROUP BY doc_id, bg), "
+        "c2 AS (SELECT bg, count(*) AS c2 FROM bg WHERE lang = 'en' "
+        "  GROUP BY bg), "
+        "c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 "
+        "  FROM bg WHERE lang = 'en' GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT tok) AS v FROM "
+        "  (SELECT unnest(ts) AS tok FROM ts WHERE lang = 'en')), "
+        "scored AS (SELECT doc_id, "
+        "  CAST(sum(k) AS BIGINT) AS n_bigrams, "
+        "  list_sum(list_transform("
+        "    list(struct_pack(k := k, c1n := coalesce(c1, 0), "
+        "      c2n := coalesce(c2, 0)) ORDER BY k.bg), "
+        "    x -> x.k * (ln(x.c1n + v) - ln(x.c2n + 1)))) AS s "
+        "  FROM k LEFT JOIN c2 USING (bg) "
+        "  LEFT JOIN c1 ON c1.w1 = split_part(k.bg, ' ', 1) "
+        "  CROSS JOIN v GROUP BY doc_id, v.v) "
+        "SELECT doc_id, n_bigrams, "
+        "  round(s / n_bigrams, 6) AS avg_nll, "
+        "  round(exp(s / n_bigrams), 4) AS ppl, "
+        "  CAST(ntile(3) OVER (ORDER BY round(s / n_bigrams, 6), doc_id) "
+        "    AS INT) AS bucket "
+        "FROM scored"
+    ),
+)
+def q_perplexity_filter(spark, sf_dir):
+    """CCNet-style LM-perplexity quality filter (Wenzek et al. 2020):
+    train an add-1-smoothed bigram LM on the target-domain reference
+    corpus (here: ``lang = 'en'`` documents), score EVERY document's
+    average per-bigram negative log-likelihood, and bucket the corpus
+    into perplexity terciles (bucket 1 = "head" / most fluent,
+    3 = "tail") — the standard pre-training quality gate that
+    complements the rule-based q_quality_score.
+
+    Scale shape: the corpus tokenizes ONCE into per-doc bigram arrays
+    (a guarded ``sequence`` transform — no posexplode position
+    bookkeeping); the big shuffle carries (doc, bigram, k) rows, and
+    the two model joins are keyed on the bigram/context vocabulary, so
+    AQE broadcasts them while the LM fits and falls back to shuffle
+    joins already partitioned on the join key when it doesn't. V and
+    the corpus constants ride in as 1-row broadcast aggregates.
+
+    Exactness: the per-doc NLL is an ordered left-to-right HOF fold
+    over the doc's bigram-sorted (k, counts) postings — never an
+    arbitrary-order float aggregate — and division/exp happen once on
+    the fold result in the identical expression shape, so the hash
+    match is summation-order-independent (the q_ndcg construction).
+    Terciles come from the distributed global-ntile kernel
+    (operators/ranking.py) ordered on the ROUNDED score with doc_id
+    tiebreak — no single-task window. Docs with zero bigrams (<2
+    tokens, incl. NULL text ≡ empty doc) are excluded: perplexity is
+    undefined; both engines drop them identically.
+    """
+    from hls_stac_parquet_spark.operators.ranking import with_global_ntile
+
+    docs = t(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", "lang", ts.alias("ts"))
+    bigrams = F.when(
+        F.size("ts") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ts) - 1), "
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    )
+    k = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
+    ref = bg.filter(F.col("lang") == "en")
+    c2 = ref.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        ref.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = (
+        base.filter(F.col("lang") == "en")
+        .select(F.explode("ts").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    joined = (
+        k.join(c2, "bg", "left")
+        .join(
+            c1,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "bg",
+            "k",
+            F.coalesce("c1", F.lit(0)).alias("c1n"),
+            F.coalesce("c2", F.lit(0)).alias("c2n"),
+            "v",
+        )
+    )
+    scored = joined.groupBy("doc_id", "v").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(bg, k, c1n, c2n))), "
+            "x -> x.k * (ln(x.c1n + v) - ln(x.c2n + 1))), "
+            "0D, (a, b) -> a + b)"
+        ).alias("s"),
+    )
+    scored = scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / F.col("n_bigrams"), 6).alias("avg_nll"),
+        F.round(F.exp(F.col("s") / F.col("n_bigrams")), 4).alias("ppl"),
+    )
+    return with_global_ntile(
+        scored, [F.col("avg_nll"), F.col("doc_id")], 3, "bucket"
+    )

@@ -43,6 +43,8 @@ FUZZ_QUERIES = [
     "q_ndcg",
     "q_dedup_clusters_incremental",
     "q_theil_sen",
+    # sixth-session additions
+    "q_perplexity_filter",
 ]
 
 
@@ -168,6 +170,8 @@ EMPTY_OK_QUERIES = [
     "q_split_leakage",
     "q_png_decode_stats",
     "q_wav_decode_pipeline",
+    # sixth-session additions
+    "q_perplexity_filter",
 ]
 
 

@@ -754,3 +754,17 @@ def test_global_quantiles_no_unpartitioned_fact_window(spark):
     # ... and no window spec starts with the value column (which would
     # be an unpartitioned rank over the whole fact table)
     assert "windowspecdefinition(l_extendedprice" not in low
+
+
+def test_perplexity_filter_plan(spark):
+    """The LM scoring must stay vocabulary-keyed and kernel-ranked:
+    no cartesian beyond the 1-row V broadcast, tercile assignment via
+    the range-partitioned ntile kernel (no unpartitioned corpus
+    window — 'windowspecdefinition(avg_nll' would be the cliff), and
+    the per-doc NLL as a HOF fold (no per-bigram Python stage)."""
+    plan = _plan(spark, "q_perplexity_filter")
+    low = plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in low
+    assert "windowspecdefinition(avg_nll" not in low
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
