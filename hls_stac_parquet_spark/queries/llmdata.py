@@ -3499,3 +3499,176 @@ def q_perplexity_filter(spark, sf_dir):
     return with_global_ntile(
         scored, [F.col("avg_nll"), F.col("doc_id")], 3, "bucket"
     )
+
+
+@query(
+    "q_distinct_ngrams",
+    oracle=(
+        "WITH ts AS (SELECT doc_id, source, "
+        "  list_filter(string_split(lower(coalesce(text, '')), ' '), "
+        "    x -> x <> '') AS ts FROM documents), "
+        "u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "  CAST(count(DISTINCT tok) AS BIGINT) AS d1 FROM "
+        "  (SELECT source, unnest(ts) AS tok FROM ts) GROUP BY source), "
+        "b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "  CAST(count(DISTINCT bg) AS BIGINT) AS d2 FROM "
+        "  (SELECT source, unnest(list_transform(range(1, len(ts)), "
+        "    i -> ts[i] || ' ' || ts[i + 1])) AS bg FROM ts) "
+        "  GROUP BY source) "
+        "SELECT u.source, n_tokens, "
+        "  round(d1 * 1.0 / greatest(n_tokens, 1), 6) AS distinct_1, "
+        "  coalesce(n_bigrams, 0) AS n_bigrams, "
+        "  round(coalesce(d2, 0) * 1.0 / greatest(coalesce(n_bigrams, 0), 1), 6) "
+        "    AS distinct_2 "
+        "FROM u LEFT JOIN b ON b.source = u.source"
+    ),
+)
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity ratios per source (Li et al. 2016's
+    distinct-1 / distinct-2): unique unigrams and bigrams over total —
+    the standard repetitiveness / mode-collapse diagnostic for a
+    corpus slice, complementing q_token_entropy (distribution shape)
+    and q_doc_repetition (within-doc loops). A source whose
+    distinct-2 collapses is template spam even when its unigram
+    entropy looks healthy.
+
+    Scale shape: two explode→groupBy aggregates keyed on source (the
+    exact-distinct count shuffles (source, token) pairs once each);
+    the per-source join is a |sources|-row dim. NULL text ≡ empty doc
+    contributes nothing. Sources whose docs are all <2 tokens keep a
+    row with n_bigrams = 0 and distinct_2 = 0 (left join + the
+    greatest(…,1) guard), not a dropped row.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("source", ts.alias("ts"))
+    u = (
+        base.select("source", F.explode("ts").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.count_distinct("tok").cast("bigint").alias("d1"),
+        )
+    )
+    bigrams = F.when(
+        F.size("ts") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ts) - 1), "
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = (
+        base.select("source", F.explode(bigrams).alias("bg"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.count_distinct("bg").cast("bigint").alias("d2"),
+        )
+    )
+    return u.join(b, "source", "left").select(
+        "source",
+        "n_tokens",
+        F.round(F.col("d1") / F.greatest(F.col("n_tokens"), F.lit(1)), 6).alias(
+            "distinct_1"
+        ),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.coalesce("d2", F.lit(0))
+            / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("distinct_2"),
+    )
+
+
+@query(
+    "q_pr_curve",
+    oracle=(
+        "WITH scored AS (SELECT round(" + _SW_RATIO_SQL + ", 6) AS score, "
+        "  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y "
+        "  FROM documents WHERE text IS NOT NULL), "
+        "hist AS (SELECT score, CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(sum(y) AS BIGINT) AS n_pos FROM scored GROUP BY score), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all, "
+        "  CAST(sum(n_pos) AS BIGINT) AS p FROM hist), "
+        "thr AS (SELECT round(i * 0.05e0, 2) AS threshold "
+        "  FROM range(1, 20) t(i)) "
+        "SELECT threshold, tp, pp - tp AS fp, p - tp AS fn, "
+        "  CASE WHEN pp > 0 THEN round(tp * 1.0 / pp, 6) END AS precision, "
+        "  CASE WHEN p > 0 THEN round(tp * 1.0 / p, 6) END AS recall "
+        "FROM (SELECT threshold, p, "
+        "  CAST(coalesce(sum(n) FILTER (score >= threshold), 0) AS BIGINT) "
+        "    AS pp, "
+        "  CAST(coalesce(sum(n_pos) FILTER (score >= threshold), 0) AS BIGINT) "
+        "    AS tp "
+        "  FROM thr CROSS JOIN tot LEFT JOIN hist ON TRUE "
+        "  GROUP BY threshold, p)"
+    ),
+)
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall threshold sweep for a classifier score — the
+    evaluation step every rule-based or model-based quality filter
+    needs before its cutoff is chosen (here: English stopword density
+    as the score, lang = 'en' as ground truth; q_auc is the
+    rank-based summary of the same question, this is the operating-
+    curve view).
+
+    Scale shape: ONE corpus pass builds a (distinct score → n, n_pos)
+    histogram; the 19-threshold sweep is a cross join of that
+    driver-sized histogram against a constant threshold dim — the
+    corpus is never replicated per threshold, which is the difference
+    between 19 scans and one at 100 TB. NULL-text docs (undefined
+    score) are excluded on both engines; precision is NULL (not 0)
+    at thresholds where nothing is predicted positive.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        F.round(stopword_ratio("text"), 6).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("n_pos").cast("bigint").alias("p"),
+    )
+    thr = spark.range(1, 20).select(
+        F.round(F.col("id") * 0.05, 2).alias("threshold")
+    )
+    swept = (
+        thr.crossJoin(F.broadcast(tot))
+        .join(hist, F.lit(True), "left")
+        .groupBy("threshold", "p")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("score") >= F.col("threshold"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("pp"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("score") >= F.col("threshold"), F.col("n_pos"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return swept.select(
+        "threshold",
+        "tp",
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.when(F.col("pp") > 0, F.round(F.col("tp") / F.col("pp"), 6)).alias(
+            "precision"
+        ),
+        F.when(F.col("p") > 0, F.round(F.col("tp") / F.col("p"), 6)).alias(
+            "recall"
+        ),
+    )

@@ -45,6 +45,8 @@ FUZZ_QUERIES = [
     "q_theil_sen",
     # sixth-session additions
     "q_perplexity_filter",
+    "q_distinct_ngrams",
+    "q_pr_curve",
 ]
 
 
@@ -172,6 +174,8 @@ EMPTY_OK_QUERIES = [
     "q_wav_decode_pipeline",
     # sixth-session additions
     "q_perplexity_filter",
+    "q_distinct_ngrams",
+    "q_pr_curve",
 ]
 
 
