@@ -1,10 +1,11 @@
 """Pure-stdlib image/audio codecs for the multimodal decode seam.
 
 The sandbox has no PIL/opencv/soundfile, but PNG is just zlib (stdlib)
-plus per-row unfiltering (numpy), and WAV is a RIFF header walk
-(stdlib ``struct``) — so the most common lossless formats decode for
-REAL here, shrinking the documented codec seam in
-operators/multimodal.py to lossy formats (JPEG/MP3/video), which
+plus per-row unfiltering (numpy), WAV is a RIFF header walk (stdlib
+``struct``), and baseline JPEG is Huffman + DCT (numpy einsum) — so
+the common lossless formats AND the dominant lossy image format
+decode for REAL here, shrinking the documented codec seam in
+operators/multimodal.py to WebP/progressive-JPEG/MP3/video, which
 genuinely need external libraries.
 
 Scope (decoder): 8-bit, non-interlaced PNG, color types 0 (gray),
@@ -232,3 +233,602 @@ def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
         + struct.pack("<I", len(body))
         + body
     )
+
+
+# --- JPEG (baseline sequential DCT, ITU T.81) -----------------------------
+#
+# Pure numpy + stdlib: closes the LOSSY half of the image codec seam.
+# Encoder: 8-bit grayscale or RGB (YCbCr 4:4:4, no subsampling),
+# Annex-K quantization tables scaled by the IJG quality formula,
+# Annex-K Huffman tables. Decoder: baseline/extended-sequential
+# Huffman (SOF0/SOF1), 8-bit, 1-3 components, arbitrary integer
+# sampling factors (nearest-neighbor chroma upsample), DRI/RSTn
+# restart intervals; tables are read FROM the file, so third-party
+# baseline JPEGs decode too. Progressive (SOF2) and arithmetic
+# coding raise ValueError with the unsupported marker named.
+#
+# Exactness contract (tests/test_codecs.py): the entropy layer is
+# lossless — Huffman-decoding an encode's scan reproduces the
+# quantized coefficients EXACTLY (pinned against an independent
+# replay of DCT + round-half-away-from-zero quantization) — and the
+# decoded pixels match an independent float IDCT replay within ±1
+# gray level (IEEE summation-order tolerance), with PSNR sanity vs
+# the original.
+
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex-K Huffman specs: (BITS[1..16] counts, HUFFVAL). The decoder
+# never relies on these (tables travel in the DHT segments); the
+# encoder only needs them to be valid prefix codes covering every
+# symbol it can emit (DC sizes 0-11; AC (run,size) incl. EOB/ZRL).
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_mat() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16)
+    c[0] *= np.sqrt(0.5)
+    return c * 0.5  # orthonormal: C @ B @ C.T is the JPEG FDCT
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUM, _Q_CHROM):
+        tbl = (base * scale + 50) // 100
+        out.append(np.clip(tbl, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits, vals):
+    """Canonical Huffman: (length, code) -> symbol."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def byte_align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy-coded segment, unstuffing
+    0xFF00 and stopping (returning markers) at 0xFFxx."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _huff_read(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """Value -> (size, magnitude code) per T.81 F.1.2.1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _pad_to_blocks(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Edge-replicate pad a float plane to a (by, bx) block grid and
+    return the (by*bx, 8, 8) level-shifted block array."""
+    ph, pw = plane.shape
+    pad = np.empty((by * 8, bx * 8), dtype=np.float64)
+    pad[:ph, :pw] = plane
+    pad[ph:, :pw] = plane[ph - 1 : ph, :]
+    pad[:, pw:] = pad[:, pw - 1 : pw]
+    return (
+        pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+
+
+def _encode_block(wtr, block_zz, pred, dc_tab, ac_tab) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new
+    DC predictor."""
+    diff = int(block_zz[0]) - pred
+    size, mag = _mag(diff)
+    code, length = dc_tab[size]
+    wtr.write(code, length)
+    if size:
+        wtr.write(mag, size)
+    nz = np.nonzero(block_zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(block_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        size, mag = _mag(v)
+        code, length = ac_tab[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(mag, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        wtr.write(code, length)
+    return int(block_zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a baseline
+    JFIF JPEG. ``subsampling`` is '4:4:4' (every block position one
+    MCU) or '4:2:0' (chroma box-averaged 2x2, the common camera/web
+    layout); ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (the stream-resync feature the decoder must
+    handle on real files)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        if subsampling == "4:4:4":
+            samps = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:0":
+            samps = [(2, 2), (1, 1), (1, 1)]
+            for ci in (1, 2):
+                p = planes[ci]
+                ph, pw = p.shape
+                # edge-replicate to even dims, then 2x2 box mean
+                if ph % 2:
+                    p = np.vstack([p, p[-1:]])
+                if pw % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                planes[ci] = (
+                    p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    q_lum, q_chr = _quality_tables(quality)
+    qtabs = [q_lum] + ([q_chr] if len(planes) == 3 else [])
+    cmat = _dct_mat()
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samps[ci]
+        by, bx = mcuy * vs, mcux * hs
+        blocks = _pad_to_blocks(plane, by, bx)
+        coef = np.einsum("ij,njk,kl->nil", cmat, blocks, cmat.T)
+        q = qtabs[min(ci, 1)].astype(np.float64)
+        scaled = coef / q
+        # round half away from zero (the documented quantizer rule)
+        quant = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        comp_blocks.append(quant.reshape(by, bx, 8, 8))
+
+    dc_tabs = [_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)]
+    ac_tabs = [_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)]
+    if len(planes) == 3:
+        dc_tabs.append(_huff_codes(_DC_CHR_BITS, _DC_CHR_VALS))
+        ac_tabs.append(_huff_codes(_AC_CHR_BITS, _AC_CHR_VALS))
+
+    wtr = _JpegBitWriter()
+    pred = [0] * len(planes)
+    zz = _JPEG_ZZ
+    mcu_i = 0
+    rst_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.byte_align()
+                wtr.buf += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+                pred = [0] * len(planes)
+            for ci in range(len(planes)):
+                ti = min(ci, 1)
+                hs, vs = samps[ci]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        blk = comp_blocks[ci][
+                            my * vs + byi, mx * hs + bxi
+                        ].reshape(64)[zz]
+                        pred[ci] = _encode_block(
+                            wtr, blk, pred[ci], dc_tabs[ti], ac_tabs[ti]
+                        )
+            mcu_i += 1
+    scan = wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
+        out += bytes(int(x) for x in q.reshape(64)[zz])
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samps[ci]
+        out += struct.pack("BBB", ci + 1, (hs << 4) | vs, min(ci, 1))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    huffs = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
+    if nc == 3:
+        huffs += [
+            (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+            (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+        ]
+    for tc_th, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack("BB", ci + 1, (min(ci, 1) << 4) | min(ci, 1))
+    out += b"\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _parse_jpeg(data: bytes):
+    """Parse a baseline JPEG into header metadata + per-component
+    QUANTIZED coefficient block grids (entropy layer fully decoded,
+    no IDCT). Returns (h, w, comps, qtabs) where comps is a list of
+    dicts with keys id, hs, vs, tq, blocks (n_by, n_bx, 8, 8 int64 in
+    natural order), bx/by (padded block grid dims)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    dri = 0
+    zz = _JPEG_ZZ
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[zz] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtabs[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (ac_dec if tc else dc_dec)[th] = _huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "hs": hv >> 4, "vs": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_sel = {}
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bx"] = mcux * c["hs"]
+                c["by"] = mcuy * c["vs"]
+                c["blocks"] = np.zeros(
+                    (c["by"], c["bx"], 8, 8), dtype=np.int64
+                )
+            rdr = _JpegBitReader(data, pos + seglen)
+            pred = {c["id"]: 0 for c in comps}
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_i and mcu_i % dri == 0:
+                        rdr.restart()
+                        pred = {c["id"]: 0 for c in comps}
+                    for c in comps:
+                        dct, act = scan_sel[c["id"]]
+                        dtab, atab = dc_dec[dct], ac_dec[act]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                blk = np.zeros(64, dtype=np.int64)
+                                size = _huff_read(rdr, dtab)
+                                diff = _extend(rdr.bits(size), size)
+                                pred[c["id"]] += diff
+                                blk[0] = pred[c["id"]]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_read(rdr, atab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC run overflow")
+                                    blk[k] = _extend(rdr.bits(s), s)
+                                    k += 1
+                                nat = np.zeros(64, dtype=np.int64)
+                                nat[zz] = blk
+                                c["blocks"][
+                                    my * c["vs"] + by, mx * c["hs"] + bx
+                                ] = nat.reshape(8, 8)
+                    mcu_i += 1
+            return h, w, comps, qtabs
+        pos += seglen
+    raise ValueError("no SOS scan found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w) grayscale or (h, w, 3) RGB
+    uint8 (JFIF YCbCr for 3 components, nearest-neighbor chroma
+    upsample for subsampled files)."""
+    h, w, comps, qtabs = _parse_jpeg(data)
+    cmat = _dct_mat()
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]].astype(np.float64)
+        blocks = c["blocks"].reshape(-1, 8, 8).astype(np.float64) * q
+        spat = np.einsum("ij,njk,kl->nil", cmat.T, blocks, cmat) + 128.0
+        by, bx = c["by"], c["bx"]
+        plane = (
+            spat.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        fy, fx = vmax // c["vs"], hmax // c["hs"]
+        if vmax % c["vs"] or hmax % c["hs"]:
+            raise ValueError("non-integer sampling ratio unsupported")
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG unsupported")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -90,20 +90,25 @@ def _as_bytes(payload) -> bytes:
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """The real decode seam, dispatched on magic bytes.
 
-    PNG decodes for REAL — operators/codecs.py is a pure
-    stdlib-zlib + numpy implementation (8-bit, non-interlaced, color
-    types 0/2/4/6, all five filters), round-trip- and
-    per-filter-tested in tests/test_codecs.py. Lossy formats
-    (JPEG/WebP/...) still need an external library — a deployment
-    extends the dispatch below; everything around it (batching,
-    schema, partitioning) is exercised either way."""
-    from hls_stac_parquet_spark.operators.codecs import decode_png
+    PNG and baseline JPEG both decode for REAL — operators/codecs.py
+    is pure stdlib + numpy (PNG: zlib inflate + all five unfilter
+    paths; JPEG: baseline/extended-sequential Huffman, 1-3
+    components, chroma subsampling, restart intervals), round-trip-
+    and replay-tested in tests/test_codecs.py. Remaining formats
+    (WebP, progressive JPEG, ...) extend the dispatch below in
+    deployment; everything around it (batching, schema,
+    partitioning) is exercised either way."""
+    from hls_stac_parquet_spark.operators.codecs import decode_jpeg, decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        px = decode_jpeg(payload)
+        return px[..., None] if px.ndim == 2 else px
     raise NotImplementedError(
-        "only PNG decodes in this environment (operators/codecs.py); "
-        "plug a JPEG/WebP codec into this dispatch in deployment"
+        "only PNG and baseline JPEG decode in this environment "
+        "(operators/codecs.py); plug further codecs into this "
+        "dispatch in deployment"
     )
 
 
@@ -317,6 +322,62 @@ def encode_images_png(
                     buf = np.pad(buf, (0, n_src - len(buf)))
                 px = buf.reshape(src_height, src_width, channels)
                 out.append(encode_png(px, filter_type=int(mid) % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "content": out}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return _par(media).mapInPandas(gen, schema)
+
+
+def encode_images_jpeg(
+    media: DataFrame,
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL baseline-JPEG encode of raw pixel buffers
+    (operators/codecs.py): payloads are uint8 (src_height, src_width,
+    channels) buffers (the resize/patchify layout; short blobs
+    zero-pad, long ones truncate). Quality cycles {35, 60, 85} and
+    RGB images alternate 4:4:4 / 4:2:0 per image id, so a corpus
+    exercises the quantization sweep, both subsampling layouts, and
+    the restart-marker path (every 3rd image). Emits
+    (id, content=jpeg bytes). One mapInPandas, no shuffle."""
+    from hls_stac_parquet_spark.operators.codecs import encode_jpeg
+
+    n_src = src_height * src_width * channels
+    qualities = (35, 60, 85)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = _as_bytes(payload)
+                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+                if len(buf) < n_src:
+                    buf = np.pad(buf, (0, n_src - len(buf)))
+                px = buf.reshape(src_height, src_width, channels)
+                if channels == 1:
+                    px = px[..., 0]
+                mid = int(mid)
+                out.append(
+                    encode_jpeg(
+                        px,
+                        quality=qualities[mid % 3],
+                        subsampling=(
+                            "4:2:0" if channels == 3 and mid % 2 else "4:4:4"
+                        ),
+                        restart_interval=2 if mid % 3 == 0 else 0,
+                    )
+                )
             yield pd.DataFrame(
                 {"media_id": pdf[id_col].to_numpy(), "content": out}
             )

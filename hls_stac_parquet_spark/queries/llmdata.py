@@ -3672,3 +3672,37 @@ def q_pr_curve(spark, sf_dir):
             "recall"
         ),
     )
+
+
+@query("q_jpeg_decode_stats", oracle=None)  # codec work — not SQL-expressible
+def q_jpeg_decode_stats(spark, sf_dir):
+    """REAL lossy-image pipeline — the JPEG twin of
+    q_png_decode_stats, closing the LOSSY half of the codec seam:
+    documents' text bytes stand in for 16x16 grayscale pixel buffers,
+    baseline-JPEG-ENCODED with the pure-numpy codec
+    (operators/codecs.py — quality cycles 35/60/85 and every 3rd
+    image carries restart markers, so the corpus exercises the
+    quantization sweep and the RSTn resync path), then DECODED back
+    through the multimodal seam's magic-byte dispatch (Huffman →
+    dequantize → IDCT) and reduced to shape + mean luminance +
+    compressed size. Rows-only: the DCT pipeline has no SQL
+    expression; the entropy layer's coefficient-exactness and the
+    IDCT's ±1 replay bound are pinned in tests/test_codecs.py."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_images_jpeg,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    jpegs = encode_images_jpeg(media, src_width=16, src_height=16)
+    return decode_image_stats(jpegs).select(
+        "media_id",
+        "n_bytes",
+        "height",
+        "width",
+        "channels",
+        F.round(F.col("mean_px").cast("double"), 3).alias("mean_px"),
+    )

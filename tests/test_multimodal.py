@@ -61,17 +61,23 @@ def test_sample_frames_fanout(media):
 
 
 def test_real_codec_seam_dispatch():
-    """PNG decodes for real through the seam; non-PNG formats raise
-    the explicit NotImplementedError naming the deployment hook."""
+    """PNG and baseline JPEG both decode for real through the seam;
+    unsupported formats raise the explicit NotImplementedError naming
+    the deployment hook, and malformed JPEG raises ValueError (which
+    decode_image_stats converts to a sentinel row)."""
     import numpy as np
 
-    from hls_stac_parquet_spark.operators.codecs import encode_png
+    from hls_stac_parquet_spark.operators.codecs import encode_jpeg, encode_png
 
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     out = _decode_image_real(encode_png(px, filter_type=2))
     assert np.array_equal(out[:, :, 0], px)
+    jout = _decode_image_real(encode_jpeg(px, quality=95))
+    assert jout.shape == (8, 8, 1)  # gray JPEG normalized to 3-dim
+    with pytest.raises(ValueError):
+        _decode_image_real(b"\xff\xd8\xff truncated jpeg payload")
     with pytest.raises(NotImplementedError, match="PNG"):
-        _decode_image_real(b"\xff\xd8\xff jpeg-ish payload")
+        _decode_image_real(b"RIFF....WEBPVP8 ")
 
 
 class TestResizeRawImages:

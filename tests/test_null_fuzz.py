@@ -47,6 +47,7 @@ FUZZ_QUERIES = [
     "q_perplexity_filter",
     "q_distinct_ngrams",
     "q_pr_curve",
+    "q_jpeg_decode_stats",
 ]
 
 
@@ -176,6 +177,7 @@ EMPTY_OK_QUERIES = [
     "q_perplexity_filter",
     "q_distinct_ngrams",
     "q_pr_curve",
+    "q_jpeg_decode_stats",
 ]
 
 
