@@ -832,3 +832,257 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- GIF (87a/89a, LZW) ----------------------------------------------------
+#
+# Pure stdlib+numpy: makes the VIDEO modality real at fixture scale —
+# an animated GIF is the honest multi-frame container this sandbox
+# can both write and read (no ffmpeg). Decoder: global/local color
+# tables, interlacing, graphic-control extensions with disposal
+# methods 0-3 (composition replayed frame by frame), transparency.
+# Encoder: grayscale palette, optional interlace, per-frame
+# full-rect updates — everything the decoder needs exercised.
+# GIF is lossless over palette indices, so round trips are bit-exact.
+# Spec: GIF89a (CompuServe/W3C, public).
+
+
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits clear code first, grows code width up
+    to 12 bits, re-clears when the table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    prefix = b""
+    for idx in indices.tolist():
+        nxt = prefix + bytes([idx])
+        if nxt in table:
+            prefix = nxt
+            continue
+        emit(table[prefix], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            width += 1
+            if width > 12:
+                emit(clear, 12)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        prefix = bytes([idx])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        if prev is not None and next_code >= (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(height: int) -> np.ndarray:
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return np.array(rows, dtype=np.int64)
+
+
+def encode_gif(
+    frames: np.ndarray | list,
+    interlace: bool = False,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """Encode (n, h, w) uint8 grayscale frames as an animated GIF89a
+    (256-entry gray palette; frame k's palette index IS its gray
+    value, so the round trip is bit-exact)."""
+    fr = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    if fr.ndim == 2:
+        fr = fr[None]
+    n, h, w = fr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])  # gray palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop ext
+    for k in range(n):
+        disp = (disposals or [1] * n)[k]
+        out += b"\x21\xf9" + bytes([4, (disp & 7) << 2, 2, 0, 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00])
+        px = fr[k]
+        if interlace:
+            px = px[_interlace_order(h)]
+        out += bytes([8])  # LZW min code size
+        comp = _lzw_compress(px.reshape(-1), 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a into composed (n, h, w, 3) uint8 RGB
+    frames (disposal methods 0-3 and transparency replayed)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * size], dtype=np.uint8)
+        gct = gct.reshape(size, 3)
+        pos += 3 * size
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    background = canvas.copy()
+    frames = []
+    transparent = None
+    disposal = 0
+    prev_canvas = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blen = data[pos]
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 7
+                transparent = (
+                    data[pos + 4] if gflags & 1 else None
+                )
+                pos += blen + 1
+            while data[pos] != 0:  # skip (remaining) sub-blocks
+                pos += data[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
+            iflags = data[pos + 8]
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 7)
+                table = np.frombuffer(
+                    data[pos : pos + 3 * size], dtype=np.uint8
+                ).reshape(size, 3)
+                pos += 3 * size
+            if table is None:
+                raise ValueError("no color table for image block")
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                comp += data[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(comp), min_code)[: iw * ih],
+                dtype=np.uint8,
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                de = np.empty_like(idx)
+                de[_interlace_order(ih)] = idx
+                idx = de
+            prev_canvas = canvas.copy()
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            rgb = table[np.minimum(idx, len(table) - 1)]
+            if transparent is not None:
+                mask = (idx != transparent)[..., None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame rect
+                canvas[iy : iy + ih, ix : ix + iw] = background[
+                    iy : iy + ih, ix : ix + iw
+                ]
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+            disposal = 0
+            transparent = None
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames)

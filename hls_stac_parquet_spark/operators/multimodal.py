@@ -1005,3 +1005,109 @@ def audio_fingerprint(
             )
 
     return _par(media).mapInPandas(gen, _AUDIO_FP_SCHEMA)
+
+
+_GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("mean_px", FloatType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def decode_gif_frames(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL video-frame extraction: payloads are animated GIFs
+    (operators/codecs.py — LZW, interlace, disposal composition), each
+    decoded to its composed RGB frame sequence; one output row per
+    frame carrying shape, mean luminance, and the grayscale frame
+    buffer (feeding resize/patchify/dhash downstream). The same
+    1→N in-UDF fan-out shape as sample_frames, but the frames are
+    decoded pixels, not byte slices. Undecodable payloads yield one
+    (-1, -1, -1, NaN, empty) sentinel row. One mapInPandas, no
+    shuffle."""
+    from hls_stac_parquet_spark.operators.codecs import decode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, ws, means, bufs = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = _as_bytes(payload)
+                try:
+                    frames = decode_gif(payload)
+                except (ValueError, struct.error, IndexError):
+                    ids.append(mid)
+                    idxs.append(-1)
+                    hs.append(-1)
+                    ws.append(-1)
+                    means.append(np.float32("nan"))
+                    bufs.append(b"")
+                    continue
+                for i, fr in enumerate(frames):
+                    gray = fr[..., 0]  # gray-palette GIFs: R==G==B
+                    ids.append(mid)
+                    idxs.append(i)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    means.append(np.float32(fr.mean()))
+                    bufs.append(gray.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "width": np.array(ws, dtype=np.int32),
+                    "mean_px": np.array(means, dtype=np.float32),
+                    "content": bufs,
+                }
+            )
+
+    return _par(media).mapInPandas(gen, _GIF_FRAMES_SCHEMA)
+
+
+def encode_gifs(
+    media: DataFrame,
+    src_width: int,
+    src_height: int,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """REAL animated-GIF encode of raw byte payloads: each payload is
+    sliced into ``n_frames`` (src_height, src_width) grayscale frames
+    (zero-padded), LZW-compressed into one GIF89a; interlace rotates
+    per id so a corpus exercises both row orders. Lossless: the
+    decoded frames are bit-identical to the input slices."""
+    from hls_stac_parquet_spark.operators.codecs import encode_gif
+
+    n_px = src_height * src_width
+    n_src = n_px * n_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                payload = _as_bytes(payload)
+                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+                if len(buf) < n_src:
+                    buf = np.pad(buf, (0, n_src - len(buf)))
+                frames = buf.reshape(n_frames, src_height, src_width)
+                out.append(encode_gif(frames, interlace=bool(int(mid) % 2)))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "content": out}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return _par(media).mapInPandas(gen, schema)

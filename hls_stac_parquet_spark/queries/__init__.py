@@ -117,7 +117,7 @@ PRIORITY_QUERIES = [
     "q_dsir_resample", "q_boilerplate_removal", "q_token_budget_mix",
     "q_split_leakage", "q_png_decode_stats", "q_wav_decode_pipeline",
     # sixth-session flagships
-    "q_perplexity_filter", "q_jpeg_decode_stats",
+    "q_perplexity_filter", "q_jpeg_decode_stats", "q_gif_frame_pipeline",
 ]
 
 

@@ -3706,3 +3706,34 @@ def q_jpeg_decode_stats(spark, sf_dir):
         "channels",
         F.round(F.col("mean_px").cast("double"), 3).alias("mean_px"),
     )
+
+
+@query("q_gif_frame_pipeline", oracle=None)  # codec work — not SQL-expressible
+def q_gif_frame_pipeline(spark, sf_dir):
+    """REAL video-frame pipeline — animated GIF as the honest
+    multi-frame container (operators/codecs.py: LZW compress/
+    decompress, interlace rotating per id, frame composition):
+    documents' bytes become 4-frame 8x8 grayscale GIFs, decoded back
+    through decode_gif_frames' 1→N fan-out to per-frame shape + mean
+    luminance. GIF is lossless over the gray palette, so the decoded
+    frame stats are EXACTLY the raw-slice stats (pinned in
+    tests/test_codecs.py); rows-only for the driver (LZW has no SQL
+    expression). Replaces the byte-slicing fake codec of
+    q_video_frame_sample with real decoded pixels."""
+    from hls_stac_parquet_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gifs,
+    )
+
+    media = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    gifs = encode_gifs(media, src_width=8, src_height=8, n_frames=4)
+    return decode_gif_frames(gifs).select(
+        "media_id",
+        "frame_idx",
+        "height",
+        "width",
+        F.round(F.col("mean_px").cast("double"), 3).alias("mean_px"),
+    )

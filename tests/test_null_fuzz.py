@@ -48,6 +48,7 @@ FUZZ_QUERIES = [
     "q_distinct_ngrams",
     "q_pr_curve",
     "q_jpeg_decode_stats",
+    "q_gif_frame_pipeline",
 ]
 
 
@@ -178,6 +179,7 @@ EMPTY_OK_QUERIES = [
     "q_distinct_ngrams",
     "q_pr_curve",
     "q_jpeg_decode_stats",
+    "q_gif_frame_pipeline",
 ]
 
 

@@ -162,3 +162,55 @@ def test_skew_dir_is_actually_skewed(skew_dir):
         f"GROUP BY embedding::VARCHAR)"
     ).fetchone()[0]
     assert hot_vecs >= 0.25 * total_docs
+
+
+# ---- whale-doc robustness ------------------------------------------------
+# One enormous document (50k tokens) — the per-DOC hot row. Distinct
+# failure mode from hot KEYS: every operator that collects a per-doc
+# array (ordered NLL folds, chunk lists, shingle sets, bigram arrays)
+# must stay correct when a single row is 1000x the median, because a
+# 100 TB crawl always contains a few book-length outliers.
+
+WHALE_QUERIES = [
+    "q_perplexity_filter",
+    "q_boilerplate_removal",
+    "q_text_stats",
+    "q_doc_repetition",
+    "q_token_count",
+    "q_distinct_ngrams",
+    "q_minhash_dedup",
+    "q_substring_dup_pairs",
+    "q_pack_sequences",
+    "q_keywords_rake",
+]
+
+
+@pytest.fixture(scope="module")
+def whale_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("whaledoc"))
+    con = duckdb.connect()
+    # doc 1 becomes ~50k tokens (deterministic pseudo-words so the
+    # vocab is realistic, not one token repeated)
+    con.execute(f"""
+        COPY (SELECT doc_id,
+          CASE WHEN doc_id = 1 THEN (
+            SELECT string_agg('w' || (i * 2654435761 % 997), ' ')
+            FROM range(50000) t(i))
+          ELSE text END AS text,
+          lang, source,
+          CASE WHEN doc_id = 1 THEN 300000 ELSE n_chars END AS n_chars
+         FROM read_parquet('{SF0001}/documents.parquet'))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    for tbl in ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF0001}/{tbl}.parquet')) "
+            f"TO '{out}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", WHALE_QUERIES)
+def test_parity_with_whale_doc(spark, whale_dir, name):
+    r = check_query(spark, whale_dir, name)
+    assert r.match, f"{name} diverged with a whale doc: {r.detail}"
