@@ -54,6 +54,18 @@ def main() -> int:
     with open(args.new) as f:
         new = json.load(f)
 
+    # an sf0.01 dev run must never masquerade as the sf0.1 baseline
+    # (it did once: a verify-step bench at sf0.01 overwrote
+    # BENCH_DETAIL.json, got committed, and the next gate read 2-4x
+    # phantom regressions) — refuse to compare across scale factors
+    if old.get("sf") != new.get("sf"):
+        print(
+            f"ERROR: baseline sf={old.get('sf')} vs new sf={new.get('sf')} — "
+            "not comparable; re-run bench.py at the baseline's sf or pass "
+            "an explicit baseline file recorded at the same sf"
+        )
+        return 2
+
     oq, nq = old["queries"], new["queries"]
     # host-weather normalization: when both files carry the fixed
     # synthetic probe, scale the new timings by the probe ratio
