@@ -3737,3 +3737,101 @@ def q_gif_frame_pipeline(spark, sf_dir):
         "width",
         F.round(F.col("mean_px").cast("double"), 3).alias("mean_px"),
     )
+
+
+@query(
+    "q_int8_quantize",
+    oracle=(
+        "WITH base AS (SELECT vec_id, "
+        "  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), "
+        "sc AS (SELECT vec_id, e, "
+        "  list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM base), "
+        "q AS (SELECT vec_id, e, scale, "
+        "  CASE WHEN scale = 0 THEN list_transform(e, x -> 0) "
+        "  ELSE list_transform(e, x -> CAST(greatest(-127, least(127, "
+        "    round(x / scale))) AS INT)) END AS qv FROM sc) "
+        "SELECT vec_id, round(scale, 6) AS scale, "
+        "  CAST(coalesce(list_sum(list_transform(qv, x -> CASE WHEN "
+        "    abs(x) = 127 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_saturated, "
+        "  round(coalesce(list_max(list_transform(range(1, len(e) + 1), "
+        "    i -> abs(e[i] - qv[i] * scale))), 0), 8) AS max_abs_err, "
+        "  round(coalesce(list_sum(list_transform(range(1, len(e) + 1), "
+        "    i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale))), 0) "
+        "    / greatest(len(e), 1), 10) AS mse "
+        "FROM q"
+    ),
+)
+def q_int8_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the standard vector-store compression step (4x smaller than
+    float32, GEMM-able on int8 hardware), complementing PQ
+    (operators/similarity.py) on the codes-vs-scalars axis: per
+    vector, scale = max|x|/127, q = clamp(round(x/scale)), and the
+    query reports the reconstruction quality every deployment checks
+    before switching search to the quantized tier (scale,
+    saturation count, max abs error, MSE).
+
+    Exactness: quantize/dequantize arithmetic runs element-aligned in
+    both engines (double-cast floats, identical expression shapes);
+    the MSE reduction is an ordered index fold (the q_ndcg
+    construction), so the hash match is summation-order-independent.
+    Zero vectors are a DECLARED semantic: scale 0 → all-zero codes,
+    zero error (no 0/0). Scale shape: pure per-row HOF arithmetic —
+    no shuffle at all; the whole query is one codegen'd projection
+    over the scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    sc = base.select(
+        "vec_id",
+        "e",
+        (F.expr("array_max(transform(e, x -> abs(x)))") / 127).alias("scale"),
+    )
+    q = sc.select(
+        "vec_id",
+        "e",
+        "scale",
+        F.when(
+            F.col("scale") == 0, F.expr("transform(e, x -> 0)")
+        )
+        .otherwise(
+            F.expr(
+                "transform(e, x -> CAST(greatest(-127D, least(127D, "
+                "round(x / scale))) AS INT))"
+            )
+        )
+        .alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "aggregate(transform(qv, x -> CASE WHEN abs(x) = 127 "
+            "THEN 1L ELSE 0L END), 0L, (a, b) -> a + b)"
+        ).alias("n_saturated"),
+        F.round(
+            F.coalesce(
+                F.expr(
+                    "array_max(transform(sequence(1, size(e)), "
+                    "i -> abs(element_at(e, i) - element_at(qv, i) * scale)))"
+                ),
+                F.lit(0.0),
+            ),
+            8,
+        ).alias("max_abs_err"),
+        F.round(
+            F.coalesce(
+                F.expr(
+                    "aggregate(transform(sequence(1, size(e)), "
+                    "i -> (element_at(e, i) - element_at(qv, i) * scale) * "
+                    "(element_at(e, i) - element_at(qv, i) * scale)), "
+                    "0D, (a, b) -> a + b)"
+                ),
+                F.lit(0.0),
+            )
+            / F.greatest(F.size("e"), F.lit(1)),
+            10,
+        ).alias("mse"),
+    )

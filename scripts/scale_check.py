@@ -50,6 +50,13 @@ REPRESENTATIVE = [
     # through the kernel now)
     "q_rfm_segments",
     "q_pack_sequences",
+    # sixth-session: bigram-LM scoring (vocab-keyed model joins +
+    # per-doc ordered folds + ntile kernel) and the Arrow-batched
+    # JPEG/GIF codec pipelines (per-row CPU, no shuffle — the axis
+    # where scaling should be embarrassingly parallel)
+    "q_perplexity_filter",
+    "q_jpeg_decode_stats",
+    "q_gif_frame_pipeline",
 ]
 
 

@@ -180,6 +180,7 @@ EMPTY_OK_QUERIES = [
     "q_pr_curve",
     "q_jpeg_decode_stats",
     "q_gif_frame_pipeline",
+    "q_int8_quantize",
 ]
 
 
