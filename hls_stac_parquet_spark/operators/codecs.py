@@ -2,10 +2,11 @@
 
 The sandbox has no PIL/opencv/soundfile, but PNG is just zlib (stdlib)
 plus per-row unfiltering (numpy), WAV is a RIFF header walk (stdlib
-``struct``), and baseline JPEG is Huffman + DCT (numpy einsum) — so
-the common lossless formats AND the dominant lossy image format
-decode for REAL here, shrinking the documented codec seam in
-operators/multimodal.py to WebP/progressive-JPEG/MP3/video, which
+``struct``), JPEG is Huffman + DCT (numpy einsum) — baseline AND
+progressive (SOF2 spectral selection + successive approximation) —
+and GIF is LZW. So the common lossless formats and the dominant lossy
+image format decode for REAL here, shrinking the documented codec
+seam in operators/multimodal.py to WebP/MP3/real-video, which
 genuinely need external libraries.
 
 Scope (decoder): 8-bit, non-interlaced PNG, color types 0 (gray),
@@ -669,12 +670,109 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _decode_block_baseline(rdr, dtab, atab, pred):
+    """One baseline block in zigzag order; returns (coef_zz, new_pred)."""
+    blk = np.zeros(64, dtype=np.int64)
+    size = _huff_read(rdr, dtab)
+    pred += _extend(rdr.bits(size), size)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_read(rdr, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        blk[k] = _extend(rdr.bits(s), s)
+        k += 1
+    return blk, pred
+
+
+def _decode_ac_first(rdr, atab, coef, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0) for one block (T.81 G.1.2.2);
+    coef is the block's 64-entry zigzag array, mutated in place."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(rdr, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) + (rdr.bits(r) if r else 0) - 1  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow in progressive scan")
+        coef[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(rdr, atab, coef, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah=Al+1) for one block (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as ±2^Al; every
+    already-nonzero coefficient visited consumes a correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if rdr.bit():
+            if coef[k] >= 0 and not (coef[k] & p1):
+                coef[k] += p1
+            elif coef[k] < 0 and not (-coef[k] & p1):
+                coef[k] += m1
+        return k
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_read(rdr, atab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (rdr.bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if rdr.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _parse_jpeg(data: bytes):
-    """Parse a baseline JPEG into header metadata + per-component
-    QUANTIZED coefficient block grids (entropy layer fully decoded,
-    no IDCT). Returns (h, w, comps, qtabs) where comps is a list of
-    dicts with keys id, hs, vs, tq, blocks (n_by, n_bx, 8, 8 int64 in
-    natural order), bx/by (padded block grid dims)."""
+    """Parse a JPEG (baseline SOF0, extended-sequential SOF1, or
+    progressive SOF2) into header metadata + per-component QUANTIZED
+    coefficient block grids (entropy layer fully decoded, no IDCT).
+    Progressive files accumulate coefficients across all scans
+    (spectral selection + successive approximation, DC and AC first/
+    refinement passes, EOB runs, restart intervals). Returns
+    (h, w, comps, qtabs); comps entries carry id, hs, vs, tq, blocks
+    (n_by, n_bx, 8, 8 int64, natural order), bx/by (padded grid)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -684,6 +782,8 @@ def _parse_jpeg(data: bytes):
     comps: list[dict] = []
     h = w = 0
     dri = 0
+    progressive = False
+    saw_scan = False
     zz = _JPEG_ZZ
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -717,30 +817,17 @@ def _parse_jpeg(data: bytes):
                 vals = list(body[i + 17 : i + 17 + nv])
                 (ac_dec if tc else dc_dec)[th] = _huff_decoder(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
+            hmax = vmax = 1
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(
                     {"id": cid, "hs": hv >> 4, "vs": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
-            )
-        elif marker == 0xDD:  # DRI
-            dri = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
-            if not comps:
-                raise ValueError("SOS before SOF")
-            ns = body[0]
-            scan_sel = {}
-            for si in range(ns):
-                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
             hmax = max(c["hs"] for c in comps)
             vmax = max(c["vs"] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -748,49 +835,136 @@ def _parse_jpeg(data: bytes):
             for c in comps:
                 c["bx"] = mcux * c["hs"]
                 c["by"] = mcuy * c["vs"]
-                c["blocks"] = np.zeros(
-                    (c["by"], c["bx"], 8, 8), dtype=np.int64
-                )
-            rdr = _JpegBitReader(data, pos + seglen)
-            pred = {c["id"]: 0 for c in comps}
-            mcu_i = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if dri and mcu_i and mcu_i % dri == 0:
-                        rdr.restart()
-                        pred = {c["id"]: 0 for c in comps}
-                    for c in comps:
-                        dct, act = scan_sel[c["id"]]
-                        dtab, atab = dc_dec[dct], ac_dec[act]
-                        for by in range(c["vs"]):
-                            for bx in range(c["hs"]):
-                                blk = np.zeros(64, dtype=np.int64)
-                                size = _huff_read(rdr, dtab)
-                                diff = _extend(rdr.bits(size), size)
-                                pred[c["id"]] += diff
-                                blk[0] = pred[c["id"]]
-                                k = 1
-                                while k < 64:
-                                    rs = _huff_read(rdr, atab)
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16  # ZRL
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC run overflow")
-                                    blk[k] = _extend(rdr.bits(s), s)
-                                    k += 1
-                                nat = np.zeros(64, dtype=np.int64)
-                                nat[zz] = blk
-                                c["blocks"][
-                                    my * c["vs"] + by, mx * c["hs"] + bx
-                                ] = nat.reshape(8, 8)
-                    mcu_i += 1
-            return h, w, comps, qtabs
+                # zigzag-order coefficient state, accumulated by scans
+                c["zzco"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+                # non-interleaved scan grid: the component's OWN
+                # sample extent, not the MCU-padded grid (T.81 A.2.2)
+                cw = -(-(w * c["hs"]) // hmax)
+                ch = -(-(h * c["vs"]) // vmax)
+                c["ni_bx"] = -(-cw // 8)
+                c["ni_by"] = -(-ch // 8)
+                c["pred"] = 0
+                c["mcux"], c["mcuy"] = mcux, mcuy
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            pos = _decode_scan(
+                data, pos + seglen, body, comps, dc_dec, ac_dec,
+                dri, progressive,
+            )
+            saw_scan = True
+            continue
         pos += seglen
+    if not saw_scan:
+        raise ValueError("no SOS scan found")
+    for c in comps:
+        nat = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        nat[:, zz] = c["zzco"]
+        c["blocks"] = nat.reshape(c["by"], c["bx"], 8, 8)
+        del c["zzco"]
+    return h, w, comps, qtabs
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past any entropy remainder to the next real marker."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_scan(data, scan_start, body, comps, dc_dec, ac_dec, dri,
+                 progressive):
+    """Decode one SOS scan (baseline full-band, or one progressive
+    pass), mutating each component's zigzag coefficient state.
+    Returns the stream position of the marker after the scan."""
+    ns = body[0]
+    scan_comps = []
+    for si in range(ns):
+        cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+        c = next(c for c in comps if c["id"] == cid)
+        scan_comps.append((c, tabs >> 4, tabs & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    rdr = _JpegBitReader(data, scan_start)
+    for c, _, _ in scan_comps:
+        c["pred"] = 0
+    eobrun = 0
+
+    if ns == 1:
+        # non-interleaved: the component's own block extent (equals
+        # the padded grid for single-component images)
+        c, dct, act = scan_comps[0]
+        nbx, nby = c["ni_bx"], c["ni_by"]
+        units = [(c, (by * c["bx"] + bx))
+                 for by in range(nby) for bx in range(nbx)]
+        per_unit = 1
+    else:
+        mcux, mcuy = comps[0]["mcux"], comps[0]["mcuy"]
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu = []
+                for c, dct, act in scan_comps:
+                    for byi in range(c["vs"]):
+                        for bxi in range(c["hs"]):
+                            mcu.append(
+                                (c, (my * c["vs"] + byi) * c["bx"]
+                                 + mx * c["hs"] + bxi)
+                            )
+                units.append(mcu)
+        per_unit = None  # marker for grouped units
+
+    tabs_by_id = {c["id"]: (dct, act) for c, dct, act in scan_comps}
+
+    def handle_block(c, bi):
+        nonlocal eobrun
+        dct, act = tabs_by_id[c["id"]]
+        coef = c["zzco"][bi]
+        if not progressive:
+            blk, c["pred"] = _decode_block_baseline(
+                rdr, dc_dec[dct], ac_dec[act], c["pred"]
+            )
+            coef[:] = blk
+        elif ss == 0:  # DC scan (se must be 0)
+            if ah == 0:
+                size = _huff_read(rdr, dc_dec[dct])
+                c["pred"] += _extend(rdr.bits(size), size)
+                coef[0] = c["pred"] << al
+            else:
+                coef[0] |= rdr.bits(1) << al
+        else:  # AC scan, single component
+            if ah == 0:
+                eobrun = _decode_ac_first(
+                    rdr, ac_dec[act], coef, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    rdr, ac_dec[act], coef, ss, se, al, eobrun
+                )
+
+    unit_i = 0
+    for unit in units:
+        if dri and unit_i and unit_i % dri == 0:
+            rdr.restart()
+            for c, _, _ in scan_comps:
+                c["pred"] = 0
+            eobrun = 0
+        if per_unit == 1:
+            handle_block(*unit)
+        else:
+            for c, bi in unit:
+                handle_block(c, bi)
+        unit_i += 1
+    return _next_marker(data, rdr.pos)
     raise ValueError("no SOS scan found")
 
 
@@ -1086,3 +1260,255 @@ def decode_gif(data: bytes) -> np.ndarray:
     if not frames:
         raise ValueError("GIF contains no image frames")
     return np.stack(frames)
+
+
+# progressive AC scans emit EOBn symbols (r<<4 for r=0..14), which the
+# Annex-K baseline tables don't contain — use a fixed complete table
+# covering all 256 symbols (254 at 8 bits + 2 at 9, leaving the
+# all-ones code unused as T.81 C.2 requires). The decoder reads tables
+# from the file, so compression is the only cost.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding TOWARD ZERO
+    (T.81 G.1.2.2 — DC uses the arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgAcState:
+    """Encoder state for one progressive AC scan: the EOB run and the
+    two correction-bit buffers (be = promoted bits flushed with the
+    EOBn symbol, br = current-block bits flushed after each symbol) —
+    the jcphuff.c structure, which is what keeps encoder bit order
+    aligned with the decoder's walk."""
+
+    def __init__(self, wtr, atab):
+        self.wtr = wtr
+        self.atab = atab
+        self.eobrun = 0
+        self.be: list[int] = []
+        self.br: list[int] = []
+
+    def _emit_bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.wtr.write(b, 1)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.atab[r << 4]
+            self.wtr.write(code, ln)
+            if r:
+                self.wtr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            self._emit_bits(self.be)
+            self.be = []
+
+    def emit_symbol_with_br(self, sym: int, extra: int, nbits: int) -> None:
+        self.emit_eobrun()
+        code, ln = self.atab[sym]
+        self.wtr.write(code, ln)
+        if nbits:
+            self.wtr.write(extra, nbits)
+        self._emit_bits(self.br)
+        self.br = []
+
+    def end_block_in_eob(self) -> None:
+        self.eobrun += 1
+        self.be += self.br
+        self.br = []
+        if self.eobrun == 0x7FFF or len(self.be) > 900:
+            self.emit_eobrun()
+
+
+def _enc_ac_first(st: _ProgAcState, band: list[int]) -> None:
+    """One block of a progressive AC first scan (Ah=0)."""
+    nz = [i for i, v in enumerate(band) if v]
+    if not nz:
+        st.end_block_in_eob()
+        return
+    last = nz[-1]
+    st.emit_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            st.emit_symbol_with_br(0xF0, 0, 0)
+            run -= 16
+        size, mag = _mag(v)
+        st.emit_symbol_with_br((run << 4) | size, mag, size)
+        run = 0
+    if last < len(band) - 1:
+        st.end_block_in_eob()
+
+
+def _enc_ac_refine(st: _ProgAcState, band: list[int]) -> None:
+    """One block of a progressive AC refinement scan (jcphuff.c
+    encode_mcu_AC_refine): |v|==1 is newly significant, |v|>1 emits a
+    correction bit, zeros accumulate runs; trailing state folds into
+    the EOB run."""
+    absv = [abs(v) for v in band]
+    eob_idx = max((i for i, v in enumerate(absv) if v == 1), default=-1)
+    run = 0
+    for i, v in enumerate(band):
+        a = absv[i]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_idx:
+            st.emit_symbol_with_br(0xF0, 0, 0)
+            run -= 16
+        if a > 1:
+            st.br.append(a & 1)
+            continue
+        st.emit_symbol_with_br((run << 4) | 1, 1 if v > 0 else 0, 1)
+        run = 0
+    if run > 0 or st.br:
+        st.end_block_in_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode gray/RGB uint8 as a PROGRESSIVE JPEG (SOF2, 4:4:4) with
+    a libjpeg-style scan script exercising every progressive decode
+    path: interleaved DC first (Al=1), per-component AC first scans in
+    two spectral bands (Al=2), two AC refinement passes (Ah=2→1,
+    1→0), and a DC refinement scan. The quantized coefficients are
+    IDENTICAL to ``encode_jpeg``'s for the same input — pinned in
+    tests/test_codecs.py — so progressive is purely an entropy-layer
+    re-ordering."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    nc = len(planes)
+    q_lum, q_chr = _quality_tables(quality)
+    qtabs = [q_lum] + ([q_chr] if nc == 3 else [])
+    cmat = _dct_mat()
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = _JPEG_ZZ
+
+    comp_zz = []  # per component: (n_blocks, 64) zigzag quantized coeffs
+    for ci, plane in enumerate(planes):
+        blocks = _pad_to_blocks(plane, bh, bw)
+        coef = np.einsum("ij,njk,kl->nil", cmat, blocks, cmat.T)
+        q = qtabs[min(ci, 1)].astype(np.float64)
+        scaled = coef / q
+        quant = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        comp_zz.append(quant.reshape(-1, 64)[:, zz])
+
+    dc_tabs = [_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)]
+    if nc == 3:
+        dc_tabs.append(_huff_codes(_DC_CHR_BITS, _DC_CHR_VALS))
+    prog_ac = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    n_blocks = bh * bw
+
+    def sos_header(comp_ids, tab_pairs, ss, se, ah, al) -> bytes:
+        out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                        len(comp_ids))
+        for cid, (dt, at) in zip(comp_ids, tab_pairs):
+            out += struct.pack("BB", cid, (dt << 4) | at)
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    scans = []
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic >> for DC)
+    wtr = _JpegBitWriter()
+    preds = [0] * nc
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            v = int(comp_zz[ci][bi][0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, mag = _mag(diff)
+            code, ln = dc_tabs[min(ci, 1)][size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(mag, size)
+    scans.append(
+        (sos_header(list(range(1, nc + 1)),
+                    [(min(ci, 1), 0) for ci in range(nc)], 0, 0, 0, 1),
+         wtr.flush())
+    )
+
+    # scans 2..: AC first in two bands, per component, Al=2
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            wtr = _JpegBitWriter()
+            st = _ProgAcState(wtr, prog_ac)
+            for bi in range(n_blocks):
+                band = [
+                    _pt_ac(int(comp_zz[ci][bi][k]), 2)
+                    for k in range(ss, se + 1)
+                ]
+                _enc_ac_first(st, band)
+            st.emit_eobrun()
+            scans.append(
+                (sos_header([ci + 1], [(0, 0)], ss, se, 0, 2), wtr.flush())
+            )
+
+    # AC refinement passes: Ah=2 Al=1, then Ah=1 Al=0
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(nc):
+            wtr = _JpegBitWriter()
+            st = _ProgAcState(wtr, prog_ac)
+            for bi in range(n_blocks):
+                band = [
+                    _pt_ac(int(comp_zz[ci][bi][k]), al)
+                    for k in range(1, 64)
+                ]
+                _enc_ac_refine(st, band)
+            st.emit_eobrun()
+            scans.append(
+                (sos_header([ci + 1], [(0, 0)], 1, 63, ah, al), wtr.flush())
+            )
+
+    # final scan: DC refinement, interleaved, Ah=1 Al=0
+    wtr = _JpegBitWriter()
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            wtr.write(int(comp_zz[ci][bi][0]) & 1, 1)
+    scans.append(
+        (sos_header(list(range(1, nc + 1)),
+                    [(0, 0) for _ in range(nc)], 0, 0, 1, 0),
+         wtr.flush())
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
+        out += bytes(int(x) for x in q.reshape(64)[zz])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))
+    huffs = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS)]
+    if nc == 3:
+        huffs.append((0x01, _DC_CHR_BITS, _DC_CHR_VALS))
+    huffs.append((0x10, _PROG_AC_BITS, _PROG_AC_VALS))
+    for tc_th, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    for header, scan in scans:
+        out += header + scan
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -90,14 +90,15 @@ def _as_bytes(payload) -> bytes:
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """The real decode seam, dispatched on magic bytes.
 
-    PNG and baseline JPEG both decode for REAL — operators/codecs.py
-    is pure stdlib + numpy (PNG: zlib inflate + all five unfilter
-    paths; JPEG: baseline/extended-sequential Huffman, 1-3
-    components, chroma subsampling, restart intervals), round-trip-
-    and replay-tested in tests/test_codecs.py. Remaining formats
-    (WebP, progressive JPEG, ...) extend the dispatch below in
-    deployment; everything around it (batching, schema,
-    partitioning) is exercised either way."""
+    PNG and JPEG (baseline, extended-sequential, AND progressive
+    SOF2 with successive approximation) decode for REAL —
+    operators/codecs.py is pure stdlib + numpy (PNG: zlib inflate +
+    all five unfilter paths; JPEG: multi-scan Huffman, 1-3
+    components, chroma subsampling, restart intervals, EOB runs),
+    round-trip- and replay-tested in tests/test_codecs.py. Remaining
+    formats (WebP, ...) extend the dispatch below in deployment;
+    everything around it (batching, schema, partitioning) is
+    exercised either way."""
     from hls_stac_parquet_spark.operators.codecs import decode_jpeg, decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -346,12 +347,17 @@ def encode_images_jpeg(
     """REAL baseline-JPEG encode of raw pixel buffers
     (operators/codecs.py): payloads are uint8 (src_height, src_width,
     channels) buffers (the resize/patchify layout; short blobs
-    zero-pad, long ones truncate). Quality cycles {35, 60, 85} and
-    RGB images alternate 4:4:4 / 4:2:0 per image id, so a corpus
-    exercises the quantization sweep, both subsampling layouts, and
-    the restart-marker path (every 3rd image). Emits
+    zero-pad, long ones truncate). Quality cycles {35, 60, 85}, RGB
+    images alternate 4:4:4 / 4:2:0 per image id, every 3rd image
+    carries restart markers, and every 5th encodes PROGRESSIVE
+    (SOF2, multi-scan successive approximation) — so a corpus
+    exercises the quantization sweep, both subsampling layouts, the
+    RSTn resync path, and all four progressive scan kinds. Emits
     (id, content=jpeg bytes). One mapInPandas, no shuffle."""
-    from hls_stac_parquet_spark.operators.codecs import encode_jpeg
+    from hls_stac_parquet_spark.operators.codecs import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     n_src = src_height * src_width * channels
     qualities = (35, 60, 85)
@@ -368,6 +374,11 @@ def encode_images_jpeg(
                 if channels == 1:
                     px = px[..., 0]
                 mid = int(mid)
+                if mid % 5 == 0:
+                    out.append(
+                        encode_jpeg_progressive(px, quality=qualities[mid % 3])
+                    )
+                    continue
                 out.append(
                     encode_jpeg(
                         px,
