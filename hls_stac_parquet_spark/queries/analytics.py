@@ -397,10 +397,10 @@ def q_bigram_lm(spark, sf_dir):
     oracle=(
         "WITH p AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), "
+        "  FROM events WHERE event_type = 'purchase' AND isfinite(value)), "
         "r AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'error' AND value IS NOT NULL) "
+        "  FROM events WHERE event_type = 'error' AND isfinite(value)) "
         "SELECT p.user_id, p.event_id AS purchase_id, "
         "  r.event_id AS error_id, "
         "  CAST(date_diff('microsecond', greatest(p.s, r.s), "
@@ -432,11 +432,16 @@ def q_interval_overlap_join(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
 
     def windows(etype):
-        # NULL duration = malformed interval: excluded EXPLICITLY on
-        # both engines (Spark's grid explode would silently drop it;
-        # DuckDB's NULL-skipping least() would treat it as infinite)
+        # NULL or non-finite duration = malformed interval: excluded
+        # EXPLICITLY on both engines (Spark's grid explode would
+        # silently drop NULL, DuckDB's NULL-skipping least() would
+        # treat it as infinite, and an Inf duration overflows DuckDB's
+        # timestamp arithmetic where Spark saturates) — the declared
+        # dirty-float semantic (tests/test_nan_fuzz.py)
+        from hls_stac_parquet_spark.queries.registry import finite
+
         return ev.filter(
-            (F.col("event_type") == etype) & F.col("value").isNotNull()
+            (F.col("event_type") == etype) & finite(F.col("value"))
         ).select(
             "user_id",
             "event_id",
@@ -1029,7 +1034,8 @@ def q_seq_pairs(spark, sf_dir):
         "SELECT CAST(count(*) AS BIGINT) AS n_unreferenced FROM ("
         "  SELECT doc_id FROM documents WHERE doc_id NOT IN ("
         "    SELECT CAST(floor(value) AS BIGINT) FROM events "
-        "    WHERE event_type = 'click'))"
+        "    WHERE event_type = 'click' "
+        "      AND (value IS NULL OR isfinite(value))))"
     ),
 )
 def q_not_in_nulls(spark, sf_dir):
@@ -1049,7 +1055,8 @@ def q_not_in_nulls(spark, sf_dir):
         "SELECT CAST(count(*) AS BIGINT) AS n_unreferenced FROM ("
         "  SELECT doc_id FROM v_documents WHERE doc_id NOT IN ("
         "    SELECT CAST(floor(value) AS BIGINT) FROM v_events "
-        "    WHERE event_type = 'click'))"
+        "    WHERE event_type = 'click' "
+        "      AND (value IS NULL OR abs(value) < double('inf'))))"
     )
 
 

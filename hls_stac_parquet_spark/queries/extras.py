@@ -247,7 +247,8 @@ def q_mad(spark, sf_dir):
     "q_autocorr_lag1",
     oracle=(
         "WITH s AS (SELECT user_id, value, lag(value) OVER ("
-        "PARTITION BY user_id ORDER BY ts, event_id) AS pv FROM events) "
+        "PARTITION BY user_id ORDER BY ts, event_id) AS pv "
+        "FROM events WHERE isfinite(value)) "
         "SELECT user_id, round(corr(value, pv), 6) AS autocorr "
         "FROM s WHERE pv IS NOT NULL GROUP BY user_id"
     ),
@@ -257,11 +258,14 @@ def q_autocorr_lag1(spark, sf_dir):
     time-series feature that separates trending signals from noise.
     One user-keyed sort-window for the lag, then a partial-aggregable
     corr; the groupBy reuses the window's partitioning (no second
-    shuffle)."""
+    shuffle). Non-finite values excluded on both engines (declared
+    dirty-float semantic — Inf poisons the correlation moments)."""
     from pyspark.sql.window import Window
 
+    from hls_stac_parquet_spark.queries.registry import finite
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = t(spark, sf_dir, "events").select(
+    s = t(spark, sf_dir, "events").filter(finite(F.col("value"))).select(
         "user_id", "value", F.lag("value").over(w).alias("pv")
     )
     return (

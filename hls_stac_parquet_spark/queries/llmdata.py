@@ -318,21 +318,32 @@ def q_substring_dup_pairs(spark, sf_dir):
 @query(
     "q_cosine_topk",
     oracle=(
+        "WITH fin AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0) "
         "SELECT vec_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM ("
         "SELECT vec_id, neighbor_id, cosine, row_number() OVER ("
         "PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ("
         "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
-        "FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)) "
+        "FROM fin a, fin b WHERE a.vec_id <> b.vec_id)) "
         "WHERE rnk <= 5"
     ),
 )
 def q_cosine_topk(spark, sf_dir):
     """Exact top-5 cosine neighbors per vector — broadcast GEMM via
     mapInPandas (no shuffle); ranking on rounded score + id tiebreak
-    keeps the row set engine-portable."""
-    return cosine_topk(t(spark, sf_dir, "embeddings"), k=5)
+    keeps the row set engine-portable. Vectors with a non-finite
+    component are excluded on both engines (one NaN dimension poisons
+    every dot product it touches — the declared dirty-float
+    semantic, tests/test_nan_fuzz.py)."""
+    emb = t(spark, sf_dir, "embeddings").filter(
+        ~F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) >= F.lit(float("inf"))),
+        )
+    )
+    return cosine_topk(emb, k=5)
 
 
 @query(
@@ -712,7 +723,7 @@ def q_contamination(spark, sf_dir):
         "round(stddev_samp(v), 4) AS std FROM ("
         "SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, "
         "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) "
-        "GROUP BY dim"
+        "WHERE isfinite(v) GROUP BY dim"
     ),
 )
 def q_embedding_dim_stats(spark, sf_dir):
@@ -722,10 +733,13 @@ def q_embedding_dim_stats(spark, sf_dir):
     shuffle by dimension index (64 groups regardless of corpus size —
     fully partial-aggregated). Rounded at 4 decimals: float32 values
     summed as doubles in engine-specific order agree well past that."""
+    from hls_stac_parquet_spark.queries.registry import finite
+
     e = t(spark, sf_dir, "embeddings")
     return (
         e.select(F.posexplode("embedding").alias("dim", "v"))
         .select("dim", F.col("v").cast("double").alias("v"))
+        .filter(finite(F.col("v")))
         .groupBy("dim")
         .agg(
             F.round(F.avg("v"), 4).alias("mean"),

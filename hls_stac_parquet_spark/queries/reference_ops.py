@@ -28,7 +28,7 @@ from hls_stac_parquet_spark.queries.registry import query, t
         # while Spark's cast truncates — floor() first on both sides
         + morton_key_sql("user_id % 256", "CAST(floor(value * 10) AS BIGINT) % 256",
                          dialect="duckdb")
-        + " AS curve_key FROM events"
+        + " AS curve_key FROM events WHERE isfinite(value)"
     ),
 )
 def q_hilbert_key(spark, sf_dir):
@@ -36,9 +36,13 @@ def q_hilbert_key(spark, sf_dir):
 
     Morton (Z-order) is the oracle-expressible curve; same locality
     class as the reference's Hilbert key. Stays fully inside
-    whole-stage codegen — no UDF.
+    whole-stage codegen — no UDF. Non-finite values cannot be
+    gridded (DuckDB raises on the cast, Spark NULLs the key) —
+    excluded on both engines, the declared dirty-float semantic.
     """
-    e = t(spark, sf_dir, "events")
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    e = t(spark, sf_dir, "events").filter(finite(F.col("value")))
     return e.select(
         "event_id",
         morton_key(

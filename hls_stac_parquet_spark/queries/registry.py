@@ -59,3 +59,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     return df
+
+
+def finite(col) -> "Column":  # noqa: F821
+    """True iff the double column is finite (not NaN/±Inf).
+
+    The declared dirty-data semantic for float MEASUREMENTS: a
+    non-finite value is sensor garbage and is excluded from
+    statistics, grids, and similarity math on BOTH engine sides
+    (oracle twin: DuckDB ``isfinite(x)``). Spark total ordering puts
+    NaN above +Inf, so one comparison covers all three cases — and
+    stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    return F.abs(col) < F.lit(float("inf"))

@@ -1309,7 +1309,7 @@ def q_retention_cohorts(spark, sf_dir):
         "SELECT event_id, user_id, event_type, "
         "(value - avg(value) OVER (PARTITION BY event_type)) / "
         "nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0.0) AS z "
-        "FROM events) WHERE abs(z) > 3.0"
+        "FROM events WHERE isfinite(value)) WHERE abs(z) > 3.0"
     ),
 )
 def q_zscore_outliers(spark, sf_dir):
@@ -1317,13 +1317,19 @@ def q_zscore_outliers(spark, sf_dir):
     than 3σ from their type's mean. Unbounded analytic windows over
     |event_type| groups — Spark computes the two moments in one pass
     per partition; the scale form pre-aggregates (type → mean, std)
-    into a 5-row broadcast dim instead of a window, same result."""
+    into a 5-row broadcast dim instead of a window, same result.
+    Non-finite values are excluded on both engines (one Inf poisons
+    the whole group's moments; DuckDB raises, Spark NaN-poisons —
+    the declared dirty-float semantic)."""
+    from hls_stac_parquet_spark.queries.registry import finite
+
     w = Window.partitionBy("event_type")
     z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
         F.stddev_samp("value").over(w), F.lit(0.0)
     )
     return (
         t(spark, sf_dir, "events")
+        .filter(finite(F.col("value")))
         .select("event_id", "user_id", "event_type", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3.0)
         .select("event_id", "user_id", "event_type", F.round("z", 4).alias("zscore"))

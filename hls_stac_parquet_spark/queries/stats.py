@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hls_stac_parquet_spark.queries.registry import query, t
+from hls_stac_parquet_spark.queries.registry import finite as _finite, query, t
 
 
 @query(
@@ -251,7 +251,8 @@ def q_chi2_conversion(spark, sf_dir):
         "  SELECT CAST(user_id % 2 AS INT) AS variant, "
         "    avg(value) AS m, var_samp(value) AS v, "
         "    CAST(count(*) AS DOUBLE) AS n "
-        "  FROM events WHERE event_type = 'purchase' GROUP BY variant), "
+        "  FROM events WHERE event_type = 'purchase' AND isfinite(value) "
+        "  GROUP BY variant), "
         "w AS (SELECT "
         "  max(CASE WHEN variant = 1 THEN m END) AS m1, "
         "  max(CASE WHEN variant = 0 THEN m END) AS m0, "
@@ -276,7 +277,11 @@ def q_welch_ttest(spark, sf_dir):
     pivoted to one row.  var_samp has identical semantics in Spark
     and DuckDB, so the oracle is exact to rounding.
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & finite(F.col("value"))
+    )
     g = ev.withColumn("variant", (F.col("user_id") % 2).cast("int")).groupBy(
         "variant"
     ).agg(
@@ -559,7 +564,7 @@ def q_time_to_convert(spark, sf_dir):
         "  SELECT event_type, value, "
         "    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) "
         "      / 86400000000.0 AS day_x "
-        "  FROM events) "
+        "  FROM events WHERE isfinite(value)) "
         "SELECT event_type, "
         "  CAST(regr_count(value, day_x) AS BIGINT) AS n, "
         "  round(regr_slope(value, day_x), 6) AS slope_per_day, "
@@ -580,7 +585,9 @@ def q_linreg_by_group(spark, sf_dir):
     since epoch derived from the µs-exact NTZ delta (identical
     arithmetic in DuckDB), keeping slopes in a round-stable range.
     """
-    ev = t(spark, sf_dir, "events")
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
     x = ev.select(
         "event_type",
         "value",
@@ -991,7 +998,7 @@ def q_weighted_median(spark, sf_dir):
         "  SELECT value AS score, "
         "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label "
         "  FROM events WHERE event_type IN ('purchase', 'view') "
-        "    AND value IS NOT NULL), "
+        "    AND isfinite(value)), "
         "ranked AS ("
         "  SELECT label, avg(rn) OVER (PARTITION BY score) AS avg_rank "
         "  FROM (SELECT score, label, row_number() OVER (ORDER BY score) AS rn "
@@ -1026,11 +1033,12 @@ def q_auc(spark, sf_dir):
     scored = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
-        # NULL scores are excluded, not silently ranked: Spark's
-        # default NULLS FIRST vs the oracle's NULLS LAST would
-        # otherwise diverge, and an AUC over unscored rows is
-        # ill-defined anyway
-        .filter(F.col("value").isNotNull())
+        # NULL and non-finite scores are excluded, not silently
+        # ranked: Spark's default NULLS FIRST vs the oracle's NULLS
+        # LAST would otherwise diverge, and an AUC over unscored or
+        # NaN/Inf rows is ill-defined anyway (declared dirty-float
+        # semantic, tests/test_nan_fuzz.py)
+        .filter(_finite(F.col("value")))
         .select(
             F.col("value").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
@@ -1063,9 +1071,11 @@ def q_auc(spark, sf_dir):
     "q_calibration_bins",
     oracle=(
         "WITH scored AS ("
-        "  SELECT value / (SELECT max(value) FROM events WHERE event_type IN ('purchase', 'view')) AS p, "
+        "  SELECT value / (SELECT max(value) FROM events "
+        "    WHERE event_type IN ('purchase', 'view') AND isfinite(value)) AS p, "
         "    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y "
-        "  FROM events WHERE event_type IN ('purchase', 'view')) "
+        "  FROM events WHERE event_type IN ('purchase', 'view') "
+        "    AND isfinite(value)) "
         "SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, "
         "  CAST(count(*) AS BIGINT) AS n, "
         "  round(avg(p), 6) AS mean_pred, "
@@ -1083,8 +1093,10 @@ def q_calibration_bins(spark, sf_dir):
     aggregate over the scan with a 10-row output.  least(…, 9) pins
     p = 1.0 into the top bin identically in both engines.
     """
+    from hls_stac_parquet_spark.queries.registry import finite
+
     ev = t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
+        F.col("event_type").isin("purchase", "view") & finite(F.col("value"))
     )
     mx = ev.agg(F.max("value").alias("_mx"))
     scored = ev.join(F.broadcast(mx)).select(
@@ -1738,9 +1750,9 @@ def q_bootstrap_ci(spark, sf_dir):
     "q_psi_drift",
     oracle=(
         "WITH ref AS (SELECT value FROM events "
-        "  WHERE value IS NOT NULL AND extract(day FROM ts) <= 15), "
+        "  WHERE isfinite(value) AND extract(day FROM ts) <= 15), "
         "cur AS (SELECT value FROM events "
-        "  WHERE value IS NOT NULL AND extract(day FROM ts) > 15), "
+        "  WHERE isfinite(value) AND extract(day FROM ts) > 15), "
         "b AS (SELECT list_transform(quantile_cont(value, "
         "  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), "
         "  x -> round(x, 6)) AS bnds FROM ref), "
@@ -1781,12 +1793,14 @@ def q_psi_drift(spark, sf_dir):
     array dim; binning is a
     codegen'd array filter per row (no per-row join), and the PSI
     arithmetic runs on the 10-row bin aggregate. Two fact passes total
-    (boundary sort + bin count), each a plain keyed shuffle. NULL
-    values are excluded explicitly on both engines.
+    (boundary sort + bin count), each a plain keyed shuffle. NULL and
+    non-finite values are excluded explicitly on both engines (a NaN
+    boundary would poison the bin cut; ±Inf skews the deciles).
     """
     from hls_stac_parquet_spark.operators.quantiles import global_quantiles
+    from hls_stac_parquet_spark.queries.registry import finite
 
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
     ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
     cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
     probs = [i / 10.0 for i in range(1, 10)]
@@ -2165,7 +2179,7 @@ def q_cusum_changepoint(spark, sf_dir):
     "q_theil_sen",
     oracle=(
         "WITH pts AS (SELECT user_id, epoch_us(ts) AS t, value AS v "
-        "  FROM events WHERE value IS NOT NULL), "
+        "  FROM events WHERE isfinite(value)), "
         "slopes AS (SELECT a.user_id, "
         "  (b.v - a.v) * 3600000000.0 / (b.t - a.t) AS slope "
         "  FROM pts a JOIN pts b "
@@ -2201,7 +2215,7 @@ def q_theil_sen(spark, sf_dir):
 
     pts = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(_finite(F.col("value")))
         .select(
             "user_id",
             F.expr(
