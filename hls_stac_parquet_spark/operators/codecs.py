@@ -466,8 +466,11 @@ class _JpegBitReader:
         self.pos += 2
 
 
-class _RestartPending(Exception):
-    pass
+class _RestartPending(ValueError):
+    """Raised by the bit reader when an RSTn marker interrupts the
+    scan. The scan loops call restart() at the expected boundaries, so
+    this escaping to a caller means a corrupt/truncated stream —
+    subclassing ValueError makes it behave as a decode error there."""
 
 
 def _huff_read(reader: _JpegBitReader, table: dict) -> int:
@@ -538,6 +541,36 @@ def _encode_block(wtr, block_zz, pred, dc_tab, ac_tab) -> int:
     return int(block_zz[0])
 
 
+def _jpeg_planes(px: np.ndarray) -> list:
+    """RGB→JFIF-YCbCr (or grayscale passthrough) float64 planes —
+    the ONE colorspace implementation both encoders share, so the
+    pinned progressive≡baseline coefficient equality holds by
+    construction."""
+    if px.ndim == 2:
+        return [px.astype(np.float64)]
+    if px.ndim == 3 and px.shape[2] == 3:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        return [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    raise ValueError(f"unsupported pixel shape {px.shape}")
+
+
+def _quantize_plane(
+    plane: np.ndarray, by: int, bx: int, q: np.ndarray, cmat: np.ndarray
+) -> np.ndarray:
+    """Pad → level shift → FDCT → round-half-away-from-zero quantize;
+    returns (by*bx, 8, 8) int64 — shared by both encoders."""
+    blocks = _pad_to_blocks(plane, by, bx)
+    coef = np.einsum("ij,njk,kl->nil", cmat, blocks, cmat.T)
+    scaled = coef / q.astype(np.float64)
+    return np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
@@ -554,18 +587,10 @@ def encode_jpeg(
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    planes = _jpeg_planes(px)
     if px.ndim == 2:
-        planes = [px.astype(np.float64)]
         samps = [(1, 1)]
-    elif px.ndim == 3 and px.shape[2] == 3:
-        r = px[..., 0].astype(np.float64)
-        g = px[..., 1].astype(np.float64)
-        b = px[..., 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+    else:
         if subsampling == "4:4:4":
             samps = [(1, 1), (1, 1), (1, 1)]
         elif subsampling == "4:2:0":
@@ -584,8 +609,6 @@ def encode_jpeg(
                 )
         else:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
-    else:
-        raise ValueError(f"unsupported pixel shape {px.shape}")
     q_lum, q_chr = _quality_tables(quality)
     qtabs = [q_lum] + ([q_chr] if len(planes) == 3 else [])
     cmat = _dct_mat()
@@ -598,12 +621,7 @@ def encode_jpeg(
     for ci, plane in enumerate(planes):
         hs, vs = samps[ci]
         by, bx = mcuy * vs, mcux * hs
-        blocks = _pad_to_blocks(plane, by, bx)
-        coef = np.einsum("ij,njk,kl->nil", cmat, blocks, cmat.T)
-        q = qtabs[min(ci, 1)].astype(np.float64)
-        scaled = coef / q
-        # round half away from zero (the documented quantizer rule)
-        quant = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        quant = _quantize_plane(plane, by, bx, qtabs[min(ci, 1)], cmat)
         comp_blocks.append(quant.reshape(by, bx, 8, 8))
 
     dc_tabs = [_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)]
@@ -788,6 +806,8 @@ def _parse_jpeg(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -873,9 +893,10 @@ def _parse_jpeg(data: bytes):
 
 
 def _next_marker(data: bytes, pos: int) -> int:
-    """Advance past any entropy remainder to the next real marker."""
+    """Advance past any entropy remainder to the next real marker
+    (skipping stuffed 0xFF00 pairs and 0xFF fill-byte runs)."""
     while pos + 1 < len(data):
-        if data[pos] == 0xFF and data[pos + 1] not in (0x00,):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
             return pos
         pos += 1
     return len(data)
@@ -965,7 +986,6 @@ def _decode_scan(data, scan_start, body, comps, dc_dec, ac_dec, dri,
                 handle_block(c, bi)
         unit_i += 1
     return _next_marker(data, rdr.pos)
-    raise ValueError("no SOS scan found")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -1144,6 +1164,10 @@ def encode_gif(
     if fr.ndim == 2:
         fr = fr[None]
     n, h, w = fr.shape
+    if disposals is not None and len(disposals) != n:
+        raise ValueError(
+            f"disposals has {len(disposals)} entries for {n} frames"
+        )
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries
@@ -1385,19 +1409,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if px.ndim == 2:
-        planes = [px.astype(np.float64)]
-    elif px.ndim == 3 and px.shape[2] == 3:
-        r = px[..., 0].astype(np.float64)
-        g = px[..., 1].astype(np.float64)
-        b = px[..., 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    else:
-        raise ValueError(f"unsupported pixel shape {px.shape}")
+    planes = _jpeg_planes(px)
     nc = len(planes)
     q_lum, q_chr = _quality_tables(quality)
     qtabs = [q_lum] + ([q_chr] if nc == 3 else [])
@@ -1407,11 +1419,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
 
     comp_zz = []  # per component: (n_blocks, 64) zigzag quantized coeffs
     for ci, plane in enumerate(planes):
-        blocks = _pad_to_blocks(plane, bh, bw)
-        coef = np.einsum("ij,njk,kl->nil", cmat, blocks, cmat.T)
-        q = qtabs[min(ci, 1)].astype(np.float64)
-        scaled = coef / q
-        quant = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+        quant = _quantize_plane(plane, bh, bw, qtabs[min(ci, 1)], cmat)
         comp_zz.append(quant.reshape(-1, 64)[:, zz])
 
     dc_tabs = [_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)]

@@ -107,9 +107,9 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         px = decode_jpeg(payload)
         return px[..., None] if px.ndim == 2 else px
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode in this environment "
-        "(operators/codecs.py); plug further codecs into this "
-        "dispatch in deployment"
+        "only PNG and JPEG (baseline + progressive) decode in this "
+        "environment (operators/codecs.py); plug further codecs into "
+        "this dispatch in deployment"
     )
 
 
@@ -441,7 +441,11 @@ def decode_image_stats(
                     ws.append(px.shape[1])
                     cs.append(px.shape[2])
                     means.append(np.float32(px.mean()))
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
+                    # IndexError: a truncated JPEG/PNG runs the parser
+                    # off the end of the buffer — same sentinel as any
+                    # other malformed payload (tests/test_codecs.py)
                     hs.append(-1)
                     ws.append(-1)
                     cs.append(-1)

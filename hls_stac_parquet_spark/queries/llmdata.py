@@ -337,11 +337,10 @@ def q_cosine_topk(spark, sf_dir):
     component are excluded on both engines (one NaN dimension poisons
     every dot product it touches — the declared dirty-float
     semantic, tests/test_nan_fuzz.py)."""
+    from hls_stac_parquet_spark.queries.registry import finite
+
     emb = t(spark, sf_dir, "embeddings").filter(
-        ~F.exists(
-            "embedding",
-            lambda x: F.isnan(x) | (F.abs(x) >= F.lit(float("inf"))),
-        )
+        F.forall("embedding", finite)
     )
     return cosine_topk(emb, k=5)
 
@@ -3410,7 +3409,7 @@ def q_textrank(spark, sf_dir):
         "    x -> x.k * (ln(x.c1n + v) - ln(x.c2n + 1)))) AS s "
         "  FROM k LEFT JOIN c2 USING (bg) "
         "  LEFT JOIN c1 ON c1.w1 = split_part(k.bg, ' ', 1) "
-        "  CROSS JOIN v GROUP BY doc_id, v.v) "
+        "  CROSS JOIN v WHERE v.v >= 1 GROUP BY doc_id, v.v) "
         "SELECT doc_id, n_bigrams, "
         "  round(s / n_bigrams, 6) AS avg_nll, "
         "  round(exp(s / n_bigrams), 4) AS ppl, "
@@ -3486,6 +3485,10 @@ def q_perplexity_filter(spark, sf_dir):
             "left",
         )
         .crossJoin(F.broadcast(v))
+        # empty reference corpus (v = 0): the LM is undefined — score
+        # nothing rather than let ln(0) diverge (Spark NULLs, DuckDB
+        # raises); declared on both engines
+        .filter(F.col("v") >= 1)
         .select(
             "doc_id",
             "bg",
@@ -3827,9 +3830,16 @@ def q_int8_quantize(spark, sf_dir):
         ).alias("n_saturated"),
         F.round(
             F.coalesce(
-                F.expr(
-                    "array_max(transform(sequence(1, size(e)), "
-                    "i -> abs(element_at(e, i) - element_at(qv, i) * scale)))"
+                # sequence(1, 0) is DESCENDING in Spark — guard the
+                # empty-vector row (the oracle's range(1, len+1) is
+                # empty there)
+                F.when(
+                    F.size("e") >= 1,
+                    F.expr(
+                        "array_max(transform(sequence(1, size(e)), "
+                        "i -> abs(element_at(e, i) - "
+                        "element_at(qv, i) * scale)))"
+                    ),
                 ),
                 F.lit(0.0),
             ),
@@ -3837,11 +3847,14 @@ def q_int8_quantize(spark, sf_dir):
         ).alias("max_abs_err"),
         F.round(
             F.coalesce(
-                F.expr(
-                    "aggregate(transform(sequence(1, size(e)), "
-                    "i -> (element_at(e, i) - element_at(qv, i) * scale) * "
-                    "(element_at(e, i) - element_at(qv, i) * scale)), "
-                    "0D, (a, b) -> a + b)"
+                F.when(
+                    F.size("e") >= 1,
+                    F.expr(
+                        "aggregate(transform(sequence(1, size(e)), "
+                        "i -> (element_at(e, i) - element_at(qv, i) * scale) * "
+                        "(element_at(e, i) - element_at(qv, i) * scale)), "
+                        "0D, (a, b) -> a + b)"
+                    ),
                 ),
                 F.lit(0.0),
             )
