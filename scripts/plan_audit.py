@@ -74,8 +74,43 @@ def main() -> int:
         names = list(dict.fromkeys(slowest + FLAGSHIPS))
         names = [n for n in names if n in REGISTRY]
 
-    spark = get_spark("plan-audit")
+    # UI on for THIS standalone session only: its REST API is how we
+    # measure real shuffle bytes per query (bench/test sessions keep
+    # it off for overhead)
+    spark = get_spark("plan-audit", extra_conf={"spark.ui.enabled": "true"})
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = None
+    if ui:
+        try:
+            apps = json.load(
+                urllib.request.urlopen(f"{ui}/api/v1/applications")
+            )
+            app_id = apps[0]["id"]
+        except Exception:  # noqa: BLE001
+            ui = None
+
+    def completed_stages() -> dict:
+        """(stageId, attempt) -> shuffle write bytes, via the UI REST
+        API — the same numbers the Spark UI's stage table shows."""
+        if not app_id:
+            return {}
+        try:
+            stages = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+                )
+            )
+            return {
+                (st["stageId"], st["attemptId"]):
+                    st.get("shuffleWriteBytes", 0)
+                for st in stages
+            }
+        except Exception:  # noqa: BLE001
+            return {}
     lines = [
         "# PLAN_AUDIT — physical-plan shapes of the cost heads",
         "",
@@ -83,7 +118,11 @@ def main() -> int:
         "plans (AQE's final join selection). Columns: shuffles "
         "(hash+range exchanges net of reuse), BHJ/SMJ join mix, "
         "Arrow/pandas stages, whole-stage-codegen span count, pushed "
-        "parquet filters, and flags. Flag notes: `bnlj` against a "
+        "parquet filters, and flags. `shuffle MB` is MEASURED shuffle "
+        "write volume for the query's execution (UI REST stage "
+        "metrics, noop sink; includes localCheckpoint/persist "
+        "materializations — the data actually crossing executors). "
+        "Flag notes: `bnlj` against a "
         "broadcast 1-ROW scalar dim (grand totals, max-ts stamps, "
         "count guards) is the deliberate scalar-join pattern, not a "
         "blow-up — inspect only if the build side can grow; "
@@ -95,18 +134,24 @@ def main() -> int:
         "InMemoryTableScan, inflating their absolute numbers — "
         "compare within a query across rounds, not across queries.",
         "",
-        "| query | bench s | shuffles | BHJ | SMJ | pandas | codegen | pushed | flags |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | bench s | shuffles | shuffle MB | BHJ | SMJ | pandas | codegen | pushed | flags |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in names:
         try:
+            before = completed_stages()
             df = REGISTRY[name].fn(spark, sf_dir)
             # execute so AQE's FINAL plan (runtime join selection,
             # coalesced partitions) is what gets audited
             df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            after = completed_stages()
+            sh_bytes = sum(
+                v for k, v in after.items() if k not in before
+            )
+            sh_mb = f"{sh_bytes / 1e6:.2f}" if app_id else ""
         except Exception as e:  # noqa: BLE001
-            lines.append(f"| {name} | | ERROR {str(e)[:60]} | | | | | | |")
+            lines.append(f"| {name} | | ERROR {str(e)[:60]} | | | | | | | |")
             continue
         a = audit(plan)
         flags = []
@@ -118,7 +163,8 @@ def main() -> int:
             flags.append("unpart-window")
         t = f"{bench[name]:.2f}" if name in bench else ""
         lines.append(
-            f"| {name} | {t} | {a['exchanges']} | {a['broadcast_joins']} "
+            f"| {name} | {t} | {a['exchanges']} | {sh_mb} "
+            f"| {a['broadcast_joins']} "
             f"| {a['smj']} | {a['python_eval']} | {a['codegen_stages']} "
             f"| {'y' if a['pushed_filters'] else '-'} "
             f"| {', '.join(flags) or '-'} |"
