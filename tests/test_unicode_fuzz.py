@@ -61,6 +61,10 @@ UNICODE_QUERIES = [
     "q_spell_variants",
     "q_er_sorted_neighborhood",
     "q_golden_record",
+    # sixth-session text flagships
+    "q_perplexity_filter",
+    "q_distinct_ngrams",
+    "q_pr_curve",
 ]
 
 # agreeing repertoire: both engines lower() these identically, and
