@@ -7,11 +7,18 @@ correctness gate runs both sides at sf0.01 and hash-compares.
 
 Registration ORDER is part of the contract: the driver's correctness
 gate verifies only the first 50 registry entries per round, so after
-the modules populate the registry we reorder it — the 36 SURVEY §2.B
-contract queries first (they must have a correctness row every round),
-then everything else rotated so queries without a driver-green row yet
-come before already-verified ones (CHECKED_HISTORY.json, updated each
-round from CORRECTNESS_r{N}.json via scripts/update_history.py).
+the modules populate the registry we reorder it to drain the
+never-driver-checked backlog fastest: queries that failed their last
+driver check first (prove the fix), then never-checked queries
+(flagship LLM-data queries biased to the front), then ever-green
+queries — §2.B contract queries first within that tier, least-verified
+first after (CHECKED_HISTORY.json, updated each round from
+CORRECTNESS_r{N}.json via scripts/update_history.py). Once the
+backlog is drained the window naturally returns to re-verifying the
+§2.B contract block every round; while a backlog exists, contract
+queries already proven green across rounds yield their slots —
+LOCAL_PARITY.json (the 256/256 sf0.01 sweep) and pytest keep covering
+them between driver rows.
 """
 
 import json as _json
@@ -124,6 +131,7 @@ PRIORITY_QUERIES = [
 def _rotation_order() -> list[str]:
     hist = load_check_history()
     prio_rank = {n: i for i, n in enumerate(PRIORITY_QUERIES)}
+    contract_rank = {n: i for i, n in enumerate(CONTRACT_QUERIES)}
 
     def prio(name: str) -> tuple:
         ent = hist.get(name, {"checked": [], "green": []})
@@ -133,11 +141,17 @@ def _rotation_order() -> list[str]:
             tier = 1  # never driver-checked — rotate in
         else:
             tier = 2 + len(ent["green"])  # verified; least-verified first
-        # within a tier, flagship LLM-data queries come first
-        return (tier, prio_rank.get(name, len(PRIORITY_QUERIES)), name)
+        # within a tier: §2.B contract queries first (the declared
+        # surface re-verifies soonest once green slots open up), then
+        # flagship LLM-data queries, then the alphabetical tail
+        return (
+            tier,
+            contract_rank.get(name, len(CONTRACT_QUERIES)),
+            prio_rank.get(name, len(PRIORITY_QUERIES)),
+            name,
+        )
 
-    rest = sorted((n for n in REGISTRY if n not in CONTRACT_QUERIES), key=prio)
-    return [n for n in CONTRACT_QUERIES if n in REGISTRY] + rest
+    return sorted(REGISTRY, key=prio)
 
 
 _order = _rotation_order()
