@@ -911,10 +911,25 @@ def _decode_scan(data, scan_start, body, comps, dc_dec, ac_dec, dri,
     scan_comps = []
     for si in range(ns):
         cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-        c = next(c for c in comps if c["id"] == cid)
+        c = next((c for c in comps if c["id"] == cid), None)
+        if c is None:
+            # malformed stream: a StopIteration here would become a
+            # RuntimeError (PEP 479) inside the mapInPandas generator
+            # and kill the task instead of yielding the sentinel row
+            raise ValueError(f"SOS references unknown component id {cid}")
         scan_comps.append((c, tabs >> 4, tabs & 0x0F))
     ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
     ah, al = ahal >> 4, ahal & 0x0F
+    # validate Huffman table ids up front (exactly the tables this
+    # scan type reads) so a malformed file raises ValueError, not
+    # KeyError, per the malformed-row-never-kills-the-stage contract
+    for _c, dct, act in scan_comps:
+        needs_dc = (not progressive) or (ss == 0 and ah == 0)
+        needs_ac = (not progressive) or ss != 0
+        if needs_dc and dct not in dc_dec:
+            raise ValueError(f"undefined DC Huffman table {dct}")
+        if needs_ac and act not in ac_dec:
+            raise ValueError(f"undefined AC Huffman table {act}")
     rdr = _JpegBitReader(data, scan_start)
     for c, _, _ in scan_comps:
         c["pred"] = 0
@@ -998,6 +1013,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c["vs"] for c in comps)
     planes = []
     for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError(f"undefined quantization table {c['tq']}")
         q = qtabs[c["tq"]].astype(np.float64)
         blocks = c["blocks"].reshape(-1, 8, 8).astype(np.float64) * q
         spat = np.einsum("ij,njk,kl->nil", cmat.T, blocks, cmat) + 128.0

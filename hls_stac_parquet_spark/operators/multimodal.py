@@ -442,10 +442,13 @@ def decode_image_stats(
                     cs.append(px.shape[2])
                     means.append(np.float32(px.mean()))
                 except (NotImplementedError, ValueError, struct.error,
-                        IndexError):
+                        IndexError, KeyError):
                     # IndexError: a truncated JPEG/PNG runs the parser
-                    # off the end of the buffer — same sentinel as any
-                    # other malformed payload (tests/test_codecs.py)
+                    # off the end of the buffer; KeyError: defense in
+                    # depth for any table/field lookup the codecs'
+                    # own ValueError validation misses — same sentinel
+                    # as any other malformed payload
+                    # (tests/test_codecs.py)
                     hs.append(-1)
                     ws.append(-1)
                     cs.append(-1)
@@ -518,7 +521,7 @@ def decode_audio_wav(
                     sr, samples = decode_wav(payload)
                     srs.append(sr)
                     out.append(samples[:, 0].astype("<i2").tobytes())
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError, KeyError):
                     srs.append(-1)
                     out.append(b"")
             yield pd.DataFrame(
@@ -1057,7 +1060,7 @@ def decode_gif_frames(
                 payload = _as_bytes(payload)
                 try:
                     frames = decode_gif(payload)
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, KeyError):
                     ids.append(mid)
                     idxs.append(-1)
                     hs.append(-1)
