@@ -3760,7 +3760,8 @@ def q_gif_frame_pipeline(spark, sf_dir):
     "q_int8_quantize",
     oracle=(
         "WITH base AS (SELECT vec_id, "
-        "  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), "
+        "  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings "
+        "  WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0), "
         "sc AS (SELECT vec_id, e, "
         "  list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM base), "
         "q AS (SELECT vec_id, e, scale, "
@@ -3793,10 +3794,17 @@ def q_int8_quantize(spark, sf_dir):
     the MSE reduction is an ordered index fold (the q_ndcg
     construction), so the hash match is summation-order-independent.
     Zero vectors are a DECLARED semantic: scale 0 → all-zero codes,
-    zero error (no 0/0). Scale shape: pure per-row HOF arithmetic —
-    no shuffle at all; the whole query is one codegen'd projection
-    over the scan."""
-    emb = t(spark, sf_dir, "embeddings")
+    zero error (no 0/0). Vectors with any non-finite component are
+    excluded on both sides (the q_cosine_topk finite() semantic) —
+    quantizing a NaN/Inf is undefined and Spark/DuckDB round/cast/
+    least/greatest NaN semantics differ. Scale shape: pure per-row
+    HOF arithmetic — no shuffle at all; the whole query is one
+    codegen'd projection over the scan."""
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.forall("embedding", finite)
+    )
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),

@@ -46,6 +46,7 @@ NAN_QUERIES = [
     "q_cosine_topk",
     "q_embedding_dim_stats",
     "q_cosine_pairs",
+    "q_int8_quantize",
 ]
 
 
