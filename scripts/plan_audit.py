@@ -77,7 +77,16 @@ def main() -> int:
     # UI on for THIS standalone session only: its REST API is how we
     # measure real shuffle bytes per query (bench/test sessions keep
     # it off for overhead)
-    spark = get_spark("plan-audit", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "plan-audit",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # stage-metric snapshots diff the completed-stage set; the
+            # default retention (1000) can evict stages between the
+            # before/after snapshots and silently undercount
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     import urllib.request
@@ -122,6 +131,12 @@ def main() -> int:
         "write volume for the query's execution (UI REST stage "
         "metrics, noop sink; includes localCheckpoint/persist "
         "materializations — the data actually crossing executors). "
+        "Caveat: the number is a completed-stage-set diff, so it is "
+        "approximate under concurrency — a stage completing for "
+        "another session in the same JVM would be attributed here, "
+        "and stages evicted from the UI store between snapshots "
+        "undercount (retention raised to 100k to make eviction "
+        "practically impossible for a single-query run). "
         "Flag notes: `bnlj` against a "
         "broadcast 1-ROW scalar dim (grand totals, max-ts stamps, "
         "count guards) is the deliberate scalar-join pattern, not a "
