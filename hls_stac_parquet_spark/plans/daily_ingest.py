@@ -17,13 +17,13 @@ collapses into the plan.
 from __future__ import annotations
 
 import datetime as dt
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hls_stac_parquet_spark.sinks.manifest import manifest_path, write_manifests
+from hls_stac_parquet_spark.sinks.manifest import manifest_key, write_manifests
 from hls_stac_parquet_spark.sources.cmr import register_cmr_source
+from hls_stac_parquet_spark.store import get_store
 
 
 def extract_stac_json_links(
@@ -75,9 +75,10 @@ def cache_daily_stac_json_links(
         for i in range((end_date - start_date).days + 1)
     ]
     if skip_existing:
+        store = get_store(dest)
         days = [
             d for d in days
-            if not os.path.exists(manifest_path(dest, collection_id, d))
+            if not store.exists(manifest_key(collection_id, d))
         ]
     if not days:
         return []

@@ -23,8 +23,6 @@ anti-pattern this replaces: its 64 GiB Batch instance ceiling
 from __future__ import annotations
 
 import datetime as dt
-import glob
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,9 +36,14 @@ from hls_stac_parquet_spark.operators.completeness import (
     require_complete,
 )
 from hls_stac_parquet_spark.operators.manifests import fan_in_manifests, split_failures
-from hls_stac_parquet_spark.sinks.geoparquet import wkb_udf, write_geoparquet
+from hls_stac_parquet_spark.sinks.geoparquet import (
+    geoparquet_month_dir,
+    wkb_udf,
+    write_geoparquet,
+)
 from hls_stac_parquet_spark.sinks.manifest import read_manifests
 from hls_stac_parquet_spark.sources.stac_fetch import fetch_stac_items
+from hls_stac_parquet_spark.store import get_store
 
 
 def _month_end(year: int, month: int) -> dt.date:
@@ -60,14 +63,19 @@ def write_monthly_stac_geoparquet(
     fetch_partitions: int | None = None,
     skip_existing: bool = True,
     version: str = "1",
+    reference_layout: bool = False,
 ) -> dict:
     """Compact one collection-month of cached links into clustered
     GeoParquet. Returns {written, failed, skipped} counts plus the
-    file manifest rows."""
-    out_dir = os.path.join(
-        dest, f"v{version}", collection_id, f"year={year}", f"month={month:02d}"
+    file manifest rows. ``reference_layout=True`` emits the exact
+    one-object-per-month reference path (constants.py:8)."""
+    store = get_store(dest)
+    month_dir = geoparquet_month_dir(
+        collection_id, year, month, version, reference_layout
     )
-    if skip_existing and glob.glob(os.path.join(out_dir, "*.parquet")):
+    if skip_existing and any(
+        k.endswith(".parquet") for k in store.list(month_dir)
+    ):
         return {"skipped": True, "written": 0, "failed": 0, "files": []}
 
     manifests = read_manifests(spark, links_src, collection_id, year, month)
@@ -118,7 +126,8 @@ def write_monthly_stac_geoparquet(
     )
 
     files = write_geoparquet(
-        keyed, dest, collection_id, year, month, version=version
+        keyed, dest, collection_id, year, month, version=version,
+        reference_layout=reference_layout,
     ).collect()
     return {
         "skipped": False,

@@ -14,6 +14,20 @@ is a two-stage Spark-first design:
    the footer in the same single pass (no post-hoc footer rewrite,
    which would re-copy every byte at 100 TB).
 
+``dest`` is a store URL (``hls_stac_parquet_spark.store.get_store``
+— the ``obstore.from_url`` analog, links.py:92-96): POSIX path,
+``s3://…`` via a registered factory, or ``memory://`` (test double;
+writes route through the driver since Spark worker processes can't
+see an in-process store).
+
+Layout: the default keeps Spark's strictly-better-at-scale N
+range-partitioned files per month. ``reference_layout=True`` emits
+the EXACT reference path contract instead —
+``v{version}/{collection_id}/year={year}/month={month}/
+{collection_id}-{year}-{month}.parquet`` (constants.py:8, month
+unpadded, one object per collection-month) — so a consumer globbing
+the reference's names finds ours.
+
 The sink returns a write-manifest DataFrame (path, rows, bbox) — the
 observability the reference lacks.
 """
@@ -21,21 +35,30 @@ observability the reference lacks.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import struct
 import uuid
 from typing import Iterator
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-#: output path template, mirroring constants.py:8
+from hls_stac_parquet_spark.store import get_store
+
+#: default output path template (N files; constants.py:8 is the
+#: 1-file reference form emitted by reference_layout=True)
 GEOPARQUET_PATH_TEMPLATE = (
     "v{version}/{collection_id}/year={year}/month={month}/"
     "{collection_id}-{year}-{month}-{part}.parquet"
+)
+
+#: the reference's exact path contract (constants.py:8)
+REFERENCE_PARQUET_PATH_FORMAT = (
+    "v{version}/{collection_id}/year={year}/month={month}/"
+    "{collection_id}-{year}-{month}.parquet"
 )
 
 
@@ -77,6 +100,43 @@ def _geo_metadata(geometry_col: str, bbox: list[float] | None) -> bytes:
     return json.dumps(meta).encode()
 
 
+def geoparquet_month_dir(
+    collection_id: str,
+    year: int,
+    month: int,
+    version: str = "1",
+    reference_layout: bool = False,
+) -> str:
+    """Store-relative hive directory for one collection-month."""
+    month_part = f"{month}" if reference_layout else f"{month:02d}"
+    return posixpath.join(
+        f"v{version}", collection_id, f"year={year}", f"month={month_part}"
+    )
+
+
+def _stamp_geo_footer(
+    table: pa.Table, geometry_col: str
+) -> tuple[pa.Table, list[float] | None]:
+    """Add the GeoParquet ``geo`` footer metadata; per-file bbox from
+    the hoisted bbox columns when present."""
+    bbox = None
+    if {"bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"} <= set(
+        table.column_names
+    ):
+        import pyarrow.compute as pc
+
+        bbox = [
+            pc.min(table["bbox_xmin"]).as_py(),
+            pc.min(table["bbox_ymin"]).as_py(),
+            pc.max(table["bbox_xmax"]).as_py(),
+            pc.max(table["bbox_ymax"]).as_py(),
+        ]
+    schema = table.schema.with_metadata(
+        {**(table.schema.metadata or {}), b"geo": _geo_metadata(geometry_col, bbox)}
+    )
+    return table.cast(schema), bbox
+
+
 def write_geoparquet(
     df: DataFrame,
     dest: str,
@@ -89,6 +149,7 @@ def write_geoparquet(
     compression: str = "zstd",
     compression_level: int = 6,
     target_partitions: int | None = None,
+    reference_layout: bool = False,
 ) -> DataFrame:
     """Write a spatially clustered GeoParquet dataset.
 
@@ -97,67 +158,94 @@ def write_geoparquet(
     then each executor partition writes its own footer-stamped file.
     zstd level 6 matches the reference (write.py:243).
 
+    ``reference_layout=True`` forces one output object named exactly
+    like the reference (constants.py:8). The single file still gets
+    the distributed range-partitioned SORT (the expensive part); only
+    the final write funnels to one task — choose it for
+    reference-consumer compatibility, not throughput.
+
     Returns the write manifest (one row per file).
     """
+    store = get_store(dest)
+    if reference_layout:
+        target_partitions = 1
     clustered = df.repartitionByRange(
         *([target_partitions] if target_partitions else []), F.col(sort_col)
     ).sortWithinPartitions(sort_col)
 
-    out_dir = os.path.join(
-        dest, f"v{version}", collection_id, f"year={year}", f"month={month:02d}"
+    rel_dir = geoparquet_month_dir(
+        collection_id, year, month, version, reference_layout
     )
-    os.makedirs(out_dir, exist_ok=True)
-    prefix = f"{collection_id}-{year}-{month:02d}"
+    prefix = (
+        f"{collection_id}-{year}-{month}"
+        if reference_layout
+        else f"{collection_id}-{year}-{month:02d}"
+    )
 
     manifest_schema = (
         "path string, n_rows bigint, xmin double, ymin double, "
         "xmax double, ymax double"
     )
 
+    def _file_key(pid: int) -> str:
+        if reference_layout:
+            return posixpath.join(rel_dir, f"{prefix}.parquet")
+        return posixpath.join(
+            rel_dir, f"{prefix}-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+
+    def _manifest_row(path: str, table: pa.Table, bbox) -> dict:
+        return {
+            "path": [path],
+            "n_rows": [table.num_rows],
+            "xmin": [bbox[0] if bbox else None],
+            "ymin": [bbox[1] if bbox else None],
+            "xmax": [bbox[2] if bbox else None],
+            "ymax": [bbox[3] if bbox else None],
+        }
+
+    if not store.distributed:
+        # in-process test store: materialize the (already clustered
+        # and sorted) result on the driver and write one object —
+        # toArrow preserves partition order, so the total order holds
+        table = clustered.toArrow()
+        spark = df.sparkSession
+        if table.num_rows == 0:
+            return spark.createDataFrame([], manifest_schema)
+        table, bbox = _stamp_geo_footer(table, geometry_col)
+        key = _file_key(0)
+        with store.open_output(key) as f:
+            pq.write_table(
+                table, f,
+                compression=compression,
+                compression_level=compression_level,
+            )
+        row = _manifest_row(store.full_url(key), table, bbox)
+        return spark.createDataFrame(
+            [tuple(v[0] for v in row.values())], manifest_schema
+        )
+
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        table = None
         batch_list = list(batches)
         if not batch_list:
             return
         table = pa.Table.from_batches(batch_list)
         if table.num_rows == 0:
             return
-        # per-file bbox from the hoisted bbox columns if present
-        bbox = None
-        if {"bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"} <= set(
-            table.column_names
-        ):
-            import pyarrow.compute as pc
-
-            bbox = [
-                pc.min(table["bbox_xmin"]).as_py(),
-                pc.min(table["bbox_ymin"]).as_py(),
-                pc.max(table["bbox_xmax"]).as_py(),
-                pc.max(table["bbox_ymax"]).as_py(),
-            ]
-        schema = table.schema.with_metadata(
-            {**(table.schema.metadata or {}), b"geo": _geo_metadata(geometry_col, bbox)}
-        )
-        table = table.cast(schema)
-        path = os.path.join(out_dir, f"{prefix}-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-        pq.write_table(
-            table,
-            path,
-            compression=compression,
-            compression_level=compression_level,
-        )
+        table, bbox = _stamp_geo_footer(table, geometry_col)
+        task_store = get_store(dest)  # re-bind inside the task
+        key = _file_key(pid)
+        with task_store.open_output(key) as f:
+            pq.write_table(
+                table, f,
+                compression=compression,
+                compression_level=compression_level,
+            )
         yield pa.RecordBatch.from_pydict(
-            {
-                "path": [path],
-                "n_rows": [table.num_rows],
-                "xmin": [bbox[0] if bbox else None],
-                "ymin": [bbox[1] if bbox else None],
-                "xmax": [bbox[2] if bbox else None],
-                "ymax": [bbox[3] if bbox else None],
-            }
+            _manifest_row(task_store.full_url(key), table, bbox)
         )
 
     return clustered.mapInArrow(write_partition, manifest_schema)
