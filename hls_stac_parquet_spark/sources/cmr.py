@@ -323,7 +323,14 @@ class CmrStreamReader(SimpleDataSourceStreamReader):
                 days.append(d.isoformat())
                 d += dt.timedelta(days=1)
         days = [d for d in days if start["next_day"] <= d < end["next_day"]]
-        return self._rows(days)
+        # MUST be an iterator: unlike read() (driver-side, list is
+        # fine for the prefetch cache), readBetweenOffsets executes
+        # on the EXECUTOR during crash-recovery replay, where the
+        # data-source worker rejects a list return. Returning a list
+        # here made every restart-after-failure die with
+        # DATA_SOURCE_INVALID_RETURN_TYPE (caught by
+        # tests/test_streaming.py::test_cmr_stream_kill_and_resume_…).
+        return iter(self._rows(days))
 
     def _rows(self, days: list[str]) -> list:
         # materialized list, not a generator: the prefetching cache
