@@ -1,70 +1,75 @@
 #!/usr/bin/env python
-"""Bench regression gate: compare a fresh BENCH_DETAIL.json against a
-baseline (default: the committed one from the previous round) and fail
-on per-query regressions beyond a threshold.
+"""Bench regression gate: compare a fresh BENCH_DETAIL.json against
+(1) the committed baseline from git HEAD (within-round drift) AND
+(2) the previous ROUND's snapshot in BENCH_ROUNDS/ (cumulative drift
+— the round-3 verdict found 1.27x of unseen cross-round creep when
+each within-round gate only ratcheted against HEAD).
 
 Run BEFORE committing refreshed bench artifacts:
 
     python bench.py                       # writes BENCH_DETAIL.json
-    python scripts/bench_gate.py          # new file vs git HEAD's copy
+    python scripts/bench_gate.py          # HEAD + latest BENCH_ROUNDS
     python scripts/bench_gate.py old.json new.json   # explicit files
 
 Exit 1 on any regression > --threshold (default 1.5x) among queries
 present in both files, unless the query is named in --allow (a
 deliberate perf-for-scale trade recorded in the commit message).
 Sub-0.2s timings are noise-dominated at sf0.1 and are compared against
-a 0.2s floor instead of raw ratio.
+a 0.2s floor instead of raw ratio. Both comparisons are probe-
+normalized (the fixed synthetic probe in BENCH_DETAIL absorbs host
+weather).
+
+End-of-round bookkeeping: snapshot the final BENCH_DETAIL.json as
+BENCH_ROUNDS/r{N:02d}.json so the next round has a cumulative anchor.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import subprocess
 import sys
 
 FLOOR_SEC = 0.2  # below this, local jitter dominates; ratio is meaningless
 
 
-def load_baseline_from_git(path: str) -> dict:
+def load_baseline_from_git(path: str) -> dict | None:
     out = subprocess.run(
         ["git", "show", f"HEAD:{path}"],
         capture_output=True,
         text=True,
-        check=True,
     )
+    if out.returncode != 0:
+        return None
     return json.loads(out.stdout)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("old", nargs="?", default=None,
-                    help="baseline BENCH_DETAIL.json (default: git HEAD copy)")
-    ap.add_argument("new", nargs="?", default="BENCH_DETAIL.json")
-    ap.add_argument("--threshold", type=float, default=1.5)
-    ap.add_argument("--allow", action="append", default=[],
-                    metavar="QUERY", help="accept a known regression")
-    args = ap.parse_args()
+def latest_round_snapshot(root: str) -> tuple[str, dict] | None:
+    snaps = sorted(glob.glob(os.path.join(root, "BENCH_ROUNDS", "r*.json")))
+    if not snaps:
+        return None
+    with open(snaps[-1]) as f:
+        return os.path.basename(snaps[-1]), json.load(f)
 
-    if args.old:
-        with open(args.old) as f:
-            old = json.load(f)
-    else:
-        old = load_baseline_from_git("BENCH_DETAIL.json")
-    with open(args.new) as f:
-        new = json.load(f)
 
+def compare(
+    old: dict, new: dict, threshold: float, allow: list[str], label: str
+) -> list[tuple]:
+    """Probe-normalized per-query comparison; prints a summary line
+    and any regressions; returns the regression list."""
     # an sf0.01 dev run must never masquerade as the sf0.1 baseline
     # (it did once: a verify-step bench at sf0.01 overwrote
     # BENCH_DETAIL.json, got committed, and the next gate read 2-4x
     # phantom regressions) — refuse to compare across scale factors
     if old.get("sf") != new.get("sf"):
         print(
-            f"ERROR: baseline sf={old.get('sf')} vs new sf={new.get('sf')} — "
-            "not comparable; re-run bench.py at the baseline's sf or pass "
-            "an explicit baseline file recorded at the same sf"
+            f"[{label}] ERROR: baseline sf={old.get('sf')} vs new "
+            f"sf={new.get('sf')} — not comparable; re-run bench.py at "
+            "the baseline's sf or pass a baseline recorded at the same sf"
         )
-        return 2
+        return [("__sf_mismatch__", 0.0, 0.0, 0.0)]
 
     oq, nq = old["queries"], new["queries"]
     # host-weather normalization: when both files carry the fixed
@@ -75,29 +80,76 @@ def main() -> int:
     if op and np_:
         scale = min(2.0, max(0.5, op / np_))
         if abs(scale - 1.0) > 0.05:
-            print(f"host probe {op:.2f}s -> {np_:.2f}s: scaling new timings x{scale:.2f}")
+            print(
+                f"[{label}] host probe {op:.2f}s -> {np_:.2f}s: "
+                f"scaling new timings x{scale:.2f}"
+            )
         nq = {k: v * scale for k, v in nq.items()}
     shared = sorted(set(oq) & set(nq))
     regressed, improved = [], 0
     for name in shared:
         a, b = max(oq[name], FLOOR_SEC), max(nq[name], FLOOR_SEC)
         ratio = b / a
-        if ratio > args.threshold and name not in args.allow:
+        if ratio > threshold and name not in allow:
             regressed.append((name, oq[name], nq[name], ratio))
-        elif ratio < 1 / args.threshold:
+        elif ratio < 1 / threshold:
             improved += 1
 
     tot_old = sum(oq[n] for n in shared)
     tot_new = sum(nq[n] for n in shared)
     print(
-        f"{len(shared)} shared queries: total {tot_old:.1f}s -> "
+        f"[{label}] {len(shared)} shared queries: total {tot_old:.1f}s -> "
         f"{tot_new:.1f}s ({tot_new / max(tot_old, 1e-9):.2f}x), "
-        f"{improved} improved >{args.threshold}x, "
-        f"{len(regressed)} regressed >{args.threshold}x"
+        f"{improved} improved >{threshold}x, "
+        f"{len(regressed)} regressed >{threshold}x"
     )
     for name, a, b, r in sorted(regressed, key=lambda x: -x[3]):
-        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
-    return 1 if regressed else 0
+        print(f"[{label}] REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    return regressed
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old", nargs="?", default=None,
+                    help="baseline BENCH_DETAIL.json (default: git HEAD copy)")
+    ap.add_argument("new", nargs="?", default="BENCH_DETAIL.json")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--allow", action="append", default=[],
+                    metavar="QUERY", help="accept a known regression")
+    ap.add_argument("--skip-cumulative", action="store_true",
+                    help="only gate against the primary baseline")
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(args.new) as f:
+        new = json.load(f)
+
+    failures = 0
+    if args.old:
+        with open(args.old) as f:
+            old = json.load(f)
+        if compare(old, new, args.threshold, args.allow, "baseline"):
+            failures += 1
+    else:
+        old = load_baseline_from_git("BENCH_DETAIL.json")
+        if old is None:
+            print("[HEAD] no committed BENCH_DETAIL.json — skipping")
+        elif compare(old, new, args.threshold, args.allow, "HEAD"):
+            failures += 1
+
+    if not args.skip_cumulative:
+        snap = latest_round_snapshot(root)
+        if snap is None:
+            print("[round] no BENCH_ROUNDS/r*.json snapshot — skipping "
+                  "cumulative gate (snapshot the end-of-round "
+                  "BENCH_DETAIL.json there)")
+        else:
+            name, old_round = snap
+            if compare(old_round, new, args.threshold, args.allow,
+                       f"round:{name}"):
+                failures += 1
+
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

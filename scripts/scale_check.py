@@ -50,6 +50,12 @@ REPRESENTATIVE = [
     # through the kernel now)
     "q_rfm_segments",
     "q_pack_sequences",
+    # round-4 verdict item 5: the remaining global-order/ntile kernel
+    # adopters (distributed rank/cumsum replacing single-partition
+    # windows — prove the trade pays at scale where it claims to)
+    "q_ks_drift",
+    "q_shuffle_order",
+    "q_sample_hash",
     # sixth-session: bigram-LM scoring (vocab-keyed model joins +
     # per-doc ordered folds + ntile kernel) and the Arrow-batched
     # JPEG/GIF codec pipelines (per-row CPU, no shuffle — the axis
