@@ -236,7 +236,9 @@ def write_geoparquet(
         if table.num_rows == 0:
             return
         table, bbox = _stamp_geo_footer(table, geometry_col)
-        task_store = get_store(dest)  # re-bind inside the task
+        # `store` pickles into the task (config only); resolving the
+        # URL here would miss driver-side scheme registrations
+        task_store = store
         key = _file_key(pid)
         with task_store.open_output(key) as f:
             pq.write_table(

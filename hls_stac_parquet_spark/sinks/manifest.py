@@ -90,8 +90,13 @@ def write_manifests(
             written.append(store.full_url(key))
         return sorted(written)
 
+    # the resolved Store pickles into the tasks (stores carry only
+    # config — URL/region/credential callable); resolving by URL
+    # inside the task would miss driver-side register_store_scheme
+    # registrations (worker processes have a fresh registry)
+    task_store = store
+
     def _write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        task_store = get_store(dest)  # re-bind inside the task
         collection_id = pdf["collection_id"].iloc[0]
         date = pdf["date"].iloc[0]
         key = manifest_key(collection_id, date)

@@ -1,0 +1,190 @@
+"""S3-compatible object store over stdlib HTTP + SigV4.
+
+Completes the ``s3://`` half of the store layer
+(hls_stac_parquet_spark/store.py): the reference reaches object
+storage through obstore's Rust S3 client (links.py:92-96,
+write.py:240-245); here the same four calls the sinks need —
+HEAD / PUT / GET / ListObjectsV2 — are issued with ``urllib`` and
+signed with the stdlib SigV4 implementation
+(sources/earthdata.py::sigv4_headers). Zero extra dependencies, so
+the executor-side writers can talk to S3 (or any S3-compatible
+endpoint: MinIO, Ceph RGW, the test fake) from any worker.
+
+Wire-up:
+
+    from hls_stac_parquet_spark.sources.s3store import register_s3_scheme
+    register_s3_scheme(credentials=provider.s3_credentials,
+                       region="us-west-2")
+    write_manifests(df, "s3://my-bucket/links-dest")
+
+where ``credentials`` is any zero-arg callable returning
+``{accessKeyId, secretAccessKey, sessionToken?}`` — e.g.
+``EarthdataCredentialProvider(token=...).s3_credentials`` for NASA
+Earthdata buckets — or None for anonymous/public buckets.
+
+Spark's own DataFrame reads of the same data go through Hadoop s3a
+(``Store.spark_url`` maps the URL); this class only serves the
+custom footer-stamping/manifest writers that bypass Hadoop.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+import xml.etree.ElementTree as ET
+from typing import BinaryIO, Callable
+from urllib.parse import quote, urlparse
+
+from hls_stac_parquet_spark.sources.earthdata import sigv4_headers
+from hls_stac_parquet_spark.store import Store, register_store_scheme
+
+
+class S3Store(Store):
+    """Store bound to ``s3://bucket[/prefix]``.
+
+    ``credentials``: zero-arg callable → credential dict (fetched per
+    request batch so short-lived STS credentials stay fresh), or
+    None for unsigned requests. ``endpoint``: override for
+    S3-compatible services / tests (default: per-bucket virtual-host
+    AWS URL). Picklable (callable + strings), so tasks re-bind
+    cheaply like the other stores.
+    """
+
+    distributed = True
+
+    def __init__(
+        self,
+        url: str,
+        credentials: Callable[[], dict] | None = None,
+        region: str = "us-west-2",
+        endpoint: str | None = None,
+        timeout: float = 60.0,
+        spark_readable: bool = True,
+    ):
+        parsed = urlparse(url)
+        self.bucket = parsed.netloc
+        self.prefix = parsed.path.strip("/")
+        self.credentials = credentials
+        self.region = region
+        self.endpoint = (
+            endpoint.rstrip("/")
+            if endpoint
+            else f"https://{self.bucket}.s3.{region}.amazonaws.com"
+        )
+        self.timeout = timeout
+        # whether the Spark runtime can read these objects directly
+        # via Hadoop s3a (cluster with hadoop-aws). False → readers
+        # fall back to driver-side listing+GET through this store.
+        self.spark_readable = spark_readable
+
+    def _key(self, path: str) -> str:
+        return f"{self.prefix}/{path}" if self.prefix else path
+
+    def full_url(self, path: str) -> str:
+        return f"s3://{self.bucket}/" + self._key(path)
+
+    def spark_url(self, path: str = "") -> str | None:
+        if not self.spark_readable:
+            return None
+        # Hadoop reads the same objects via s3a
+        suffix = self._key(path) if path else self.prefix
+        return f"s3a://{self.bucket}/{suffix}".rstrip("/")
+
+    def _request(
+        self, method: str, key: str, data: bytes = b"", query: str = ""
+    ) -> tuple[int, bytes]:
+        path = "/" + quote(key, safe="/-_.~")
+        url = self.endpoint + path + (f"?{query}" if query else "")
+        headers: dict[str, str] = {}
+        if self.credentials is not None:
+            creds = self.credentials()
+            headers = sigv4_headers(
+                method,
+                url,
+                access_key=creds["accessKeyId"],
+                secret_key=creds["secretAccessKey"],
+                session_token=creds.get("sessionToken"),
+                region=self.region,
+                service="s3",
+                payload=data,
+            )
+            headers.pop("host", None)  # urllib sets Host itself
+        req = urllib.request.Request(
+            url, data=data if method == "PUT" else None,
+            headers=headers, method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def exists(self, path: str) -> bool:
+        status, _ = self._request("HEAD", self._key(path))
+        if status in (200,):
+            return True
+        if status in (404, 403):
+            return False
+        raise IOError(f"HEAD {path}: HTTP {status}")
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        status, body = self._request("PUT", self._key(path), data=data)
+        if status not in (200, 201):
+            raise IOError(f"PUT {path}: HTTP {status} {body[:200]!r}")
+
+    def get_bytes(self, path: str) -> bytes:
+        status, body = self._request("GET", self._key(path))
+        if status != 200:
+            raise IOError(f"GET {path}: HTTP {status}")
+        return body
+
+    def list(self, prefix: str) -> list[str]:
+        """ListObjectsV2 with continuation (paged, 1000 keys/page)."""
+        key_prefix = self._key(prefix).rstrip("/") + "/"
+        strip = len(self.prefix) + 1 if self.prefix else 0
+        keys: list[str] = []
+        token: str | None = None
+        while True:
+            query = "list-type=2&prefix=" + quote(key_prefix, safe="")
+            if token:
+                query += "&continuation-token=" + quote(token, safe="")
+            status, body = self._request("GET", "", query=query)
+            if status != 200:
+                raise IOError(f"LIST {prefix}: HTTP {status}")
+            ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+            root = ET.fromstring(body)
+            for c in root.findall(f"{ns}Contents/{ns}Key"):
+                keys.append(c.text[strip:])
+            token = (
+                root.findtext(f"{ns}NextContinuationToken")
+                if root.findtext(f"{ns}IsTruncated") == "true"
+                else None
+            )
+            if not token:
+                return sorted(keys)
+
+    def open_output(self, path: str) -> BinaryIO:
+        import io
+
+        store, key = self, path
+
+        class _Buf(io.BytesIO):
+            def close(buf) -> None:  # noqa: N805 — commit on close
+                store.put_bytes(key, buf.getvalue())
+                io.BytesIO.close(buf)
+
+        return _Buf()
+
+
+def register_s3_scheme(
+    credentials: Callable[[], dict] | None = None,
+    region: str = "us-west-2",
+    endpoint: str | None = None,
+) -> None:
+    """One-line deployment hook: make ``get_store("s3://…")`` work."""
+    register_store_scheme(
+        "s3",
+        lambda url: S3Store(
+            url, credentials=credentials, region=region, endpoint=endpoint
+        ),
+    )
