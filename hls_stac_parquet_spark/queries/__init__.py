@@ -34,6 +34,7 @@ from hls_stac_parquet_spark.queries import extras  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import tpch  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import analytics  # noqa: F401,E402
 from hls_stac_parquet_spark.queries import stats  # noqa: F401,E402
+from hls_stac_parquet_spark.queries import governance  # noqa: F401,E402
 
 # SURVEY.md §2.B — the 36-query correctness contract, in §2.B order.
 CONTRACT_QUERIES = [

@@ -49,6 +49,10 @@ FUZZ_QUERIES = [
     "q_pr_curve",
     "q_jpeg_decode_stats",
     "q_gif_frame_pipeline",
+    # round-4 additions touching fuzzed columns (text → coalesce(''),
+    # value → NULL-tolerant open/close picks)
+    "q_token_fertility",
+    "q_ohlc_bars",
 ]
 
 

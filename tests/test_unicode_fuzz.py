@@ -65,6 +65,9 @@ UNICODE_QUERIES = [
     "q_perplexity_filter",
     "q_distinct_ngrams",
     "q_pr_curve",
+    # round-4 text-facing additions
+    "q_token_fertility",
+    "q_url_canonical_dedup",
 ]
 
 # agreeing repertoire: both engines lower() these identically, and
