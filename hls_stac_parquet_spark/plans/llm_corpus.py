@@ -68,6 +68,12 @@ def curate_corpus(
     """
     # sorted tokens are let-bound into their own projection: an
     # inlined split() inside the HOF re-evaluates per lambda step
+    # n_tokens is computed SCAN-SIDE so `text` never crosses the
+    # plan's one shuffle: the survivor window below repartitions by
+    # fp, and carrying the raw text there would make the exchange
+    # payload ~corpus-sized instead of ~60 bytes/row (measured: the
+    # only super-linear-looking term in the 10x scale run was this
+    # shuffle's write volume)
     gated = (
         docs.select(
             "doc_id",
@@ -84,6 +90,8 @@ def curate_corpus(
             & (F.col("top_word_frac") <= top_word_frac_max)
         )
         .withColumn("fp", bow_fingerprint("text"))
+        .withColumn("n_tokens", F.size(F.split("text", " ")))
+        .drop("text")
     )
     if observation is not None:
         # gate metrics ride the job itself (df.observe accumulators) —
@@ -114,6 +122,6 @@ def curate_corpus(
             )
             .otherwise("test")
             .alias("split"),
-            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_tokens",
         )
     )
