@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p2.add_argument("links_src")
     p2.add_argument("dest")
     p2.add_argument("--no-require-complete", action="store_true")
+    p2.add_argument(
+        "--reference-layout", action="store_true",
+        help="emit exactly one object per month under the upstream "
+             "path template (constants.py:8) instead of N "
+             "range-partitioned files",
+    )
 
     p3 = sub.add_parser("backfill")
     _add_common(p3)
@@ -131,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, coll.collection_id, year, month, args.links_src, args.dest,
             origin_date=coll.origin_date,
             require_complete_links=not args.no_require_complete,
+            reference_layout=args.reference_layout,
         )
         print(f"wrote {res['written']} items to {len(res['files'])} files "
               f"({res['failed']} dead-lettered, skipped={res['skipped']})")

@@ -394,3 +394,42 @@ def q_token_fertility(spark, sf_dir):
             F.sum("b") / F.greatest(F.sum("tk"), F.lit(1)), 6
         ).alias("bytes_per_token"),
     )
+
+
+_SQL_REPORT = """
+WITH revenue AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n_orders
+  FROM {orders} GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(r.rev), 4) AS revenue,
+       CAST(sum(r.n_orders) AS BIGINT) AS n_orders,
+       round(sum(r.rev) / sum(sum(r.rev)) OVER (), 6) AS revenue_share,
+       CAST(rank() OVER (ORDER BY sum(r.rev) DESC) AS INT) AS seg_rank
+FROM revenue r JOIN {customer} c ON c.c_custkey = r.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query(
+    "q_sql_text_interface",
+    oracle=_SQL_REPORT.format(orders="orders", customer="customer"),
+)
+def q_sql_text_interface(spark, sf_dir):
+    """The textual-SQL entry point: the SAME SQL string runs through
+    ``spark.sql`` over registered temp views and through the DuckDB
+    oracle — evidencing that the engine's surface is not just the
+    DataFrame DSL (every other registry entry) but ANSI SQL text, with
+    Catalyst doing the identical plan work (CTE inlining, join
+    reordering, window-over-aggregate).
+
+    Scale shape: one custkey-keyed aggregate reduces orders before the
+    customer join (AQE broadcasts the |segments|-sized post-agg side
+    when small); the share/rank windows run over the 5-row segment
+    aggregate, not the fact table."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_customer")
+    return spark.sql(
+        _SQL_REPORT.format(orders="_sql_orders", customer="_sql_customer")
+    )
