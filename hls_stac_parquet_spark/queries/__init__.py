@@ -126,6 +126,10 @@ PRIORITY_QUERIES = [
     "q_split_leakage", "q_png_decode_stats", "q_wav_decode_pipeline",
     # sixth-session flagships
     "q_perplexity_filter", "q_jpeg_decode_stats", "q_gif_frame_pipeline",
+    # round-4 flagships
+    "q_url_canonical_dedup", "q_k_anonymity", "q_cuped", "q_dp_counts",
+    "q_sql_text_interface", "q_ohlc_bars", "q_degree_distribution",
+    "q_token_fertility",
 ]
 
 

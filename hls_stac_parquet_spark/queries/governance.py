@@ -433,3 +433,60 @@ def q_sql_text_interface(spark, sf_dir):
     return spark.sql(
         _SQL_REPORT.format(orders="_sql_orders", customer="_sql_customer")
     )
+
+
+@query(
+    "q_dp_counts",
+    oracle=(
+        "WITH agg AS (SELECT source, lang, count(*) AS n "
+        "  FROM documents GROUP BY source, lang), "
+        "noised AS (SELECT source, lang, n, "
+        "  (CAST(concat('0x', substr(md5(concat(source, '|', lang)), 1, 13)) "
+        "    AS BIGINT) / 4503599627370496.0) - 0.5 AS u FROM agg) "
+        "SELECT source, lang, "
+        "  CAST(n + round(-2.0 * sign(u) * ln(1 - 2 * abs(u))) AS BIGINT) "
+        "    AS dp_count, "
+        "  CAST(round(greatest(CAST(n + round(-2.0 * sign(u) * "
+        "    ln(1 - 2 * abs(u))) AS BIGINT), 0) * 1.0, 1) AS DOUBLE) "
+        "    AS dp_released "
+        "FROM noised"
+    ),
+)
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private count release (epsilon = 0.5 per cell,
+    sensitivity 1): per-(source, lang) document counts with Laplace
+    noise, scale b = 1/epsilon = 2 — the privacy-preserving
+    aggregate-release step for sharing corpus composition stats.
+
+    The noise is DETERMINISTIC-by-construction for the oracle: the
+    uniform draw is the md5 of the cell key mapped into (-0.5, 0.5)
+    (the registry's standard portable-hash trick — 13 hex chars =
+    52 bits, exact in a double on both engines), pushed through the
+    Laplace inverse CDF  -b·sign(u)·ln(1-2|u|). A production release
+    swaps the seeded uniform for a real RNG; the PLUMBING (noise at
+    the aggregate, post-processing clamp to ≥0, never noise on raw
+    rows) is what the oracle checks.
+
+    Scale shape: noise is applied to the |cells|-row AGGREGATE, never
+    the fact table — one group-by shuffle, then pure per-row
+    arithmetic in codegen."""
+    docs = t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "source", "lang")), 1, 13),
+               16, 10).cast("double")
+        / F.lit(4503599627370496.0)
+        - 0.5
+    ).alias("u")
+    noised = agg.select("source", "lang", "n", u)
+    lap = F.round(
+        F.lit(-2.0) * F.signum("u")
+        * F.log(F.lit(1.0) - 2 * F.abs(F.col("u")))
+    )
+    dp = (F.col("n") + lap).cast("bigint")
+    return noised.select(
+        "source",
+        "lang",
+        dp.alias("dp_count"),
+        F.round(F.greatest(dp, F.lit(0)) * 1.0, 1).alias("dp_released"),
+    )
