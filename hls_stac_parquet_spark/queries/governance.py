@@ -250,11 +250,10 @@ def q_cuped(spark, sf_dir):
         "WITH deg AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS d "
         "  FROM lineitem GROUP BY l_partkey), "
         "dist AS (SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes "
-        "  FROM deg GROUP BY d), "
-        "fit AS (SELECT regr_slope(log10(n_nodes), log10(degree)) AS slope "
-        "  FROM dist WHERE degree > 0) "
+        "  FROM deg GROUP BY d) "
         "SELECT CAST(degree AS BIGINT) AS degree, n_nodes, "
-        "  round((SELECT slope FROM fit), 6) AS loglog_slope "
+        "  round(regr_slope(log10(n_nodes), log10(degree)) OVER (), 6) "
+        "    AS loglog_slope "
         "FROM dist"
     ),
 )
@@ -266,9 +265,13 @@ def q_degree_distribution(spark, sf_dir):
 
     Scale shape: degree is one distinct-pair aggregate; the
     distribution is a second aggregate over the |V|-row degree dim;
-    the regression folds the |distinct degrees|-row distribution into
-    one broadcast scalar — the fact table is scanned once and nothing
-    larger than |V| shuffles."""
+    the regression is a WINDOW over the |distinct degrees|-row
+    distribution (an unpartitioned window over a tiny aggregate — the
+    registry's documented benign pattern) so the fact table is
+    scanned exactly ONCE. A separate fit-aggregate branch would
+    recompute the whole dist subtree = a second fact scan
+    (tests/test_plan_shapes.py pins the single scan). degree ≥ 1 by
+    construction (it is a count), so log10 is always defined."""
     deg = (
         t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_orderkey")
@@ -279,16 +282,16 @@ def q_degree_distribution(spark, sf_dir):
     dist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count("*").alias("n_nodes")
     )
-    fit = dist.filter(F.col("degree") > 0).agg(
-        F.expr("regr_slope(log10(n_nodes), log10(degree))").alias("slope")
-    )
-    return (
-        dist.join(F.broadcast(fit))
-        .select(
-            F.col("degree").cast("bigint").alias("degree"),
-            "n_nodes",
-            F.round("slope", 6).alias("loglog_slope"),
-        )
+    return dist.select(
+        F.col("degree").cast("bigint").alias("degree"),
+        "n_nodes",
+        F.round(
+            F.expr(
+                "regr_slope(log10(n_nodes), log10(degree)) "
+                "OVER ()"
+            ),
+            6,
+        ).alias("loglog_slope"),
     )
 
 

@@ -768,3 +768,62 @@ def test_perplexity_filter_plan(spark):
     assert "rangepartitioning" in low
     assert "windowspecdefinition(avg_nll" not in low
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ohlc_bars_one_exchange_for_both_rank_directions(spark):
+    """Both row_number directions and the final agg share the one
+    (day, event_type) hash partitioning — exactly one Exchange."""
+    plan = _plan(spark, "q_ohlc_bars")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_url_canonical_dedup_single_shuffle(spark):
+    """The canonicalizer is a scan-side projection; the ONLY exchange
+    is the canonical-key group-by (plus AQE's optional final-agg
+    reuse) — no join, no window."""
+    plan = _plan(spark, "q_url_canonical_dedup")
+    assert "Join" not in plan and "Window" not in plan, plan
+    # distinct-count agg adds an Expand but still one keyed shuffle
+    # tree: hashpartitioning(canonical_url...)
+    assert plan.count("hashpartitioning(canonical_url") >= 1, plan
+
+
+def test_cuped_theta_joins_as_broadcast_scalar(spark):
+    """theta/mean(x) is a 1-row sufficient-statistics dim: it must
+    broadcast, and the per-user frame must not re-shuffle for it."""
+    plan = _plan(spark, "q_cuped")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dp_counts_noise_on_aggregate_not_fact(spark):
+    """Laplace arithmetic must sit ABOVE the group-by (on cells),
+    never below it (on raw rows): the md5/conv projection appears
+    after the final HashAggregate in the plan tree."""
+    plan = _plan(spark, "q_dp_counts")
+    # plan prints top-down: the signum/log noise projection must
+    # appear BEFORE (above) the first HashAggregate line
+    noise_at = plan.find("SIGNUM")
+    agg_at = plan.find("HashAggregate")
+    assert noise_at != -1 and agg_at != -1 and noise_at < agg_at, plan
+
+
+def test_degree_distribution_single_fact_scan(spark):
+    """The power-law fit is a window over the |distinct degrees|-row
+    distribution — NOT a separate aggregate branch, which would
+    recompute the dist subtree and scan the fact table twice (the
+    defect this test originally caught)."""
+    plan = _plan(spark, "q_degree_distribution")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_sql_text_interface_agg_before_join(spark):
+    """Catalyst must keep the custkey aggregate BELOW the customer
+    join (aggregate-then-join, not join-then-aggregate over the fact
+    table), and the share/rank windows run over the segment
+    aggregate."""
+    plan = _plan(spark, "q_sql_text_interface")
+    agg_at = plan.find("hashpartitioning(o_custkey")
+    assert agg_at != -1, plan
+    assert "CartesianProduct" not in plan
