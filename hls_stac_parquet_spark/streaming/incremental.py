@@ -506,3 +506,53 @@ def foreach_batch_digest_monitor(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_hll_monitor(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    group_col: str,
+    key_col: str,
+):
+    """Streaming distinct-count monitor: maintain one HLL sketch per
+    group over the whole stream by hll_union-ing each micro-batch's
+    per-group sketches into a parquet snapshot — completing the
+    streamed sketch triad (Count-Min frequencies / t-digest quantiles
+    / HLL distincts).
+
+    Because HLL insertion is register-max (order- and
+    batching-independent), the union of per-batch sketches is
+    EXACTLY the sketch of the whole stream — the snapshot answers
+    "distinct users so far per group" at any time with O(sketch)
+    state per group and no rescan. Same per-batch-id idempotency
+    caveat as foreach_batch_sketch_monitor.
+    """
+    import os
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(key_col).alias("sk")
+        )
+        if os.path.exists(dest):
+            current = spark.read.parquet(dest)
+            merged = (
+                current.unionByName(batch_sk)
+                .groupBy(group_col)
+                .agg(F.hll_union_agg("sk", True).alias("sk"))
+            )
+        else:
+            merged = batch_sk
+        tmp = f"{dest}.__new__{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -633,3 +633,50 @@ def test_cmr_stream_kill_and_resume_exactly_once_manifests(spark, tmp_path):
             urls = json.load(fh)
         assert len(urls) == 3, f  # granules_per_day, no duplicates
         assert len(set(urls)) == 3, f
+
+
+def test_stream_hll_monitor_equals_batch_sketch(spark, tmp_path):
+    """Streamed per-group HLL distinct monitor: the union of
+    per-micro-batch sketches answers the same question as the
+    one-shot batch sketch (datasketches unions may land in a
+    different sketch representation, so estimates agree to within
+    the HLL error envelope rather than bit-exactly), and both sit
+    within the envelope of the exact distinct counts."""
+    from hls_stac_parquet_spark.streaming.incremental import (
+        foreach_batch_hll_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [("a", i % 700) for i in range(4000)]
+    rows += [("b", i % 150) for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, user_id long")
+    df.repartition(5).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, user_id long")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    dest, ckpt = str(tmp_path / "hll"), str(tmp_path / "ckpt")
+    q = foreach_batch_hll_monitor(stream, dest, ckpt, "g", "user_id").start()
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(dest)
+    assert snap.count() == 2  # one sketch row per group — O(1) state
+    streamed = {
+        r["g"]: r["est"]
+        for r in snap.select(
+            "g", F.expr("hll_sketch_estimate(sk)").alias("est")
+        ).collect()
+    }
+    oneshot = {
+        r["g"]: r["est"]
+        for r in df.groupBy("g")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    for g, exact in (("a", 700), ("b", 150)):
+        assert abs(streamed[g] - oneshot[g]) <= 0.03 * exact, (
+            g, streamed[g], oneshot[g],
+        )
+        assert abs(streamed[g] - exact) <= 0.05 * exact, (g, streamed[g])
