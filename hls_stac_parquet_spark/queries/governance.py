@@ -493,3 +493,53 @@ def q_dp_counts(spark, sf_dir):
         dp.alias("dp_count"),
         F.round(F.greatest(dp, F.lit(0)) * 1.0, 1).alias("dp_released"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle=(
+        "WITH daily AS (SELECT date_trunc('day', ts) AS day, "
+        "  round(sum(value), 4) AS rev FROM events "
+        "  WHERE isfinite(value) GROUP BY 1) "
+        "SELECT CAST(day AS TIMESTAMP) AS day, rev, "
+        "  round(quantile_cont(rev, 0.5) OVER ("
+        "    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) "
+        "    AS med7, "
+        "  round(abs(rev - quantile_cont(rev, 0.5) OVER ("
+        "    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), 4) "
+        "    AS abs_dev "
+        "FROM daily"
+    ),
+)
+def q_rolling_median(spark, sf_dir):
+    """Trailing-7-day rolling EXACT median of daily revenue plus the
+    absolute deviation from it — the robust-baseline anomaly monitor
+    (a rolling mean is dragged by the outlier it is supposed to
+    flag; the median is not; non-finite values are excluded on both
+    sides — the registry's finite-measurement semantic). Exercises an
+    aggregate-as-window with a
+    bounded ROWS frame — a window shape nothing else in the registry
+    covers (ntile/rank/lag are offset windows; q_moving_avg is a
+    mean).
+
+    Scale shape: the window runs over the |days|-sized daily
+    AGGREGATE, not the fact table (the single fact shuffle is the
+    day group-by); the frame is 7 rows, so per-row state is O(7)
+    regardless of corpus size. The unpartitioned ORDER BY over the
+    days-sized series is the registry's documented benign pattern."""
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("rev")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    med = F.percentile("rev", F.lit(0.5)).over(w)
+    return daily.select(
+        "day",
+        "rev",
+        F.round(med, 4).alias("med7"),
+        F.round(F.abs(F.col("rev") - med), 4).alias("abs_dev"),
+    )

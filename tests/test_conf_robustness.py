@@ -31,6 +31,11 @@ NO_BROADCAST_QUERIES = [
     "q_market_basket",
     "q_golden_record",
     "q_interval_overlap_join",
+    # round-4 join-bearing queries: the broadcast-scalar dims must
+    # stay correct when the planner falls back to non-broadcast
+    "q_sql_text_interface",
+    "q_cuped",
+    "q_k_anonymity",
 ]
 
 

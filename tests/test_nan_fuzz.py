@@ -47,6 +47,7 @@ NAN_QUERIES = [
     "q_embedding_dim_stats",
     "q_cosine_pairs",
     "q_int8_quantize",
+    "q_rolling_median",
 ]
 
 
