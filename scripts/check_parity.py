@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,16 +27,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def package_head() -> str | None:
-    """Newest commit touching the engine package — the thing a parity
-    sweep certifies. Recorded into the sweep JSON; --check-stale
-    compares it so a LOCAL_PARITY.json that predates source changes
-    fails loudly instead of standing as stale evidence (round-3
-    verdict, "What's wrong" #1)."""
-    out = subprocess.run(
-        ["git", "log", "-1", "--format=%H", "--", "hls_stac_parquet_spark/"],
-        capture_output=True, text=True, cwd=ROOT,
-    )
-    return out.stdout.strip() or None
+    """Content hash of the engine package's WORKING-TREE .py files —
+    the thing a parity sweep actually certifies. Recorded into the
+    sweep JSON; --check-stale recomputes and compares, so a
+    LOCAL_PARITY.json that predates source changes fails loudly
+    instead of standing as stale evidence (round-3 verdict, "What's
+    wrong" #1). A content hash (not a commit id) is deliberate: the
+    sweep runs against the working tree, and committing the swept
+    source must not re-stale the artifact it ships with."""
+    import hashlib
+
+    pkg = os.path.join(ROOT, "hls_stac_parquet_spark")
+    h = hashlib.sha256()
+    for dirpath, dirs, files in sorted(os.walk(pkg)):
+        dirs.sort()
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, name)
+            h.update(os.path.relpath(full, ROOT).encode())
+            with open(full, "rb") as f:
+                h.update(hashlib.sha256(f.read()).digest())
+    return h.hexdigest()
 
 
 def check_stale(artifact: str = "LOCAL_PARITY.json") -> int:
@@ -49,22 +60,15 @@ def check_stale(artifact: str = "LOCAL_PARITY.json") -> int:
         print(f"STALE: {artifact} missing")
         return 1
     recorded, current = rec.get("package_head"), package_head()
-    dirty = subprocess.run(
-        ["git", "status", "--porcelain", "hls_stac_parquet_spark/"],
-        capture_output=True, text=True, cwd=ROOT,
-    ).stdout.strip()
     if recorded != current:
         print(
-            f"STALE: {artifact} swept at {str(recorded)[:12]} but the "
-            f"package head is {str(current)[:12]} — re-run the full "
-            "sweep (python scripts/check_parity.py --json "
+            f"STALE: {artifact} swept at content {str(recorded)[:12]} but "
+            f"the package content is {str(current)[:12]} — re-run the "
+            "full sweep (python scripts/check_parity.py --json "
             "LOCAL_PARITY.json) in the same commit as the source change"
         )
         return 1
-    if dirty:
-        print(f"STALE: uncommitted hls_stac_parquet_spark/ changes:\n{dirty}")
-        return 1
-    print(f"fresh: {artifact} matches package head {str(current)[:12]}")
+    print(f"fresh: {artifact} matches package content {str(current)[:12]}")
     return 0
 
 
