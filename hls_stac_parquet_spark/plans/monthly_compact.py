@@ -64,6 +64,7 @@ def write_monthly_stac_geoparquet(
     skip_existing: bool = True,
     version: str = "1",
     reference_layout: bool = False,
+    target_partitions: int | None = None,
 ) -> dict:
     """Compact one collection-month of cached links into clustered
     GeoParquet. Returns {written, failed, skipped} counts plus the
@@ -128,6 +129,7 @@ def write_monthly_stac_geoparquet(
     files = write_geoparquet(
         keyed, dest, collection_id, year, month, version=version,
         reference_layout=reference_layout,
+        target_partitions=target_partitions,
     ).collect()
     return {
         "skipped": False,

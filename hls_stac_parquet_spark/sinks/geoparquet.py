@@ -251,3 +251,78 @@ def write_geoparquet(
         )
 
     return clustered.mapInArrow(write_partition, manifest_schema)
+
+
+def optimize_geoparquet_month(
+    spark,
+    dest: str,
+    collection_id: str,
+    year: int,
+    month: int,
+    version: str = "1",
+    target_partitions: int | None = None,
+    geometry_col: str = "geometry",
+    sort_col: str = "hilbert_idx",
+    compression: str = "zstd",
+    compression_level: int = 6,
+    reference_layout: bool = False,
+) -> dict:
+    """Compact/re-cluster an already-written collection-month in
+    place — the lakehouse ``OPTIMIZE``/small-file-compaction analog
+    for the GeoParquet sink: N incremental writes (late-arriving
+    days, retries, small appends) accumulate small files; this reads
+    the month back, re-runs the range-partitioned Hilbert sort, and
+    replaces the files with ``target_partitions`` clustered ones
+    (``reference_layout=True`` → exactly one object under the
+    reference's path name).
+
+    Write-then-delete ordering makes a crash safe-but-duplicating
+    (new files land before old ones are removed; re-running converges
+    because the rewrite reads whatever is present) — the same
+    at-least-once-then-idempotent discipline as the manifest sink.
+    Requires a Spark-readable store (POSIX, or s3 with Hadoop s3a);
+    in-process test stores can't feed a distributed re-sort.
+
+    Returns {files_before, files_after, n_rows, manifest}.
+    """
+    store = get_store(dest)
+    rel_dir = geoparquet_month_dir(
+        collection_id, year, month, version, reference_layout
+    )
+    spark_base = store.spark_url(rel_dir)
+    if spark_base is None:
+        raise ValueError(
+            "optimize_geoparquet_month needs a Spark-readable store "
+            "(POSIX path or s3a-capable cluster)"
+        )
+    old_keys = [k for k in store.list(rel_dir) if k.endswith(".parquet")]
+    if not old_keys:
+        return {"files_before": 0, "files_after": 0, "n_rows": 0,
+                "manifest": []}
+    df = spark.read.parquet(spark_base)
+    manifest = write_geoparquet(
+        df,
+        dest,
+        collection_id,
+        year,
+        month,
+        version=version,
+        geometry_col=geometry_col,
+        sort_col=sort_col,
+        compression=compression,
+        compression_level=compression_level,
+        target_partitions=target_partitions,
+        reference_layout=reference_layout,
+    ).collect()
+    new_urls = {r.path for r in manifest}
+    # remove only the superseded objects (never a freshly written one
+    # — reference_layout reuses the deterministic name, so exclude)
+    for key in old_keys:
+        if store.full_url(key) not in new_urls:
+            store.delete(key)
+    return {
+        "files_before": len(old_keys),
+        "files_after": len(new_urls),
+        "n_rows": sum(r.n_rows for r in manifest),
+        "manifest": manifest,
+    }

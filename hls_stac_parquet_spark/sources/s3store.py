@@ -138,6 +138,11 @@ class S3Store(Store):
             raise IOError(f"GET {path}: HTTP {status}")
         return body
 
+    def delete(self, path: str) -> None:
+        status, body = self._request("DELETE", self._key(path))
+        if status not in (200, 204):
+            raise IOError(f"DELETE {path}: HTTP {status} {body[:200]!r}")
+
     def list(self, prefix: str) -> list[str]:
         """ListObjectsV2 with continuation (paged, 1000 keys/page)."""
         key_prefix = self._key(prefix).rstrip("/") + "/"

@@ -66,6 +66,11 @@ class Store:
         """All keys (relative paths) under ``prefix``, sorted."""
         raise NotImplementedError
 
+    def delete(self, path: str) -> None:
+        """Remove one object (compaction cleanup); missing is an
+        error — callers pass keys they just listed."""
+        raise NotImplementedError
+
     def open_output(self, path: str) -> BinaryIO:
         """Writable binary stream (context manager) — the pyarrow
         ``where`` argument for footer-stamped parquet writes."""
@@ -112,6 +117,9 @@ class LocalStore(Store):
                 full = os.path.join(dirpath, name)
                 out.append(os.path.relpath(full, self.root))
         return sorted(out)
+
+    def delete(self, path: str) -> None:
+        os.remove(self._abs(path))
 
     def open_output(self, path: str) -> BinaryIO:
         target = self._abs(path)
@@ -170,6 +178,9 @@ class MemoryStore(Store):
             for k in self._data
             if k == key_prefix or k.startswith(key_prefix + "/")
         )
+
+    def delete(self, path: str) -> None:
+        del self._data[self._key(path)]
 
     def open_output(self, path: str) -> BinaryIO:
         import io

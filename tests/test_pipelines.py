@@ -172,3 +172,52 @@ def test_cmr_source_pushdown_plan(spark, fx):
         .filter(F.col("collection_concept_id") == "C000-NOPE")
     )
     assert none.count() == 0
+
+
+def test_optimize_geoparquet_month_compacts_and_reclusters(spark, fx, tmp_path):
+    """The OPTIMIZE analog: many small range-partitioned files →
+    fewer clustered files, same rows, total order restored, footer
+    intact, superseded files gone. Write-then-delete ordering, so a
+    re-run converges."""
+    from hls_stac_parquet_spark.sinks.geoparquet import (
+        optimize_geoparquet_month,
+    )
+
+    links_dest = str(tmp_path / "links")
+    out_dest = str(tmp_path / "gpq")
+    cache_daily_stac_json_links(
+        spark, COLL_CID, COLL_ID, DAYS[0], links_dest,
+        end_date=DAYS[-1], protocol="file", fixture_dir=fx["cmr"],
+    )
+    result = write_monthly_stac_geoparquet(
+        spark, COLL_ID, 2025, 10, links_dest, out_dest,
+        require_complete_links=False, fetch_partitions=4,
+        target_partitions=5,  # simulate small-file accumulation
+    )
+    month_dir = os.path.join(out_dest, "v1", COLL_ID, "year=2025", "month=10")
+    before = sorted(os.listdir(month_dir))
+    assert len(before) > 1  # several range-partitioned files
+
+    res = optimize_geoparquet_month(
+        spark, out_dest, COLL_ID, 2025, 10, target_partitions=1,
+    )
+    assert res["files_before"] == len(before)
+    assert res["files_after"] == 1
+    assert res["n_rows"] == result["written"]
+
+    after = os.listdir(month_dir)
+    assert len(after) == 1 and after[0] not in before
+    t = pq.read_table(os.path.join(month_dir, after[0]))
+    assert t.num_rows == result["written"]
+    vals = t["hilbert_idx"].to_pylist()
+    assert vals == sorted(vals)  # re-clustered total order
+    geo = json.loads(t.schema.metadata[b"geo"])
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+
+    # idempotent-ish: optimizing an already-compacted month rewrites
+    # to the same file count and row total
+    res2 = optimize_geoparquet_month(
+        spark, out_dest, COLL_ID, 2025, 10, target_partitions=1,
+    )
+    assert res2["files_before"] == 1 and res2["files_after"] == 1
+    assert res2["n_rows"] == result["written"]
