@@ -37,6 +37,7 @@ def asof_join(
     matched_ts_alias: str = "matched_ts",
     inclusive: bool = True,
     direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the payload of the
     latest right row of the same ``by`` key with ``right.ts <= left.ts``
@@ -54,6 +55,12 @@ def asof_join(
       both candidates come from the same sorted window pass (carry-
       forward ``last`` + carry-backward ``first``), never a second
       join.
+
+    ``tolerance`` (pandas merge_asof semantics) NULLs the match when
+    it is farther than the bound: an interval string (``"2 hours"``)
+    for timestamp keys or a number for numeric keys. Applied AFTER
+    the carry — a too-old match does not fall back to an even older
+    one (there is none closer by construction), it becomes a miss.
 
     Every non-key, non-ts right column becomes a payload column carried
     onto the matched left rows; the matched right timestamp itself is
@@ -145,6 +152,19 @@ def asof_join(
             .when(back_dist <= fwd_dist, back)
             .otherwise(fwd)
         )
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        mts = carried_payload[matched_ts_alias]
+        # absolute distance works for every direction; interval
+        # subtraction keeps timestamp_ntz support (no double cast)
+        dist = F.when(
+            mts >= F.col("_asof_ts"), mts - F.col("_asof_ts")
+        ).otherwise(F.col("_asof_ts") - mts)
+        carried_payload = F.when(dist <= tol, carried_payload)
     carried = l_tagged.unionByName(r_tagged).select(
         *by,
         "_asof_ts",

@@ -986,3 +986,53 @@ def q_source_overlap(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "           WHERE event_type = 'purchase'), "
+        "     r AS (SELECT user_id, ts, max(event_id) AS prior_click_id "
+        "           FROM events WHERE event_type = 'click' "
+        "           GROUP BY user_id, ts), "
+        "cand AS ("
+        "  SELECT l.event_id, l.user_id, l.ts, l.value, "
+        "    (SELECT max(r.ts) FROM r WHERE r.user_id = l.user_id "
+        "       AND r.ts <= l.ts "
+        "       AND r.ts >= l.ts - INTERVAL 2 HOUR) AS prior_click_ts "
+        "  FROM l) "
+        "SELECT c.event_id, c.user_id, c.ts, c.value, c.prior_click_ts, "
+        "       r.prior_click_id "
+        "FROM cand c LEFT JOIN r "
+        "  ON r.user_id = c.user_id AND r.ts = c.prior_click_ts"
+    ),
+)
+def q_asof_tolerance(spark, sf_dir):
+    """Bounded-staleness as-of join (pandas merge_asof ``tolerance``):
+    each purchase joined to the latest preceding click of the same
+    user ONLY if it happened within the last 2 hours — stale context
+    is worse than no context in attribution and feature-store reads,
+    so the match becomes an explicit miss instead of silently using
+    hours-old state.
+
+    Same union-sort-carry-forward kernel as q_asof_join (ONE user
+    shuffle, no range cross-product); the bound is applied after the
+    carry (the carried match is the closest one by construction, so
+    too-old ⇒ miss, never fall-back). Oracle: correlated max-ts
+    subquery with the same window bound."""
+    from hls_stac_parquet_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_click_id"))
+    )
+    return asof_join(
+        purchases, clicks, by=["user_id"], ts_col="ts",
+        matched_ts_alias="prior_click_ts", tolerance="2 HOURS",
+    )

@@ -173,3 +173,44 @@ def test_asof_bad_direction_raises(sides):
     left, right = sides
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, by=["k"], direction="sideways")
+
+
+def test_asof_tolerance_bounds_staleness(sides):
+    """tolerance (pandas merge_asof semantics): a match farther than
+    the bound becomes a MISS — it must not fall back to an even older
+    row, and within-bound matches are unchanged."""
+    left, right = sides
+    # seconds 5/10/20 (k=1) vs right at 4/10: with a 3-second bound,
+    # ts=5 keeps its match (distance 1s), ts=10 keeps the exact match,
+    # ts=20 loses its 10-second-stale match (distance 10s > 3s)
+    got = {
+        (r.k, r.ts.second): r.r_val
+        for r in asof_join(
+            left, right, by=["k"], tolerance="3 SECONDS"
+        ).collect()
+    }
+    unbounded = {
+        (r.k, r.ts.second): r.r_val
+        for r in asof_join(left, right, by=["k"]).collect()
+    }
+    assert unbounded[(1, 20)] == 100  # stale match without the bound
+    assert got[(1, 5)] == 40
+    assert got[(1, 10)] == 100
+    assert got[(1, 20)] is None  # miss, not fallback
+    assert got[(2, 7)] == 70
+    assert got[(3, 1)] is None  # still no right side at all
+
+
+def test_asof_tolerance_nearest_direction(sides):
+    left, right = sides
+    got = {
+        (r.k, r.ts.second): r.r_val
+        for r in asof_join(
+            left, right, by=["k"], direction="nearest",
+            tolerance="2 SECONDS",
+        ).collect()
+    }
+    # k=2 ts=7: backward candidate at 7 (exact) wins, within bound
+    assert got[(2, 7)] == 70
+    # k=1 ts=20: nearest is 10, distance 10s > 2s -> miss
+    assert got[(1, 20)] is None
