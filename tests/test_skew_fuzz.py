@@ -114,8 +114,12 @@ SKEW_QUERIES = [
     "q_source_overlap",
     "q_tfidf",
     "q_perplexity_filter",
+    "q_url_canonical_dedup",
+    "q_token_fertility",
     # whale user / hot group key
     "q_sessionize",
+    "q_ohlc_bars",
+    "q_cuped",
     "q_funnel_windowed",
     "q_session_paths",
     "q_hash_agg",
@@ -182,6 +186,7 @@ WHALE_QUERIES = [
     "q_substring_dup_pairs",
     "q_pack_sequences",
     "q_keywords_rake",
+    "q_token_fertility",
 ]
 
 
