@@ -111,6 +111,11 @@ class LocalStore(Store):
 
     def list(self, prefix: str) -> list[str]:
         base = self._abs(prefix)
+        # a key can BE the prefix (object stores have no dir/file
+        # distinction; MemoryStore returns it, so must we —
+        # tests/test_store.py's differential property check)
+        if os.path.isfile(base):
+            return [prefix]
         out = []
         for dirpath, _dirs, files in os.walk(base):
             for name in files:

@@ -196,3 +196,72 @@ def test_reference_layout_on_posix(spark, fx, tmp_path):
     assert t.num_rows == 15
     vals = t["hilbert_idx"].to_pylist()
     assert vals == sorted(vals)
+
+
+# --- property tests: the store contract under arbitrary keys/bytes ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_key_segment = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+    ),
+    min_size=1,
+    max_size=12,
+)
+_keys = st.lists(_key_segment, min_size=1, max_size=4).map("/".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    entries=st.dictionaries(_keys, st.binary(max_size=64), max_size=8),
+)
+def test_memory_store_contract(entries):
+    """put/get/exists/list/delete round-trip on arbitrary key/byte
+    maps — list returns exactly the put keys under the prefix."""
+    import uuid
+
+    store = MemoryStore(f"prop-{uuid.uuid4().hex}")
+    for k, v in entries.items():
+        assert not store.exists(k)
+        store.put_bytes(k, v)
+    for k, v in entries.items():
+        assert store.exists(k)
+        assert store.get_bytes(k) == v
+    top = sorted({k.split("/")[0] for k in entries})
+    for seg in top:
+        listed = store.list(seg)
+        expected = sorted(
+            k for k in entries if k == seg or k.startswith(seg + "/")
+        )
+        assert listed == expected, (seg, listed, expected)
+    for k in entries:
+        store.delete(k)
+        assert not store.exists(k)
+    assert all(store.list(seg) == [] for seg in top)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    entries=st.dictionaries(_keys, st.binary(max_size=64), max_size=6),
+)
+def test_local_store_contract_matches_memory(entries, tmp_path_factory):
+    """LocalStore obeys the same contract (differential check vs
+    MemoryStore on identical operations)."""
+    import uuid
+
+    root = tmp_path_factory.mktemp("store-prop")
+    local = LocalStore(str(root / uuid.uuid4().hex))
+    mem = MemoryStore(f"prop-{uuid.uuid4().hex}")
+    for k, v in entries.items():
+        local.put_bytes(k, v)
+        mem.put_bytes(k, v)
+    for k, v in entries.items():
+        assert local.get_bytes(k) == mem.get_bytes(k) == v
+    for seg in sorted({k.split("/")[0] for k in entries}):
+        assert local.list(seg) == mem.list(seg)
+    for k in entries:
+        local.delete(k)
+        mem.delete(k)
+        assert local.exists(k) == mem.exists(k) is False
