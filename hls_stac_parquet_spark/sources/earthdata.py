@@ -207,12 +207,18 @@ def sigv4_headers(
         canonical_uri = parsed.path or "/"
     else:
         canonical_uri = quote(parsed.path or "/", safe="/")
-    # canonical query: sorted by key, strict encoding
+    # canonical query: the URL's query is transmitted as-is, so the
+    # canonical form is the raw (already strictly-encoded) pairs,
+    # byte-sorted — re-quoting here would double-encode any '%' the
+    # caller encoded (e.g. prefix=a%2Fb) and break the signature.
+    # Callers must strictly RFC-3986-encode keys/values (safe "-_.~"),
+    # as S3Store does; this matches botocore's canonical query for
+    # URL-provided queries (sort only, no re-encode).
     pairs = []
     if parsed.query:
         for part in parsed.query.split("&"):
             k, _, v = part.partition("=")
-            pairs.append((quote(k, safe="-_.~"), quote(v, safe="-_.~")))
+            pairs.append((k, v))
     canonical_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
 
     canonical_request = "\n".join(

@@ -123,8 +123,20 @@ class S3Store(Store):
         status, _ = self._request("HEAD", self._key(path))
         if status in (200,):
             return True
-        if status in (404, 403):
+        if status == 404:
             return False
+        if status == 403:
+            # Anonymous access: S3 returns 403 in lieu of 404 when the
+            # caller lacks s3:ListBucket, so map to "absent". With
+            # credentials supplied, 403 means expired/denied auth —
+            # treating that as "absent" would silently turn
+            # skip_existing into re-writes, so fail loudly instead.
+            if self.credentials is None:
+                return False
+            raise IOError(
+                f"HEAD {path}: HTTP 403 with credentials supplied "
+                "(expired/denied auth, not a missing object)"
+            )
         raise IOError(f"HEAD {path}: HTTP {status}")
 
     def put_bytes(self, path: str, data: bytes) -> None:

@@ -178,6 +178,10 @@ class MemoryStore(Store):
     def list(self, prefix: str) -> list[str]:
         key_prefix = self._key(prefix).rstrip("/")
         strip = len(self.prefix) + 1 if self.prefix else 0
+        if not key_prefix:
+            # root listing: contract parity with LocalStore, which
+            # walks the whole root for list("")
+            return sorted(k[strip:] for k in self._data)
         return sorted(
             k[strip:]
             for k in self._data

@@ -410,9 +410,17 @@ def foreach_batch_sketch_monitor(
             merged = batch_sketch
         tmp = f"{dest}.__new__{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # crash-safe swap (same ordering as foreach_batch_latest):
+        # dest is renamed aside, never deleted before the new snapshot
+        # is in place — a crash between rmtree and rename would lose
+        # the whole accumulated state and the replayed batch would
+        # silently rebuild from one micro-batch.
+        old = f"{dest}.__old__{batch_id}"
         if os.path.exists(dest):
-            shutil.rmtree(dest)
+            os.rename(dest, old)
         os.rename(tmp, dest)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -497,9 +505,17 @@ def foreach_batch_digest_monitor(
             merged = batch_digests
         tmp = f"{dest}.__new__{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # crash-safe swap (same ordering as foreach_batch_latest):
+        # dest is renamed aside, never deleted before the new snapshot
+        # is in place — a crash between rmtree and rename would lose
+        # the whole accumulated state and the replayed batch would
+        # silently rebuild from one micro-batch.
+        old = f"{dest}.__old__{batch_id}"
         if os.path.exists(dest):
-            shutil.rmtree(dest)
+            os.rename(dest, old)
         os.rename(tmp, dest)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -547,9 +563,17 @@ def foreach_batch_hll_monitor(
             merged = batch_sk
         tmp = f"{dest}.__new__{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # crash-safe swap (same ordering as foreach_batch_latest):
+        # dest is renamed aside, never deleted before the new snapshot
+        # is in place — a crash between rmtree and rename would lose
+        # the whole accumulated state and the replayed batch would
+        # silently rebuild from one micro-batch.
+        old = f"{dest}.__old__{batch_id}"
         if os.path.exists(dest):
-            shutil.rmtree(dest)
+            os.rename(dest, old)
         os.rename(tmp, dest)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -167,6 +167,17 @@ def test_sigv4_matches_botocore():
                 "prefix/y=2025/m=10/f.parquet?versionId=abc123", "tokTOK"),
         ("HEAD", "https://bucket.s3.us-west-2.amazonaws.com/x-y.json",
          None),
+        # percent-encoded query values (the S3Store list/pagination
+        # shape): the canonical query must use the raw encoded pairs,
+        # not re-quote them ('%2F' -> '%252F' broke real-AWS listing)
+        ("GET", "https://bucket.s3.us-west-2.amazonaws.com/"
+                "?list-type=2&prefix=a%2Fb%2F", None),
+        ("GET", "https://bucket.s3.us-west-2.amazonaws.com/"
+                "?continuation-token=1%2FsjX%3D%3D&list-type=2"
+                "&prefix=hls%2Fmonth%3D2025-01%2F", "tokTOK"),
+        # unsorted input pairs with encoded '=' padding in the value
+        ("GET", "https://bucket.s3.us-west-2.amazonaws.com/"
+                "?prefix=z%20q&delimiter=%2F&list-type=2", None),
     ]
     frozen = real_dt.datetime(2025, 1, 15, 10, 15, 0)
     amz_date = "20250115T101500Z"

@@ -156,6 +156,21 @@ def test_s3_anonymous_requests_unsigned(fake_s3):
     assert all(a is None for a in auth_seen)
 
 
+def test_s3_exists_403_semantics(monkeypatch):
+    """HEAD→403 means "absent" only for anonymous access (S3 returns
+    403 in lieu of 404 without ListBucket); with credentials it is an
+    auth failure and must raise — mapping it to "absent" would turn
+    skip_existing into silent re-writes on expired STS creds."""
+    anon = S3Store("s3://b", credentials=None, endpoint="http://x")
+    monkeypatch.setattr(anon, "_request", lambda *a, **k: (403, b""))
+    assert anon.exists("k.json") is False
+
+    signed = S3Store("s3://b", credentials=_creds, endpoint="http://x")
+    monkeypatch.setattr(signed, "_request", lambda *a, **k: (403, b""))
+    with pytest.raises(IOError, match="403"):
+        signed.exists("k.json")
+
+
 def test_e1_pipeline_writes_manifests_to_s3_from_executors(
     spark, fake_s3, tmp_path
 ):

@@ -261,6 +261,8 @@ def test_local_store_contract_matches_memory(entries, tmp_path_factory):
         assert local.get_bytes(k) == mem.get_bytes(k) == v
     for seg in sorted({k.split("/")[0] for k in entries}):
         assert local.list(seg) == mem.list(seg)
+    # root listing: both backends return every key for list("")
+    assert local.list("") == mem.list("") == sorted(entries)
     for k in entries:
         local.delete(k)
         mem.delete(k)
