@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from hls_stac_parquet_spark.model import CMR_GRANULE_SCHEMA
+from hls_stac_parquet_spark.sources.retry import request_with_retries
 
 DEFAULT_PAGE_SIZE = 2000  # CMR hard cap (cmr_api.py:44,55)
 
@@ -188,14 +189,33 @@ class CmrReader(DataSourceReader):
         search_after = None
         while True:
             url = f"{self.endpoint}?{urllib.parse.urlencode(params)}"
-            req = urllib.request.Request(
-                url, headers={"client-id": "hls_stac_parquet_spark"}
+
+            # per-page retry with backoff (sources/retry.py): a
+            # transient 429/503 re-fetches THIS page, not the whole
+            # day partition via Spark task retry — mirroring the
+            # reference control plane's SQS redrive + Batch retries
+            # (hls-batch-stack.ts:138-141,294).
+            def send(cursor=search_after):
+                req = urllib.request.Request(
+                    url, headers={"client-id": "hls_stac_parquet_spark"}
+                )
+                if cursor:
+                    req.add_header("cmr-search-after", cursor)
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status, resp.read(), dict(resp.headers)
+
+            status, body, hdrs = request_with_retries(send)
+            if status != 200:
+                raise IOError(f"CMR search: HTTP {status} {body[:200]!r}")
+            search_after = next(
+                (
+                    v
+                    for k, v in hdrs.items()
+                    if k.lower() == "cmr-search-after"
+                ),
+                None,
             )
-            if search_after:
-                req.add_header("cmr-search-after", search_after)
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                search_after = resp.headers.get("cmr-search-after")
-                data = json.loads(resp.read().decode())
+            data = json.loads(body.decode())
             entries = data.get("feed", {}).get("entry", [])
             for entry in entries:
                 yield self._entry_to_row(entry)

@@ -36,6 +36,7 @@ from typing import BinaryIO, Callable
 from urllib.parse import quote, urlparse
 
 from hls_stac_parquet_spark.sources.earthdata import sigv4_headers
+from hls_stac_parquet_spark.sources.retry import request_with_retries
 from hls_stac_parquet_spark.store import Store, register_store_scheme
 
 
@@ -52,6 +53,13 @@ class S3Store(Store):
 
     distributed = True
 
+    #: objects above this size upload via multipart (AWS caps a single
+    #: PUT at 5 GiB; far below that, one-shot PUTs of month-scale
+    #: objects buffer the whole body per request and cannot resume).
+    DEFAULT_MULTIPART_THRESHOLD = 64 * 1024 * 1024
+    #: per-part size (AWS minimum is 5 MiB for all but the last part).
+    DEFAULT_PART_SIZE = 64 * 1024 * 1024
+
     def __init__(
         self,
         url: str,
@@ -60,6 +68,9 @@ class S3Store(Store):
         endpoint: str | None = None,
         timeout: float = 60.0,
         spark_readable: bool = True,
+        multipart_threshold: int | None = None,
+        part_size: int | None = None,
+        retry_attempts: int = 3,
     ):
         parsed = urlparse(url)
         self.bucket = parsed.netloc
@@ -76,6 +87,15 @@ class S3Store(Store):
         # via Hadoop s3a (cluster with hadoop-aws). False → readers
         # fall back to driver-side listing+GET through this store.
         self.spark_readable = spark_readable
+        self.multipart_threshold = (
+            multipart_threshold
+            if multipart_threshold is not None
+            else self.DEFAULT_MULTIPART_THRESHOLD
+        )
+        self.part_size = (
+            part_size if part_size is not None else self.DEFAULT_PART_SIZE
+        )
+        self.retry_attempts = retry_attempts
 
     def _key(self, path: str) -> str:
         return f"{self.prefix}/{path}" if self.prefix else path
@@ -92,35 +112,40 @@ class S3Store(Store):
 
     def _request(
         self, method: str, key: str, data: bytes = b"", query: str = ""
-    ) -> tuple[int, bytes]:
+    ) -> tuple[int, bytes, dict[str, str]]:
+        """One signed request with transient-failure retries
+        (429/5xx/network → jittered exponential backoff, Retry-After
+        honored; see sources/retry.py). Each retry RE-SIGNS — the
+        x-amz-date and any refreshed STS credentials must be current."""
         path = "/" + quote(key, safe="/-_.~")
         url = self.endpoint + path + (f"?{query}" if query else "")
-        headers: dict[str, str] = {}
-        if self.credentials is not None:
-            creds = self.credentials()
-            headers = sigv4_headers(
-                method,
-                url,
-                access_key=creds["accessKeyId"],
-                secret_key=creds["secretAccessKey"],
-                session_token=creds.get("sessionToken"),
-                region=self.region,
-                service="s3",
-                payload=data,
+
+        def send() -> tuple[int, bytes, dict[str, str]]:
+            headers: dict[str, str] = {}
+            if self.credentials is not None:
+                creds = self.credentials()
+                headers = sigv4_headers(
+                    method,
+                    url,
+                    access_key=creds["accessKeyId"],
+                    secret_key=creds["secretAccessKey"],
+                    session_token=creds.get("sessionToken"),
+                    region=self.region,
+                    service="s3",
+                    payload=data,
+                )
+                headers.pop("host", None)  # urllib sets Host itself
+            req = urllib.request.Request(
+                url, data=data if method in ("PUT", "POST") else None,
+                headers=headers, method=method,
             )
-            headers.pop("host", None)  # urllib sets Host itself
-        req = urllib.request.Request(
-            url, data=data if method == "PUT" else None,
-            headers=headers, method=method,
-        )
-        try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return resp.status, resp.read()
-        except urllib.error.HTTPError as e:
-            return e.code, e.read()
+                return resp.status, resp.read(), dict(resp.headers)
+
+        return request_with_retries(send, attempts=self.retry_attempts)
 
     def exists(self, path: str) -> bool:
-        status, _ = self._request("HEAD", self._key(path))
+        status, _, _ = self._request("HEAD", self._key(path))
         if status in (200,):
             return True
         if status == 404:
@@ -140,18 +165,85 @@ class S3Store(Store):
         raise IOError(f"HEAD {path}: HTTP {status}")
 
     def put_bytes(self, path: str, data: bytes) -> None:
-        status, body = self._request("PUT", self._key(path), data=data)
+        if len(data) > self.multipart_threshold:
+            self._put_multipart(path, data)
+            return
+        status, body, _ = self._request("PUT", self._key(path), data=data)
         if status not in (200, 201):
             raise IOError(f"PUT {path}: HTTP {status} {body[:200]!r}")
 
+    def _put_multipart(self, path: str, data: bytes) -> None:
+        """CreateMultipartUpload / UploadPart / CompleteMultipartUpload
+        (the reference gets this transparently from obstore's Rust
+        client, reference write.py:240-245). Any failure aborts the
+        upload server-side so parts don't accrue storage; the caller's
+        retry is a fresh upload-id, so a replay converges."""
+        key = self._key(path)
+        status, body, _ = self._request("POST", key, query="uploads")
+        if status != 200:
+            raise IOError(
+                f"CreateMultipartUpload {path}: HTTP {status} {body[:200]!r}"
+            )
+        ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+        upload_id = ET.fromstring(body).findtext(f"{ns}UploadId") or (
+            ET.fromstring(body).findtext("UploadId")
+        )
+        if not upload_id:
+            raise IOError(f"CreateMultipartUpload {path}: no UploadId")
+        uid = quote(upload_id, safe="")
+        try:
+            etags: list[str] = []
+            for n, off in enumerate(
+                range(0, len(data), self.part_size), start=1
+            ):
+                part = data[off : off + self.part_size]
+                status, body, headers = self._request(
+                    "PUT", key, data=part,
+                    query=f"partNumber={n}&uploadId={uid}",
+                )
+                if status != 200:
+                    raise IOError(
+                        f"UploadPart {path} #{n}: HTTP {status} "
+                        f"{body[:200]!r}"
+                    )
+                etag = next(
+                    (v for k, v in headers.items() if k.lower() == "etag"),
+                    "",
+                )
+                etags.append(etag)
+            finish = "".join(
+                f"<Part><PartNumber>{n}</PartNumber><ETag>{e}</ETag></Part>"
+                for n, e in enumerate(etags, start=1)
+            )
+            payload = (
+                "<CompleteMultipartUpload>" + finish
+                + "</CompleteMultipartUpload>"
+            ).encode()
+            status, body, _ = self._request(
+                "POST", key, data=payload, query=f"uploadId={uid}"
+            )
+            # S3 can also signal failure inside a 200 body (<Error>)
+            if status != 200 or b"<Error" in body:
+                raise IOError(
+                    f"CompleteMultipartUpload {path}: HTTP {status} "
+                    f"{body[:200]!r}"
+                )
+        except BaseException:
+            # best-effort server-side abort; the original error wins
+            try:
+                self._request("DELETE", key, query=f"uploadId={uid}")
+            except Exception:
+                pass
+            raise
+
     def get_bytes(self, path: str) -> bytes:
-        status, body = self._request("GET", self._key(path))
+        status, body, _ = self._request("GET", self._key(path))
         if status != 200:
             raise IOError(f"GET {path}: HTTP {status}")
         return body
 
     def delete(self, path: str) -> None:
-        status, body = self._request("DELETE", self._key(path))
+        status, body, _ = self._request("DELETE", self._key(path))
         if status not in (200, 204):
             raise IOError(f"DELETE {path}: HTTP {status} {body[:200]!r}")
 
@@ -165,7 +257,7 @@ class S3Store(Store):
             query = "list-type=2&prefix=" + quote(key_prefix, safe="")
             if token:
                 query += "&continuation-token=" + quote(token, safe="")
-            status, body = self._request("GET", "", query=query)
+            status, body, _ = self._request("GET", "", query=query)
             if status != 200:
                 raise IOError(f"LIST {prefix}: HTTP {status}")
             ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"

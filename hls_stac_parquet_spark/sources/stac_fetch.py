@@ -37,7 +37,10 @@ DEFAULT_MAX_CONCURRENT = 50  # per task; reference: fetch.py:15
 
 
 def _fetch_one(
-    url: str, timeout: float, headers: dict[str, str] | None = None
+    url: str,
+    timeout: float,
+    headers: dict[str, str] | None = None,
+    retry_attempts: int = 3,
 ) -> tuple[str, str | None, str | None]:
     try:
         parsed = urlparse(url)
@@ -48,9 +51,26 @@ def _fetch_one(
         if parsed.scheme in ("http", "https"):
             import urllib.request
 
-            req = urllib.request.Request(url, headers=headers or {})
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return url, resp.read().decode(), None
+            from hls_stac_parquet_spark.sources.retry import (
+                request_with_retries,
+            )
+
+            # transient 429/5xx/network failures retry with jittered
+            # backoff BEFORE the dead-letter split — the reference
+            # gets the same semantics from SQS redrive + Batch
+            # retryAttempts (hls-batch-stack.ts:138-141,294).
+            # Permanent errors (404 etc.) dead-letter immediately.
+            def send():
+                req = urllib.request.Request(url, headers=headers or {})
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return resp.status, resp.read(), dict(resp.headers)
+
+            status, body, _ = request_with_retries(
+                send, attempts=retry_attempts
+            )
+            if status != 200:
+                return url, None, f"HTTP {status}"
+            return url, body.decode(), None
         return url, None, f"unsupported scheme: {parsed.scheme}"
     except Exception as e:  # noqa: BLE001 — every failure goes to dead-letter
         return url, None, f"{type(e).__name__}: {e}"
@@ -63,6 +83,7 @@ def fetch_stac_items(
     timeout: float = 30.0,
     url_preparer: Callable[[str], str] | None = None,
     credential_provider: Callable[[str], dict[str, str] | None] | None = None,
+    retry_attempts: int = 3,
 ) -> DataFrame:
     """urls(url) → (url, body, fetch_error) via per-partition bounded
     thread pools. Callers control total fan-out with
@@ -97,7 +118,9 @@ def fetch_stac_items(
                 )
                 results = list(
                     pool.map(
-                        lambda u: _fetch_one(u, timeout, headers_for(u)),
+                        lambda u: _fetch_one(
+                            u, timeout, headers_for(u), retry_attempts
+                        ),
                         prepared,
                     )
                 )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import threading
+from types import SimpleNamespace
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -23,6 +24,12 @@ def fake_s3():
     ListObjectsV2; records Authorization headers."""
     objects: dict[str, bytes] = {}
     auth_seen: list[str | None] = []
+    # multipart state + event log (create/part/complete/abort) and a
+    # fault hook tests can set to fail specific part uploads
+    uploads: dict[str, dict] = {}
+    upload_seq = [0]
+    mpu_events: list[tuple] = []
+    part_fault: dict = {"fail": None}  # (part_number, times_left)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -30,13 +37,72 @@ def fake_s3():
         def _key(self):
             return unquote(urlparse(self.path).path.lstrip("/"))
 
+        def _respond(self, code, body=b"", etag=None):
+            self.send_response(code)
+            if etag:
+                self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if body:
+                self.wfile.write(body)
+
+        def do_POST(self):
+            auth_seen.append(self.headers.get("Authorization"))
+            qs = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+            key = self._key()
+            if "uploads" in qs:
+                upload_seq[0] += 1
+                uid = f"up-{upload_seq[0]}"
+                uploads[uid] = {"key": key, "parts": {}}
+                mpu_events.append(("create", uid, key))
+                body = (
+                    "<InitiateMultipartUploadResult>"
+                    f"<UploadId>{uid}</UploadId>"
+                    "</InitiateMultipartUploadResult>"
+                ).encode()
+                self._respond(200, body)
+            elif "uploadId" in qs:
+                uid = qs["uploadId"][0]
+                n = int(self.headers.get("Content-Length", 0))
+                self.rfile.read(n)  # completion XML (part list)
+                up = uploads.pop(uid, None)
+                if up is None or up["key"] != key:
+                    self._respond(404, b"<Error>NoSuchUpload</Error>")
+                    return
+                objects[key] = b"".join(
+                    up["parts"][i] for i in sorted(up["parts"])
+                )
+                mpu_events.append(
+                    ("complete", uid, key, sorted(up["parts"]))
+                )
+                self._respond(
+                    200, b"<CompleteMultipartUploadResult/>"
+                )
+            else:
+                self._respond(400, b"<Error>BadRequest</Error>")
+
         def do_PUT(self):
             auth_seen.append(self.headers.get("Authorization"))
             n = int(self.headers.get("Content-Length", 0))
-            objects[self._key()] = self.rfile.read(n)
-            self.send_response(200)
-            self.send_header("Content-Length", "0")
-            self.end_headers()
+            data = self.rfile.read(n)
+            qs = parse_qs(urlparse(self.path).query)
+            if "partNumber" in qs and "uploadId" in qs:
+                uid, pn = qs["uploadId"][0], int(qs["partNumber"][0])
+                fault = part_fault["fail"]
+                if fault and fault[0] == pn and fault[1] > 0:
+                    part_fault["fail"] = (pn, fault[1] - 1)
+                    mpu_events.append(("part-fault", uid, pn))
+                    self._respond(503, b"<Error>SlowDown</Error>")
+                    return
+                if uid not in uploads:
+                    self._respond(404, b"<Error>NoSuchUpload</Error>")
+                    return
+                uploads[uid]["parts"][pn] = data
+                mpu_events.append(("part", uid, pn, len(data)))
+                self._respond(200, etag=f'"etag-{uid}-{pn}"')
+                return
+            objects[self._key()] = data
+            self._respond(200)
 
         def do_HEAD(self):
             auth_seen.append(self.headers.get("Authorization"))
@@ -89,14 +155,34 @@ def fake_s3():
             self.end_headers()
             self.wfile.write(body)
 
+        def do_DELETE(self):
+            auth_seen.append(self.headers.get("Authorization"))
+            qs = parse_qs(urlparse(self.path).query)
+            if "uploadId" in qs:
+                uid = qs["uploadId"][0]
+                uploads.pop(uid, None)
+                mpu_events.append(("abort", uid))
+                self._respond(204)
+                return
+            objects.pop(self._key(), None)
+            self._respond(204)
+
         def log_message(self, *a):
             pass
 
     srv = HTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    state = SimpleNamespace(
+        endpoint=f"http://127.0.0.1:{srv.server_port}",
+        objects=objects,
+        auth_seen=auth_seen,
+        uploads=uploads,
+        mpu_events=mpu_events,
+        part_fault=part_fault,
+    )
     try:
-        yield f"http://127.0.0.1:{srv.server_port}", objects, auth_seen
+        yield state.endpoint, objects, auth_seen, state
     finally:
         srv.shutdown()
 
@@ -110,7 +196,7 @@ def _creds():
 
 
 def test_s3_store_roundtrip_signed(fake_s3):
-    endpoint, objects, auth_seen = fake_s3
+    endpoint, objects, auth_seen, _ = fake_s3
     store = S3Store(
         "s3://test-bucket/some/prefix", credentials=_creds,
         endpoint=endpoint,
@@ -137,7 +223,7 @@ def test_s3_store_roundtrip_signed(fake_s3):
 
 
 def test_s3_list_paginates(fake_s3):
-    endpoint, objects, _ = fake_s3
+    endpoint, objects, _, _ = fake_s3
     store = S3Store("s3://b/px", credentials=_creds, endpoint=endpoint)
     keys = [f"links/2025/10/2025-10-{d:02d}.json" for d in range(1, 8)]
     for k in keys:
@@ -149,11 +235,78 @@ def test_s3_list_paginates(fake_s3):
 
 
 def test_s3_anonymous_requests_unsigned(fake_s3):
-    endpoint, objects, auth_seen = fake_s3
+    endpoint, objects, auth_seen, _ = fake_s3
     store = S3Store("s3://b", credentials=None, endpoint=endpoint)
     store.put_bytes("k.json", b"{}")
     assert store.get_bytes("k.json") == b"{}"
     assert all(a is None for a in auth_seen)
+
+
+def test_s3_multipart_upload_above_threshold(fake_s3):
+    """put_bytes above the threshold goes through CreateMultipartUpload
+    / UploadPart / CompleteMultipartUpload and the assembled object is
+    byte-identical; below the threshold stays a single PUT."""
+    endpoint, objects, _, st = fake_s3
+    store = S3Store(
+        "s3://b/px", credentials=_creds, endpoint=endpoint,
+        multipart_threshold=100, part_size=64,
+    )
+    small = b"s" * 100  # == threshold → plain PUT
+    store.put_bytes("small.bin", small)
+    assert objects["px/small.bin"] == small
+    assert not st.mpu_events
+
+    big = bytes(range(256)) * 2  # 512 bytes → 8 parts of 64
+    store.put_bytes("big.bin", big)
+    assert objects["px/big.bin"] == big
+    kinds = [e[0] for e in st.mpu_events]
+    assert kinds.count("create") == 1
+    assert kinds.count("part") == 8
+    assert kinds.count("complete") == 1
+    assert st.mpu_events[-1][3] == list(range(1, 9))  # all parts present
+    assert not st.uploads  # no dangling upload state
+
+
+def test_s3_multipart_transient_part_failure_retries(fake_s3):
+    """A part PUT that 503s twice succeeds on the in-request retry —
+    the object completes without a new upload id."""
+    endpoint, objects, _, st = fake_s3
+    store = S3Store(
+        "s3://b", credentials=_creds, endpoint=endpoint,
+        multipart_threshold=10, part_size=16, retry_attempts=3,
+    )
+    st.part_fault["fail"] = (2, 2)  # part 2 fails twice, then succeeds
+    data = b"x" * 40  # 3 parts
+    store.put_bytes("k.bin", data)
+    assert objects["k.bin"] == data
+    kinds = [e[0] for e in st.mpu_events]
+    assert kinds.count("part-fault") == 2
+    assert kinds.count("create") == 1  # same upload survived
+    assert kinds.count("abort") == 0
+
+
+def test_s3_multipart_abort_and_replay_converges(fake_s3):
+    """A part that keeps failing aborts the upload server-side and
+    raises; a caller replay (fault cleared) converges to the correct
+    object under a fresh upload id."""
+    endpoint, objects, _, st = fake_s3
+    store = S3Store(
+        "s3://b", credentials=_creds, endpoint=endpoint,
+        multipart_threshold=10, part_size=16, retry_attempts=2,
+    )
+    st.part_fault["fail"] = (2, 99)  # part 2 fails permanently
+    data = b"y" * 40
+    with pytest.raises(IOError, match="UploadPart"):
+        store.put_bytes("k.bin", data)
+    assert ("abort", "up-1") in st.mpu_events
+    assert not st.uploads  # server state cleaned up
+    assert "k.bin" not in objects
+
+    st.part_fault["fail"] = None
+    store.put_bytes("k.bin", data)  # replay: fresh upload id
+    assert objects["k.bin"] == data
+    creates = [e for e in st.mpu_events if e[0] == "create"]
+    assert len(creates) == 2 and creates[-1][1] == "up-2"
 
 
 def test_s3_exists_403_semantics(monkeypatch):
@@ -162,11 +315,11 @@ def test_s3_exists_403_semantics(monkeypatch):
     auth failure and must raise — mapping it to "absent" would turn
     skip_existing into silent re-writes on expired STS creds."""
     anon = S3Store("s3://b", credentials=None, endpoint="http://x")
-    monkeypatch.setattr(anon, "_request", lambda *a, **k: (403, b""))
+    monkeypatch.setattr(anon, "_request", lambda *a, **k: (403, b"", {}))
     assert anon.exists("k.json") is False
 
     signed = S3Store("s3://b", credentials=_creds, endpoint="http://x")
-    monkeypatch.setattr(signed, "_request", lambda *a, **k: (403, b""))
+    monkeypatch.setattr(signed, "_request", lambda *a, **k: (403, b"", {}))
     with pytest.raises(IOError, match="403"):
         signed.exists("k.json")
 
@@ -177,7 +330,7 @@ def test_e1_pipeline_writes_manifests_to_s3_from_executors(
     """The real thing the round-3 verdict asked for: a user points
     dest at s3:// and the executor-side manifest writer PUTs signed
     objects — the Store pickles into the applyInPandas tasks."""
-    endpoint, objects, auth_seen = fake_s3
+    endpoint, objects, auth_seen, _ = fake_s3
     from hls_stac_parquet_spark.plans.daily_ingest import (
         cache_daily_stac_json_links,
     )
