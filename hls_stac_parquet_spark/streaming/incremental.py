@@ -209,6 +209,7 @@ def foreach_batch_upsert(
     checkpoint: str,
     key_cols: list[str],
     order_col: str,
+    on_batch_complete=None,
 ):
     """Streaming upsert sink via ``foreachBatch``: each micro-batch is
     merged into a keyed parquet snapshot with update-wins semantics
@@ -221,6 +222,11 @@ def foreach_batch_upsert(
     which is Structured Streaming's exactly-once recipe for
     non-transactional sinks. At warehouse scale the swap becomes a
     Delta/Iceberg MERGE; the streaming plumbing is identical.
+
+    ``on_batch_complete(batch_id)``, if given, runs after the snapshot
+    swap but before the sink returns (i.e. before the offset commit) —
+    a metrics/commit-barrier hook, and the crash-injection seam the
+    kill-and-resume tests use to prove a replayed batch converges.
     """
     import os
     import shutil
@@ -250,6 +256,8 @@ def foreach_batch_upsert(
         os.rename(tmp, dest)
         if os.path.exists(old):
             shutil.rmtree(old)
+        if on_batch_complete is not None:
+            on_batch_complete(batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -680,3 +680,135 @@ def test_stream_hll_monitor_equals_batch_sketch(spark, tmp_path):
             g, streamed[g], oneshot[g],
         )
         assert abs(streamed[g] - exact) <= 0.05 * exact, (g, streamed[g])
+
+
+def test_upsert_sink_kill_and_resume_exactly_once(spark, tmp_path):
+    """Round-4 verdict item 6a: crash the foreachBatch upsert sink
+    AFTER the snapshot swap, BEFORE the offset commit (worst case for
+    a non-transactional sink) and resume from the same checkpoint.
+    The replayed batch must converge to the identical snapshot —
+    update-wins merge is idempotent — and already-committed batches
+    must not reprocess."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, dest = str(tmp_path / "cdc"), str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def emit(name, rows):
+        pd.DataFrame(rows, columns=["k", "v", "seq"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    emit("b1.parquet", [(1, "a", 1), (2, "b", 1)])
+    emit("b2.parquet", [(2, "B", 2), (3, "c", 1)])
+    emit("b3.parquet", [(1, "A", 2), (4, "d", 1)])
+
+    seen: list[int] = []
+    crash_armed = {"on": True}
+
+    def barrier(batch_id: int) -> None:
+        seen.append(batch_id)
+        if crash_armed["on"] and batch_id == 1:
+            raise RuntimeError("injected crash after swap, before commit")
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = foreach_batch_upsert(
+            stream, dest, ckpt, ["k"], "seq", on_batch_complete=barrier
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()  # batch 0 commits; batch 1 swaps the snapshot, then dies
+    assert seen == [0, 1]
+    # the crashed batch's output IS on disk (swap happened)
+    mid = {(r.k, r.v) for r in spark.read.parquet(dest).collect()}
+    assert mid == {(1, "a"), (2, "B"), (3, "c")}
+
+    crash_armed["on"] = False
+    run()  # resume: replay batch 1, then batch 2
+    assert seen == [0, 1, 1, 2], seen  # replayed 1, never re-ran 0
+    final = {(r.k, r.v) for r in spark.read.parquet(dest).collect()}
+    assert final == {(1, "A"), (2, "B"), (3, "c"), (4, "d")}
+    # exactly-once end state: one row per key
+    assert spark.read.parquet(dest).groupBy("k").count().filter(
+        "count > 1"
+    ).count() == 0
+
+
+def test_sessionize_kill_and_resume_state_recovery(spark, tmp_path):
+    """Round-4 verdict item 6b: kill the stateful sessionizer
+    (applyInPandasWithState) mid-run and resume from the checkpoint.
+    A session SPANS the crash point — its open state is written by
+    batch 0 and closed by the replayed batch 1 — so the test proves
+    the state store restores the pre-crash version and the replay
+    re-derives the same closed session; the idempotent upsert sink
+    (keyed on user_id+session_start) makes the end state exactly-once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, dest = str(tmp_path / "sess-src"), str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def emit(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark-readable
+        pdf.to_parquet(os.path.join(src, name))
+
+    m = dt.timedelta  # noqa: N806 — shorthand
+    emit("e1.parquet", [(1, base), (1, base + m(minutes=1))])
+    emit("e2.parquet", [(1, base + m(minutes=40)),
+                        (1, base + m(minutes=41))])
+    emit("e3.parquet", [(1, base + m(minutes=120))])
+
+    seen: list[int] = []
+    crash_armed = {"on": True}
+
+    def barrier(batch_id: int) -> None:
+        seen.append(batch_id)
+        if crash_armed["on"] and batch_id == 1:
+            raise RuntimeError("injected crash after swap, before commit")
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = foreach_batch_upsert(
+            stream_sessionize(stream), dest, ckpt,
+            ["user_id", "session_start"], "n_events",
+            on_batch_complete=barrier,
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()  # batch 0: opens session 1; batch 1: closes it, dies
+    crash_armed["on"] = False
+    run()  # replay batch 1 from restored state, then batch 2
+
+    assert seen[0] == 0 and seen[1] == 1 and 1 in seen[2:], seen
+    assert 0 not in seen[2:], "committed batch must NOT reprocess"
+
+    rows = spark.read.parquet(dest).collect()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in rows
+    }
+    closed = {
+        (1, base, base + m(minutes=1), 2),  # spans the crash point
+        (1, base + m(minutes=40), base + m(minutes=41), 2),
+    }
+    # still-open third session may flush via processing-time timeout
+    open_ok = {
+        (1, base + m(minutes=120), base + m(minutes=120), 1),
+    }
+    assert closed <= got, got
+    assert got - closed <= open_ok, got
+    assert len(rows) == len(got)  # no duplicate session rows
