@@ -38,7 +38,6 @@ from hls_stac_parquet_spark.operators.completeness import (
 from hls_stac_parquet_spark.operators.manifests import fan_in_manifests, split_failures
 from hls_stac_parquet_spark.sinks.geoparquet import (
     geoparquet_month_dir,
-    wkb_udf,
     write_geoparquet,
 )
 from hls_stac_parquet_spark.sinks.manifest import read_manifests
@@ -109,7 +108,10 @@ def write_monthly_stac_geoparquet(
         .withColumn("bbox_ymin", F.element_at("bbox", 2))
         .withColumn("bbox_xmax", F.element_at("bbox", 3))
         .withColumn("bbox_ymax", F.element_at("bbox", 4))
-        .withColumn("geometry", wkb_udf(F.col("geometry.coordinates")))
+        # raw GeoJSON coordinates ride to the sink as-is; the Arrow
+        # writer stage encodes WKB batch-wise (geoparquet.py::
+        # polygon_coords_to_wkb_array) — no per-row Python in the plan
+        .withColumn("geometry", F.col("geometry.coordinates"))
     )
 
     # tile → center via broadcast dim (A15): UDF runs once per distinct

@@ -78,10 +78,134 @@ def geojson_polygon_to_wkb(coordinates: list) -> bytes:
 
 @F.udf(BinaryType())
 def wkb_udf(coordinates) -> bytes | None:
-    """Column form of the WKB encoder (arrow-optimized Python UDF)."""
+    """Column form of the WKB encoder (arrow-optimized Python UDF).
+
+    Kept for ad-hoc column use; the E2 write path no longer calls it —
+    :func:`write_geoparquet` encodes coordinates batch-wise inside its
+    Arrow writer stage (:func:`polygon_coords_to_wkb_array`), so the
+    plan carries no per-row Python stage."""
     if coordinates is None:
         return None
     return geojson_polygon_to_wkb(coordinates)
+
+
+def polygon_coords_to_wkb_array(coords) -> pa.Array:
+    """Vectorized GeoJSON-Polygon-coordinates → WKB over an Arrow
+    column (``list<list<list<double>>>``) — numpy scatter over the
+    list offsets, no per-row Python. Output is byte-identical to
+    :func:`geojson_polygon_to_wkb` per row (property-tested); nulls
+    stay null. Ragged positions (altitude etc.) fall back to the
+    per-row encoder."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(coords, pa.ChunkedArray):
+        coords = coords.combine_chunks()
+    n = len(coords)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    valid = (
+        np.ones(n, dtype=bool)
+        if coords.null_count == 0
+        else np.asarray(coords.is_valid())
+    )
+    ring_counts = np.asarray(
+        pc.fill_null(pc.list_value_length(coords), 0), dtype=np.int64
+    )
+    rings = pc.list_flatten(coords)
+    pt_counts = np.asarray(
+        pc.fill_null(pc.list_value_length(rings), 0), dtype=np.int64
+    )
+    pts = pc.list_flatten(rings)
+    pos_sizes = np.asarray(
+        pc.fill_null(pc.list_value_length(pts), 0), dtype=np.int64
+    )
+    if len(pos_sizes) and not (pos_sizes == 2).all():
+        return pa.array(
+            [
+                None if c is None else geojson_polygon_to_wkb(c)
+                for c in coords.to_pylist()
+            ],
+            type=pa.binary(),
+        )
+    flat = np.asarray(pc.list_flatten(pts), dtype=np.float64)
+
+    total_rings = len(pt_counts)
+    ring_off = np.concatenate(([0], np.cumsum(ring_counts)))
+    cum_pts = np.concatenate(([0], np.cumsum(pt_counts)))
+    pts_per_poly = cum_pts[ring_off[1:]] - cum_pts[ring_off[:-1]]
+
+    sizes = np.where(valid, 9 + 4 * ring_counts + 16 * pts_per_poly, 0)
+    poly_start = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.zeros(int(poly_start[-1]), dtype=np.uint8)
+
+    # polygon headers: byte order 1, uint32 type 3, uint32 nrings
+    starts = poly_start[:-1][valid]
+    out[starts] = 1
+    out[starts + 1] = 3
+    rc_bytes = ring_counts[valid].astype("<u4").view(np.uint8).reshape(-1, 4)
+    for k in range(4):
+        out[starts + 5 + k] = rc_bytes[:, k]
+
+    if total_rings:
+        # ring headers: uint32 point count, positioned after the
+        # polygon header + preceding rings' headers and point data
+        poly_of_ring = np.repeat(np.arange(n), ring_counts)
+        ring_idx_within = np.arange(total_rings) - ring_off[poly_of_ring]
+        pts_before = cum_pts[:-1] - cum_pts[ring_off[poly_of_ring]]
+        ring_pos = (
+            poly_start[poly_of_ring]
+            + 9
+            + 4 * ring_idx_within
+            + 16 * pts_before
+        )
+        pc_bytes = pt_counts.astype("<u4").view(np.uint8).reshape(-1, 4)
+        for k in range(4):
+            out[ring_pos + k] = pc_bytes[:, k]
+
+        total_pts = int(cum_pts[-1])
+        if total_pts:
+            # point data: 16 bytes (x,y little-endian f8) per point,
+            # contiguous per ring — one byte-level scatter
+            dst_pt = np.repeat(ring_pos + 4, pt_counts) + 16 * (
+                np.arange(total_pts) - np.repeat(cum_pts[:-1], pt_counts)
+            )
+            dst_idx = np.repeat(dst_pt, 16) + np.tile(
+                np.arange(16), total_pts
+            )
+            out[dst_idx] = flat.astype("<f8").view(np.uint8)
+
+    if poly_start[-1] < 2**31:
+        offsets = poly_start.astype(np.int32)
+        out_type = pa.binary()
+    else:
+        offsets = poly_start.astype(np.int64)
+        out_type = pa.large_binary()
+    validity = None if valid.all() else pa.array(valid).buffers()[1]
+    return pa.Array.from_buffers(
+        out_type,
+        n,
+        [validity, pa.py_buffer(offsets), pa.py_buffer(out)],
+        null_count=int(n - valid.sum()),
+    )
+
+
+def _encode_geometry_column(table: pa.Table, geometry_col: str) -> pa.Table:
+    """If the geometry column still carries raw GeoJSON coordinates
+    (a list type), encode it to WKB here in the Arrow writer stage —
+    keeping the Spark plan free of per-row Python. Binary columns
+    (already WKB, e.g. the optimize/compact read-back path) pass
+    through untouched."""
+    if geometry_col not in table.column_names:
+        return table
+    idx = table.schema.get_field_index(geometry_col)
+    typ = table.schema.field(idx).type
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        wkb = polygon_coords_to_wkb_array(table.column(idx))
+        return table.set_column(
+            idx, pa.field(geometry_col, wkb.type), wkb
+        )
+    return table
 
 
 def _geo_metadata(geometry_col: str, bbox: list[float] | None) -> bytes:
@@ -212,6 +336,7 @@ def write_geoparquet(
         spark = df.sparkSession
         if table.num_rows == 0:
             return spark.createDataFrame([], manifest_schema)
+        table = _encode_geometry_column(table, geometry_col)
         table, bbox = _stamp_geo_footer(table, geometry_col)
         key = _file_key(0)
         with store.open_output(key) as f:
@@ -235,6 +360,7 @@ def write_geoparquet(
         table = pa.Table.from_batches(batch_list)
         if table.num_rows == 0:
             return
+        table = _encode_geometry_column(table, geometry_col)
         table, bbox = _stamp_geo_footer(table, geometry_col)
         # `store` pickles into the task (config only); resolving the
         # URL here would miss driver-side scheme registrations
