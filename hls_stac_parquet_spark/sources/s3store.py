@@ -121,20 +121,7 @@ class S3Store(Store):
         url = self.endpoint + path + (f"?{query}" if query else "")
 
         def send() -> tuple[int, bytes, dict[str, str]]:
-            headers: dict[str, str] = {}
-            if self.credentials is not None:
-                creds = self.credentials()
-                headers = sigv4_headers(
-                    method,
-                    url,
-                    access_key=creds["accessKeyId"],
-                    secret_key=creds["secretAccessKey"],
-                    session_token=creds.get("sessionToken"),
-                    region=self.region,
-                    service="s3",
-                    payload=data,
-                )
-                headers.pop("host", None)  # urllib sets Host itself
+            headers = self._auth_headers(method, url, data)
             req = urllib.request.Request(
                 url, data=data if method in ("PUT", "POST") else None,
                 headers=headers, method=method,
@@ -143,6 +130,27 @@ class S3Store(Store):
                 return resp.status, resp.read(), dict(resp.headers)
 
         return request_with_retries(send, attempts=self.retry_attempts)
+
+    def _auth_headers(
+        self, method: str, url: str, data: bytes
+    ) -> dict[str, str]:
+        """Per-request auth — SigV4 here; subclasses override (the
+        GCS store swaps in an OAuth bearer token)."""
+        if self.credentials is None:
+            return {}
+        creds = self.credentials()
+        headers = sigv4_headers(
+            method,
+            url,
+            access_key=creds["accessKeyId"],
+            secret_key=creds["secretAccessKey"],
+            session_token=creds.get("sessionToken"),
+            region=self.region,
+            service="s3",
+            payload=data,
+        )
+        headers.pop("host", None)  # urllib sets Host itself
+        return headers
 
     def exists(self, path: str) -> bool:
         status, _, _ = self._request("HEAD", self._key(path))
@@ -156,13 +164,16 @@ class S3Store(Store):
             # credentials supplied, 403 means expired/denied auth —
             # treating that as "absent" would silently turn
             # skip_existing into re-writes, so fail loudly instead.
-            if self.credentials is None:
+            if not self._is_authed():
                 return False
             raise IOError(
                 f"HEAD {path}: HTTP 403 with credentials supplied "
                 "(expired/denied auth, not a missing object)"
             )
         raise IOError(f"HEAD {path}: HTTP {status}")
+
+    def _is_authed(self) -> bool:
+        return self.credentials is not None
 
     def put_bytes(self, path: str, data: bytes) -> None:
         if len(data) > self.multipart_threshold:

@@ -827,3 +827,49 @@ def test_sql_text_interface_agg_before_join(spark):
     agg_at = plan.find("hashpartitioning(o_custkey")
     assert agg_at != -1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_checkpoint_reuse_and_digest_join(spark):
+    """The fingerprint relation materializes ONCE (localCheckpoint)
+    and feeds the pair join (both sides) + per-source sizes — the
+    final plan must contain NO parquet rescan of documents, no
+    cartesian, and the pair join must be a digest-keyed equi join
+    (the |sources|²-bound lives in the groupBy above it)."""
+    import re
+
+    plan = _plan(spark, "q_source_overlap")
+    assert "FileScan parquet" not in plan, plan
+    # a, b, sizes×2 — never a parquet rescan per consumer
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi join keyed on the fingerprint digest
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[f#", plan
+    ), plan
+
+
+def test_lang_id_trigram_broadcast_profile_single_materialize(spark):
+    """The gram relation materializes once (checkpoint; profile build
+    and scoring both read it) and the |langs|×200 profile dim joins
+    BROADCAST onto the gram stream — never a shuffle of the fact-
+    scale gram relation against a 1k-row dim."""
+    plan = _plan(spark, "q_lang_id_trigram")
+    assert "FileScan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_blocked_pairs_and_takeordered(spark):
+    """Pair generation must stay blocked by order key (co-partitioned
+    equi self-join — Σ|basket|² work, never all-parts²), the ranked
+    output must be TakeOrdered (never a global sort of all pairs),
+    and the only join with no keys is the broadcast 1-row scalar."""
+    plan = _plan(spark, "q_market_basket")
+    assert "FileScan parquet" not in plan, plan  # od checkpointed once
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the scalar total joins as a broadcast nested loop over ONE row —
+    # any other keyless join shape is a scale bug
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "l_orderkey" in plan, plan  # basket-blocked self join key
