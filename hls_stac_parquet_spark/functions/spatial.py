@@ -71,6 +71,48 @@ def morton_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
     return out
 
 
+def hilbert_xy2d_sql(
+    order: int,
+    x_expr: str,
+    y_expr: str,
+    inner: str,
+) -> str:
+    """DuckDB SQL computing the exact Hilbert distance — the classic
+    xy→d loop UNROLLED into ``order`` chained subqueries of pure
+    integer arithmetic (legal because ``order`` is a constant), so the
+    oracle can verify :func:`hilbert_xy2d` bit-for-bit, the same
+    generator-twin idea as :func:`morton_key_sql`.
+
+    ``inner`` is a FROM-able subquery/table exposing ``x_expr`` /
+    ``y_expr`` (non-negative ints < 2**order) plus any passthrough
+    columns; the result exposes the same columns plus ``hd``.
+    """
+    sql = (
+        f"(SELECT *, CAST({x_expr} AS BIGINT) AS _hx, "
+        f"CAST({y_expr} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM {inner})"
+    )
+    for k in range(order - 1, -1, -1):
+        s = 1 << k
+        # rx/ry bits, then the quadrant rotation (swap when ry=0,
+        # flip when additionally rx=1) — identical to hilbert_xy2d
+        sql = (
+            "(SELECT * EXCLUDE (_hx, _hy, hd, _rx, _ry), "
+            f"hd + {s * s} * xor(3 * _rx, _ry) AS hd, "
+            f"CASE WHEN _ry = 0 THEN "
+            f"  (CASE WHEN _rx = 1 THEN {s - 1} - _hy ELSE _hy END) "
+            f"ELSE _hx END AS _hx, "
+            f"CASE WHEN _ry = 0 THEN "
+            f"  (CASE WHEN _rx = 1 THEN {s - 1} - _hx ELSE _hx END) "
+            f"ELSE _hy END AS _hy "
+            "FROM (SELECT *, "
+            f"CASE WHEN (_hx & {s}) > 0 THEN 1 ELSE 0 END AS _rx, "
+            f"CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END AS _ry "
+            f"FROM {sql}))"
+        )
+    return f"(SELECT * EXCLUDE (_hx, _hy) FROM {sql})"
+
+
 def hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized Hilbert distance for points on a ``2**order`` grid.
 

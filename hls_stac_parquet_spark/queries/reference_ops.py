@@ -52,13 +52,45 @@ def q_hilbert_key(spark, sf_dir):
     )
 
 
-@query("q_hilbert_curve_exact", oracle=None, bench=False)
+def _hilbert_exact_oracle() -> str:
+    """The exact p=14 xy→d loop unrolled to SQL (the generator twin
+    in functions/spatial.py::hilbert_xy2d_sql) over the same
+    quantization — bit-for-bit, pure integer arithmetic."""
+    from hls_stac_parquet_spark.functions.spatial import (
+        HILBERT_ERROR_SENTINEL,
+        hilbert_xy2d_sql,
+    )
+
+    inner = (
+        "(SELECT event_id, "
+        "CAST(least(greatest(floor((lon + 180.0) / 360.0 * 16384.0), 0), "
+        "16383) AS BIGINT) AS gx, "
+        "CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16384.0), 0), "
+        "16383) AS BIGINT) AS gy, bad "
+        "FROM (SELECT event_id, "
+        "CAST(user_id % 360 AS DOUBLE) - 180.0 AS lon, "
+        "(value % 180) - 90.0 AS lat, "
+        "(user_id IS NULL OR value IS NULL OR isnan(value)) AS bad "
+        "FROM events))"
+    )
+    return (
+        "SELECT event_id, CASE WHEN bad THEN "
+        f"{HILBERT_ERROR_SENTINEL} ELSE hd END AS hilbert_idx "
+        f"FROM {hilbert_xy2d_sql(14, 'gx', 'gy', inner)}"
+    )
+
+
+@query("q_hilbert_curve_exact", oracle=_hilbert_exact_oracle(), bench=False)
 def q_hilbert_curve_exact(spark, sf_dir):
     """Exact Hilbert distance (write.py:58-88 parity), p=14 grid.
 
-    Vectorized pandas UDF (numpy xy→d); rows-only driver check —
-    bijectivity and locality are property-tested in
-    tests/test_spatial.py.
+    Vectorized pandas UDF (numpy xy→d). FULL oracle (round-5 upgrade
+    from rows-only): the fixed-order xy→d loop unrolls to 14 chained
+    SQL steps of pure integer arithmetic
+    (functions/spatial.py::hilbert_xy2d_sql), so the driver
+    hash-checks every distance bit-for-bit — including the NaN/NULL
+    sentinel rows; bijectivity and locality additionally
+    property-tested in tests/test_spatial.py.
     """
     e = t(spark, sf_dir, "events")
     lon = (F.col("user_id") % 360).cast("double") - 180.0

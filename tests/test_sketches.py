@@ -211,3 +211,26 @@ def test_countmin_merge_is_cellwise_sum(spark):
     got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     want = {(r.d, r.bucket): r.cnt for r in full.collect()}
     assert got == want
+
+
+def test_sketch_query_invariant_flags_all_true(spark):
+    """Round-5 verdict item 5b: the rows-only sketch queries carry
+    their accuracy contracts as in-row boolean flags — every flag
+    must be TRUE at both test scales (the flags are what make the
+    driver's rows-only record self-evidencing)."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001, SF001
+
+    for sf_dir in (SF0001, SF001):
+        reach = REGISTRY["q_hll_user_reach"].fn(spark, sf_dir).collect()
+        assert reach and all(r.est_within_5pct for r in reach), sf_dir
+        overlap = REGISTRY["q_hll_overlap"].fn(spark, sf_dir).collect()
+        assert overlap and all(
+            r.overlap_nonneg_ok and r.overlap_le_min_ok for r in overlap
+        ), sf_dir
+        cms = (
+            REGISTRY["q_countmin_heavy_hitters"].fn(spark, sf_dir).collect()
+        )
+        assert cms and all(
+            r.est_ge_true and r.est_within_eps for r in cms
+        ), sf_dir
