@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hls_stac_parquet_spark.queries.registry import query, t
+from hls_stac_parquet_spark.queries.registry import (
+    pagerank_rounds_sql,
+    query,
+    t,
+)
 
 
 @query(
@@ -602,18 +606,36 @@ def q_ivm_refresh(spark, sf_dir):
     )
 
 
-@query("q_pagerank", oracle=None, bench=False)  # iterative multi-job op,
+@query(
+    "q_pagerank",
+    oracle=(
+        "WITH e0 AS (SELECT DISTINCT concat('c', o_custkey) AS src, "
+        "  concat('s', l_suppkey) AS dst "
+        "  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+        "edges AS (SELECT src, dst FROM e0 "
+        "  UNION ALL SELECT dst, src FROM e0), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "  UNION SELECT dst FROM edges)"
+        + pagerank_rounds_sql(8)
+        + " SELECT node, round(rank, 6) AS rank FROM r8"
+    ),
+    bench=False,  # iterative multi-job op,
+)
 # same posture as q_bfs_reachability; exactness pinned vs numpy in tests
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the customer–supplier graph
     (operators/graph.pagerank): 8 power-iteration rounds, each ONE
     keyed shuffle (contribution join + destination aggregate) —
-    node-bounded state, the Pregel shape.  Rows-only (iterative, no
-    SQL expression); exact agreement with a dense numpy power
-    iteration is pinned in tests/test_graph.py.  Surfaces the
-    highest-centrality suppliers — the same operator ranks dedup-
-    cluster hubs or cross-document citation graphs in a corpus
-    pipeline.
+    node-bounded state, the Pregel shape.  FULL oracle (round-5
+    upgrade from rows-only): the fixed-count power iteration unrolls
+    to 8 SQL join+aggregate CTEs
+    (queries/registry.py::pagerank_rounds_sql), so the driver
+    hash-checks every node's rank; exact agreement with a dense numpy
+    power iteration is additionally pinned in tests/test_graph.py.
+    Surfaces the highest-centrality suppliers — the same operator
+    ranks dedup-cluster hubs or cross-document citation graphs in a
+    corpus pipeline.
     """
     from hls_stac_parquet_spark.operators.graph import pagerank
 

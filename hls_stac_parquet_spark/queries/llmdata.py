@@ -37,7 +37,11 @@ from hls_stac_parquet_spark.operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_candidates,
 )
-from hls_stac_parquet_spark.queries.registry import query, t
+from hls_stac_parquet_spark.queries.registry import (
+    pagerank_rounds_sql,
+    query,
+    t,
+)
 
 _STOPS_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
 _SW_RATIO_SQL = (
@@ -1985,6 +1989,16 @@ def q_random_projection(spark, sf_dir):
             F.round(F.min("r"), 4).alias("min_ratio"),
             F.round(F.max("r"), 4).alias("max_ratio"),
         )
+        # self-evidencing invariant (round-5): the JL concentration
+        # band in-row — avg within 10% of 1, extremes inside the
+        # 16-dim tail envelope (measured avg 0.97, min 0.46, max 1.54
+        # across SFs; tests/test_similarity.py asserts the flag)
+        .withColumn(
+            "jl_band_ok",
+            F.col("avg_ratio").between(0.9, 1.1)
+            & (F.col("min_ratio") > 0.2)
+            & (F.col("max_ratio") < 2.0),
+        )
     )
 
 
@@ -2450,8 +2464,21 @@ def q_label_propagation(spark, sf_dir):
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), F.col("label").cast("long").alias("label")
     )
-    return propagate_labels(edges, seeds, max_iter=3).select(
+    out = propagate_labels(edges, seeds, max_iter=3).select(
         F.col("node").alias("vec_id"), "label", "is_seed"
+    )
+    # self-evidencing invariant (round-5): seeds must KEEP their gold
+    # label — in-row flag against the gold column so the driver's
+    # rows-only record carries the clamping contract
+    # (tests/test_graph.py asserts every flag)
+    gold = emb.select("vec_id", F.col("label").cast("long").alias("_gold"))
+    return out.join(gold, "vec_id").select(
+        "vec_id",
+        "label",
+        "is_seed",
+        (~F.col("is_seed") | (F.col("label") == F.col("_gold"))).alias(
+            "seed_label_ok"
+        ),
     )
 
 
@@ -2773,7 +2800,62 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     )
 
 
-@query("q_logreg_train", oracle=None)  # iterative — numpy-replay tested
+def _logreg_train_oracle() -> str:
+    """The 20-round full-batch GD unrolled to SQL (same discipline as
+    pagerank_rounds_sql): each round is one aggregate over the docs
+    CTE cross-joined with the previous 1-row weight CTE, mirroring
+    operators/mlfit.py::logreg_fit's float arithmetic term-for-term
+    (margin addition order, g = sum/n then w - 0.5*g)."""
+    sql = (
+        "WITH docs AS (SELECT "
+        "  len(string_split(text, ' ')) / 100.0 AS f_len, "
+        "  length(text) / greatest(len(string_split(text, ' ')), 1) "
+        "    / 10.0 AS f_wordlen, "
+        "  len(list_filter(string_split(lower(text), ' '), "
+        "    x -> x IN ('the', 'a', 'of', 'and', 'to'))) "
+        "    / greatest(len(string_split(text, ' ')), 1) AS f_stop, "
+        "  CAST(lang = 'en' AS DOUBLE) AS y FROM documents), "
+        "n AS (SELECT count(*) AS n FROM docs), "
+        "w0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2, "
+        "  0.0::DOUBLE AS w3, 0.0::DOUBLE AS b)"
+    )
+    # each round must reference the previous weight CTE exactly ONCE
+    # (weights carried through the inner projection) — a second
+    # reference doubles the plan per round and 2^20 leaf scans later
+    # DuckDB runs out of file handles
+    for k in range(1, 21):
+        sql += (
+            f", w{k} AS (SELECT "
+            "any_value(w1p) - 0.5 * (sum(r * f_len) / any_value(nn)) "
+            "  AS w1, "
+            "any_value(w2p) - 0.5 * (sum(r * f_wordlen) / any_value(nn)) "
+            "  AS w2, "
+            "any_value(w3p) - 0.5 * (sum(r * f_stop) / any_value(nn)) "
+            "  AS w3, "
+            "any_value(bp) - 0.5 * (sum(r) / any_value(nn)) AS b "
+            "FROM (SELECT d.*, w.w1 AS w1p, w.w2 AS w2p, w.w3 AS w3p, "
+            "  w.b AS bp, n.n AS nn, "
+            "  (1.0 / (1.0 + exp(-(w.b + w.w1 * f_len + w.w2 * f_wordlen "
+            "  + w.w3 * f_stop)))) - y AS r "
+            f"  FROM docs d, w{k - 1} w, n))"
+        )
+    sql += (
+        ", acc AS (SELECT round(avg(CAST(CAST(s > 0.5 AS DOUBLE) = y "
+        "AS DOUBLE)), 4) AS train_acc FROM ("
+        "  SELECT y, 1.0 / (1.0 + exp(-(w.b + w.w1 * f_len "
+        "  + w.w2 * f_wordlen + w.w3 * f_stop))) AS s "
+        "  FROM docs d, w20 w)) "
+        "SELECT round(w1, 4) AS w_len, round(w2, 4) AS w_wordlen, "
+        "round(w3, 4) AS w_stop, round(b, 4) AS intercept, train_acc "
+        "FROM w20, acc"
+    )
+    return sql
+
+
+@query("q_logreg_train", oracle=_logreg_train_oracle())
+# FULL oracle (round-5 upgrade from rows-only): fixed-count GD
+# unrolls to 20 SQL aggregate CTEs; numpy replay still pinned in
+# tests/test_mlfit.py
 def q_logreg_train(spark, sf_dir):
     """TRAIN the corpus quality classifier on-cluster (the companion
     to q_logistic_scorer's inference): full-batch logistic GD where
@@ -3125,6 +3207,17 @@ def q_dedup_recall_eval(spark, sf_dir):
                 ).otherwise(F.lit(1.0)),
                 4,
             ).alias("recall"),
+            # self-evidencing invariants (round-5): hits can never
+            # exceed either pair set (deterministic), and recall must
+            # clear the banded-LSH floor (measured 0.96-1.0 across
+            # SFs; 0.9 band; tests/test_dedup.py asserts the flags)
+            (
+                F.col("n_hits") <= F.least("n_exact", "n_candidates")
+            ).alias("hits_bounded_ok"),
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_hits") >= 0.9 * F.col("n_exact"))
+            ).alias("recall_floor_ok"),
         )
     )
 
@@ -3401,19 +3494,9 @@ def _textrank_oracle() -> str:
         "  UNION ALL SELECT wb, wa FROM co)), "
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
         "nodes AS (SELECT src AS node FROM edges "
-        "  UNION SELECT dst FROM edges), "
-        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"
+        "  UNION SELECT dst FROM edges)"
     )
-    for k in range(1, 9):
-        sql += (
-            f", r{k} AS (SELECT n.node, "
-            "(1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * "
-            "coalesce(s.s, 0.0::DOUBLE) AS rank "
-            "FROM nodes n LEFT JOIN ("
-            "  SELECT e.dst AS node, sum(r.rank / d.deg) AS s "
-            f"  FROM edges e JOIN deg d USING (src) JOIN r{k - 1} r "
-            "  ON r.node = e.src GROUP BY e.dst) s USING (node))"
-        )
+    sql += pagerank_rounds_sql(8)
     sql += (
         " SELECT node AS word, round(rank, 6) AS rank FROM r8 "
         "ORDER BY round(rank, 6) DESC, word LIMIT 20"

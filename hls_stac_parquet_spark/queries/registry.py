@@ -73,3 +73,26 @@ def finite(col) -> "Column":  # noqa: F821
     from pyspark.sql import functions as F
 
     return F.abs(col) < F.lit(float("inf"))
+
+
+def pagerank_rounds_sql(iterations: int = 8) -> str:
+    """CTE chain ``r0 .. r{iterations}`` computing the fixed-count
+    power iteration in DuckDB — the oracle twin of
+    operators/graph.py::pagerank, unrolled because DuckDB disallows
+    aggregates in recursive terms (legal: the round count is a query
+    constant). Expects prior CTEs ``edges(src, dst)``, ``deg(src,
+    deg)``, ``nodes(node)``; damping constants written as
+    ``1.0 - 0.85`` double arithmetic to mirror the kernel's floats
+    bit-for-bit. Returns a string starting with ", r0 AS …"."""
+    sql = ", r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"
+    for k in range(1, iterations + 1):
+        sql += (
+            f", r{k} AS (SELECT n.node, "
+            "(1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * "
+            "coalesce(s.s, 0.0::DOUBLE) AS rank "
+            "FROM nodes n LEFT JOIN ("
+            "  SELECT e.dst AS node, sum(r.rank / d.deg) AS s "
+            f"  FROM edges e JOIN deg d USING (src) JOIN r{k - 1} r "
+            "  ON r.node = e.src GROUP BY e.dst) s USING (node))"
+        )
+    return sql

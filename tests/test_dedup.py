@@ -168,3 +168,13 @@ def test_containment_pairs_planted_excerpt(spark):
     assert got[(1, 2)] == 1.0           # short fully inside long
     assert (2, 1) not in got            # long NOT contained in short
     assert all(3 not in pair for pair in got)
+
+
+def test_dedup_recall_eval_flags(spark):
+    """q_dedup_recall_eval's in-row invariants: hits bounded by both
+    pair sets, recall above the banded-LSH floor."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    row = REGISTRY["q_dedup_recall_eval"].fn(spark, SF0001).collect()[0]
+    assert row.hits_bounded_ok and row.recall_floor_ok, row

@@ -318,3 +318,15 @@ def test_sssp_bounded_empty_edges(spark):
     )
     df = spark.createDataFrame([], schema)
     assert sssp_bounded(df, rounds=2).count() == 0
+
+
+def test_label_propagation_query_seed_flags(spark):
+    """q_label_propagation's in-row invariant: every seed keeps its
+    gold label (the clamping contract the rows-only driver record
+    now carries)."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    rows = REGISTRY["q_label_propagation"].fn(spark, SF0001).collect()
+    assert rows and all(r.seed_label_ok for r in rows)
+    assert any(r.is_seed for r in rows)

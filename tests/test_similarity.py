@@ -229,3 +229,14 @@ def test_random_projection_matches_numpy_and_preserves_distances(emb):
     ratios = np.array(ratios)
     assert 0.8 < np.median(ratios) < 1.2
     assert (np.abs(ratios - 1) < 0.8).mean() > 0.9
+
+
+def test_random_projection_query_jl_flag(spark):
+    """q_random_projection's in-row invariant: the JL concentration
+    band holds (avg within 10% of 1, extremes inside the 16-dim tail
+    envelope)."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    row = REGISTRY["q_random_projection"].fn(spark, SF0001).collect()[0]
+    assert row.jl_band_ok, row
