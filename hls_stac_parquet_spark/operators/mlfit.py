@@ -78,3 +78,84 @@ def logreg_score(
     return df.withColumn(
         "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     )
+
+
+def bradley_terry_fit(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 10,
+) -> DataFrame:
+    """Bradley–Terry preference strengths via the classic MM update —
+    the preference-data operator of RLHF corpus analysis: given
+    pairwise outcomes, fit strengths p s.t. P(i beats j) =
+    p_i / (p_i + p_j).
+
+    Each MM round (Hunter 2004): p_i' = w_i / Σ_j n_ij / (p_i + p_j),
+    then rescale to mean 1 (the likelihood is scale-invariant; the
+    rescale pins the parameterization). Every round is TWO keyed
+    joins + one aggregate over the |entities|²-bounded pair-count
+    relation — entity-bounded state, the same per-round
+    localCheckpoint discipline as operators/graph.py::pagerank (the
+    relation is joined every round; lineage must not replay).
+    Entities with zero wins converge to strength 0, the MM fixpoint.
+    Deterministic: fixed init (1.0), fixed rounds, no RNG — the
+    fixed-count unroll is SQL-expressible, so queries built on this
+    kernel carry full oracles (q_bradley_terry).
+    """
+    wl = pairs.groupBy(
+        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+    ).agg(F.count("*").alias("n"))
+    # ordered relation with per-ordered-pair totals n_ab (symmetric)
+    rel = (
+        wl.unionByName(
+            wl.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "n"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+    wins = (
+        pairs.groupBy(F.col(winner_col).alias("entity"))
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    entities = rel.select(F.col("a").alias("entity")).distinct()
+    p = entities.join(wins, "entity", "left").select(
+        "entity",
+        F.coalesce("w", F.lit(0.0)).alias("w"),
+        F.lit(1.0).alias("p"),
+    ).localCheckpoint()
+
+    for _ in range(iters):
+        denom = (
+            rel.join(
+                p.select(F.col("entity").alias("a"), F.col("p").alias("pa")),
+                "a",
+            )
+            .join(
+                p.select(F.col("entity").alias("b"), F.col("p").alias("pb")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("entity"))
+            .agg(F.sum(F.col("n") / (F.col("pa") + F.col("pb"))).alias("d"))
+        )
+        raw = p.join(denom, "entity", "left").select(
+            "entity",
+            "w",
+            F.when(
+                F.coalesce("d", F.lit(0.0)) > 0, F.col("w") / F.col("d")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        # rescale to mean 1 via a broadcast 1-row scalar dim
+        mean_p = raw.agg(F.avg("p").alias("mp"))
+        p = (
+            raw.join(F.broadcast(mean_p))
+            .select("entity", "w", (F.col("p") / F.col("mp")).alias("p"))
+            .localCheckpoint()
+        )
+    return p.select("entity", F.col("w").cast("bigint").alias("n_wins"), "p")

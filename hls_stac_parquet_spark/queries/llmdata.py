@@ -4076,3 +4076,114 @@ def q_int8_quantize(spark, sf_dir):
             10,
         ).alias("mse"),
     )
+
+
+# --- round 5: preference-data fitting (RLHF corpus analysis) ---------------
+
+
+def _bradley_terry_oracle() -> str:
+    """The fixed 10-round MM unrolled to SQL. Each round references
+    the previous strength CTE twice (p_i and p_j), so every round CTE
+    is MATERIALIZED — without it DuckDB inlines the references and
+    the plan doubles per round (the 2^20-leaf lesson from
+    _logreg_train_oracle, solved the other way here because the
+    double reference is structural to the update)."""
+    sql = (
+        "WITH ev AS (SELECT user_id, event_id, ts, event_type, value "
+        "  FROM events WHERE isfinite(value)), "
+        "r AS (SELECT user_id, event_type, value, row_number() OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev), "
+        "cmp AS (SELECT "
+        "  CASE WHEN a.value > b.value THEN a.event_type "
+        "       WHEN b.value > a.value THEN b.event_type "
+        "       ELSE least(a.event_type, b.event_type) END AS winner, "
+        "  CASE WHEN a.value > b.value THEN b.event_type "
+        "       WHEN b.value > a.value THEN a.event_type "
+        "       ELSE greatest(a.event_type, b.event_type) END AS loser "
+        "  FROM r a JOIN r b ON a.user_id = b.user_id "
+        "    AND b.rn = a.rn + 1 "
+        "  WHERE a.event_type <> b.event_type), "
+        "wl AS (SELECT winner AS a, loser AS b, count(*) AS n "
+        "  FROM cmp GROUP BY 1, 2), "
+        "rel AS MATERIALIZED (SELECT a, b, CAST(sum(n) AS DOUBLE) AS n "
+        "  FROM (SELECT a, b, n FROM wl "
+        "        UNION ALL SELECT b, a, n FROM wl) GROUP BY a, b), "
+        "wins AS (SELECT winner AS entity, CAST(count(*) AS DOUBLE) AS w "
+        "  FROM cmp GROUP BY 1), "
+        "p0 AS MATERIALIZED (SELECT e.entity, coalesce(wins.w, 0.0) AS w, "
+        "  CAST(1.0 AS DOUBLE) AS p "
+        "  FROM (SELECT DISTINCT a AS entity FROM rel) e "
+        "  LEFT JOIN wins USING (entity))"
+    )
+    for k in range(1, 11):
+        sql += (
+            f", p{k} AS MATERIALIZED (SELECT entity, w, "
+            "p / avg(p) OVER () AS p FROM ("
+            "  SELECT pp.entity, pp.w, "
+            "  CASE WHEN coalesce(d.d, 0.0) > 0 THEN pp.w / d.d "
+            "       ELSE 0.0 END AS p "
+            f"  FROM p{k - 1} pp LEFT JOIN ("
+            "    SELECT rel.a AS entity, sum(rel.n / (pa.p + pb.p)) AS d "
+            f"    FROM rel JOIN p{k - 1} pa ON pa.entity = rel.a "
+            f"    JOIN p{k - 1} pb ON pb.entity = rel.b "
+            "    GROUP BY rel.a) d USING (entity)))"
+        )
+    sql += (
+        " SELECT entity, CAST(w AS BIGINT) AS n_wins, "
+        "round(p, 6) AS strength FROM p10"
+    )
+    return sql
+
+
+@query("q_bradley_terry", oracle=_bradley_terry_oracle(), bench=False)
+# fixed-round iterative fit — excluded from the headline set on the
+# q_pagerank/q_logreg_train precedent (per-round job overhead
+# dominates at bench scale)
+def q_bradley_terry(spark, sf_dir):
+    """Bradley–Terry preference-strength fitting — the pairwise
+    preference operator of RLHF data pipelines (which response wins?)
+    applied to a deterministic comparison stream: consecutive events
+    per user vote between their event types (higher value wins, ties
+    break lexicographically). 10 MM rounds
+    (operators/mlfit.py::bradley_terry_fit): each round two keyed
+    joins + one aggregate over the |types|²-bounded pair relation —
+    entity-bounded state, per-round checkpoints, the pagerank
+    discipline. FULL oracle: the fixed-count MM unrolls to 10
+    MATERIALIZED SQL CTEs; strengths hash-checked at round 6.
+
+    Scale shape: the comparison stream aggregates to |entities|² pair
+    counts in one shuffle; every MM round then touches only that tiny
+    relation — fact data never re-enters the loop."""
+    from hls_stac_parquet_spark.operators.mlfit import bradley_terry_fit
+    from hls_stac_parquet_spark.queries.registry import finite
+
+    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    a = r.select("user_id", "rn", F.col("event_type").alias("ta"),
+                 F.col("value").alias("va"))
+    b = r.select("user_id", (F.col("rn") - 1).alias("rn"),
+                 F.col("event_type").alias("tb"),
+                 F.col("value").alias("vb"))
+    cmp_df = (
+        a.join(b, ["user_id", "rn"])
+        .filter(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("va") > F.col("vb"), F.col("ta"))
+            .when(F.col("vb") > F.col("va"), F.col("tb"))
+            .otherwise(F.least("ta", "tb"))
+            .alias("winner"),
+            F.when(F.col("va") > F.col("vb"), F.col("tb"))
+            .when(F.col("vb") > F.col("va"), F.col("ta"))
+            .otherwise(F.greatest("ta", "tb"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_fit(cmp_df, iters=10).select(
+        "entity", "n_wins", F.round("p", 6).alias("strength")
+    )

@@ -288,10 +288,24 @@ def q_distinct(spark, sf_dir):
 def q_count_distinct_approx(spark, sf_dir):
     """approx_count_distinct — sketch-based distinct at scale.
 
-    rows-only check: HyperLogLog estimates are engine-specific.
+    rows-only check (HyperLogLog estimates are engine-specific), but
+    self-evidencing since round 5: the exact distinct rides along as
+    a diagnostic with a 5% accuracy flag (approx_count_distinct's
+    default rsd is 5%; measured well inside; flag asserted in
+    tests/test_sketches.py). At 100 TB you drop the exact column —
+    it is the rescan the sketch avoids.
     """
-    return t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "est_within_5pct",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+        )
     )
 
 

@@ -74,3 +74,40 @@ def test_logreg_empty_input_raises(spark):
     df = spark.createDataFrame([], "x1 double, y double")
     with _pt.raises(ValueError, match="empty"):
         logreg_fit(df, ["x1"], "y")
+
+
+def test_bradley_terry_matches_pure_python_mm(spark):
+    """bradley_terry_fit == a pure-Python MM replay on a crafted
+    tournament (fixed 10 rounds, mean-1 rescale), and the strengths
+    order by true dominance."""
+    from hls_stac_parquet_spark.operators.mlfit import bradley_terry_fit
+
+    games = (
+        [("A", "B")] * 8 + [("B", "A")] * 2
+        + [("B", "C")] * 7 + [("C", "B")] * 3
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    df = spark.createDataFrame(games, "winner string, loser string")
+    got = {
+        r.entity: (r.n_wins, r.p)
+        for r in bradley_terry_fit(df, iters=10).collect()
+    }
+
+    ents = ["A", "B", "C"]
+    n = {("A", "B"): 10, ("B", "C"): 10, ("A", "C"): 10}
+    n.update({(b, a): v for (a, b), v in n.items()})
+    wins = {"A": 17, "B": 9, "C": 4}
+    p = {e: 1.0 for e in ents}
+    for _ in range(10):
+        raw = {}
+        for e in ents:
+            d = sum(
+                n[(e, o)] / (p[e] + p[o]) for o in ents if o != e
+            )
+            raw[e] = wins[e] / d if d > 0 else 0.0
+        m = sum(raw.values()) / len(ents)
+        p = {e: raw[e] / m for e in ents}
+    for e in ents:
+        assert got[e][0] == wins[e]
+        assert abs(got[e][1] - p[e]) < 1e-9, (e, got[e], p[e])
+    assert got["A"][1] > got["B"][1] > got["C"][1]

@@ -234,3 +234,7 @@ def test_sketch_query_invariant_flags_all_true(spark):
         assert cms and all(
             r.est_ge_true and r.est_within_eps for r in cms
         ), sf_dir
+        acd = (
+            REGISTRY["q_count_distinct_approx"].fn(spark, sf_dir).collect()
+        )
+        assert acd and all(r.est_within_5pct for r in acd), sf_dir
