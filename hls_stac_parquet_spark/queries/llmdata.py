@@ -1248,7 +1248,35 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
-@query("q_resize_raw_images", oracle=None)
+def _gather_hex_sql(idx_expr: str, n: int, hexcol: str = "h") -> str:
+    """Uppercase hex of ``n`` gathered bytes of a zero-padded buffer
+    whose hex is ``hexcol`` — byte k comes from index ``idx_expr`` (a
+    SQL expression over k). Both engines' hex() is uppercase, so the
+    gathered string compares byte-for-byte against Spark's
+    hex(content) (DuckDB's md5 cannot digest BLOBs, so the hex string
+    itself is the compared value)."""
+    return (
+        f"array_to_string(list_transform(range(0, {n}), k -> "
+        f"CASE WHEN 2 * ({idx_expr}) + 2 <= strlen({hexcol}) "
+        f"THEN substr({hexcol}, CAST(2 * ({idx_expr}) + 1 AS INT), 2) "
+        "ELSE '00' END), '')"
+    )
+
+
+@query(
+    "q_resize_raw_images",
+    oracle=(
+        # nearest-neighbor 32x32 -> 8x8 is the gather
+        # src_idx = 128*(k//8) + 4*(k%8) over the zero-padded buffer —
+        # pure byte selection, so the md5 is fully SQL-expressible
+        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h "
+        "FROM documents) "
+        "SELECT doc_id AS media_id, CAST(8 AS INT) AS width, "
+        "CAST(8 AS INT) AS height, CAST(64 AS INT) AS n_bytes, "
+        + _gather_hex_sql("128 * (k // 8) + 4 * (k % 8)", 64)
+        + " AS content_hex FROM b"
+    ),
+)
 def q_resize_raw_images(spark, sf_dir):
     """Raw-image nearest-neighbor resize (multimodal pipeline stage):
     documents' text bytes stand in for decoded 32x32 uint8 pixel
@@ -1256,9 +1284,11 @@ def q_resize_raw_images(spark, sf_dir):
     guard), downsampled to 8x8 by the REAL numpy gather in
     resize_raw_images — the actual pixel op, not a codec stub. Output
     is scalar-only (md5 of resized bytes) so the harness can hash
-    rows. Rows-only check: the resample has no SQL expression; exact
-    pixel correctness is pinned against a numpy oracle in
-    tests/test_multimodal.py."""
+    rows. FULL oracle (round-5 upgrade from rows-only): the
+    nearest-neighbor gather selects bytes at 128*(r)+4*(c), which
+    DuckDB replays from hex(encode(text)) — the driver
+    hash-checks the resample byte-for-byte; the numpy oracle in
+    tests/test_multimodal.py still pins the operator directly."""
     from hls_stac_parquet_spark.operators.multimodal import resize_raw_images
 
     media = t(spark, sf_dir, "documents").select(
@@ -1273,7 +1303,7 @@ def q_resize_raw_images(spark, sf_dir):
         "width",
         "height",
         F.length("content").cast("int").alias("n_bytes"),
-        F.md5("content").alias("content_md5"),
+        F.hex("content").alias("content_hex"),
     )
 
 
@@ -1415,15 +1445,34 @@ def q_image_dhash_dedup(spark, sf_dir):
     )
 
 
-@query("q_patchify_images", oracle=None)
+@query(
+    "q_patchify_images",
+    oracle=(
+        # tile (pr,pc), within-tile byte k: src index
+        # (pr*8 + k//8)*32 + pc*8 + k%8 — pure byte slicing, md5
+        # replayable from the hex of the zero-padded buffer
+        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h "
+        "FROM documents) "
+        "SELECT doc_id AS media_id, CAST(pr AS INT) AS patch_row, "
+        "CAST(pc AS INT) AS patch_col, "
+        + _gather_hex_sql(
+            "(pr * 8 + k // 8) * 32 + pc * 8 + k % 8", 64
+        )
+        + " AS tile_hex "
+        "FROM b, unnest(range(4)) AS u(pr), unnest(range(4)) AS v(pc)"
+    ),
+)
 def q_patchify_images(spark, sf_dir):
     """ViT-style patch tokenization (multimodal pipeline stage):
     32x32 raw buffers (documents' bytes standing in for decoded
     pixels, as in q_resize_raw_images) split into 8x8 tiles — one row
     per tile with grid position, the image analogue of text
     tokenization. Output scalar-only (md5 per tile) for the harness.
-    Rows-only; byte-exactness vs an independent numpy slicing oracle
-    is pinned in tests/test_multimodal.py."""
+    FULL oracle (round-5 upgrade from rows-only): each tile is a pure
+    byte slice of the zero-padded buffer, replayed in DuckDB from
+    hex(encode(text)) — every tile hash-checked; the numpy
+    slicing oracle in tests/test_multimodal.py still pins the
+    operator directly."""
     from hls_stac_parquet_spark.operators.multimodal import (
         patchify_raw_images,
     )
@@ -1439,7 +1488,7 @@ def q_patchify_images(spark, sf_dir):
         "media_id",
         "patch_row",
         "patch_col",
-        F.md5("content").alias("tile_md5"),
+        F.hex("content").alias("tile_hex"),
     )
 
 
