@@ -1629,15 +1629,64 @@ def q_audio_fingerprint_dedup(spark, sf_dir):
     )
 
 
-@query("q_pcm_audio_pipeline", oracle=None)
+#: full SQL twin of the WAV pipeline: WAV is lossless (samples =
+#: int16 LE pairs of the text bytes, odd byte dropped) and the 2:1
+#: linear resample lands EXACTLY on even source samples (np.interp at
+#: integer grid points returns grid values), so resampled sample j is
+#: source sample 2j — bytes 4j, 4j+1. n_out mirrors Python's
+#: round-half-even of n/2; stats are cast through FLOAT (REAL) before
+#: round(…, 6) to replicate the operator's float32 outputs.
+_WAV_ORACLE = (
+    "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
+    "    octet_length(encode(coalesce(text, ''))) AS nb FROM documents), "
+    "g AS (SELECT doc_id, h, "
+    "    CASE WHEN nb//2 < 2 OR (CASE WHEN (nb//2) % 2 = 0 THEN nb//4 "
+    "         ELSE nb//4 + (nb//4) % 2 END) = 0 THEN 0 "
+    "         WHEN (nb//2) % 2 = 0 THEN nb//4 "
+    "         ELSE nb//4 + (nb//4) % 2 END AS nout FROM b), "
+    "s AS (SELECT doc_id, nout, j, "
+    "    CAST(concat('0x', substr(h, CAST(8*j + 3 AS INT), 2)) AS INT) "
+    "    * 256 "
+    "    + CAST(concat('0x', substr(h, CAST(8*j + 1 AS INT), 2)) AS INT) "
+    "    AS vi "
+    "  FROM g, unnest(range(nout)) AS u(j) WHERE nout > 0), "
+    "v AS (SELECT doc_id, nout, j, "
+    "    (CASE WHEN vi >= 32768 THEN vi - 65536 ELSE vi END) / 32768.0 "
+    "    AS x FROM s), "
+    "w AS (SELECT doc_id, nout, j, x, "
+    "    lead(x) OVER (PARTITION BY doc_id ORDER BY j) AS xn FROM v), "
+    "agg AS (SELECT doc_id, "
+    "    any_value(nout) AS n_samples, "
+    "    sqrt(avg(x * x)) AS rms_d, "
+    "    max(abs(x)) AS peak_d, "
+    "    CASE WHEN any_value(nout) > 1 "
+    "         THEN avg(CASE WHEN xn IS NULL THEN NULL "
+    "                  WHEN (x < 0) <> (xn < 0) THEN 1.0 ELSE 0.0 END) "
+    "         ELSE 0.0 END AS zcr_d "
+    "  FROM w GROUP BY doc_id) "
+    "SELECT doc_id AS media_id, CAST(n_samples AS INT) AS n_samples, "
+    "  round(CAST(CAST(rms_d AS FLOAT) AS DOUBLE), 6) AS rms, "
+    "  round(CAST(CAST(peak_d AS FLOAT) AS DOUBLE), 6) AS peak, "
+    "  round(CAST(CAST(zcr_d AS FLOAT) AS DOUBLE), 6) AS zcr "
+    "FROM agg "
+    "UNION ALL "
+    "SELECT doc_id, 0, 0.0, 0.0, 0.0 FROM g WHERE nout = 0"
+)
+
+
+@query("q_pcm_audio_pipeline", oracle=_WAV_ORACLE)  # shares the
+# WAV pipeline's SQL twin (same DSP chain, no container step)
 def q_pcm_audio_pipeline(spark, sf_dir):
     """Audio pipeline stage chain (multimodal): documents' text bytes
     stand in for raw int16 PCM payloads; the REAL DSP runs — 16 kHz →
     8 kHz linear-interpolation resample, then RMS/peak/zero-crossing
     stats on the resampled waveform (operators/multimodal.pcm_stats).
-    Scalar-only output for the harness hash.  Rows-only check: the
-    byte-level DSP has no SQL expression; closed-form correctness
-    (sine RMS = A/√2, ZCR = 2f/rate) is pinned in
+    Scalar-only output for the harness hash.  FULL oracle (round-5
+    upgrade from rows-only): identical SQL twin as
+    q_wav_decode_pipeline — the raw-PCM convention (int16 LE pairs,
+    odd byte dropped) matches the WAV decode output, and the 2:1
+    resample is an even-sample gather; closed-form correctness
+    (sine RMS = A/√2, ZCR = 2f/rate) additionally pinned in
     tests/test_multimodal.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
         pcm_stats,
@@ -1658,7 +1707,7 @@ def q_pcm_audio_pipeline(spark, sf_dir):
     )
 
 
-@query("q_wav_decode_pipeline", oracle=None)  # codec work — not SQL-expressible
+@query("q_wav_decode_pipeline", oracle=_WAV_ORACLE)
 def q_wav_decode_pipeline(spark, sf_dir):
     """REAL compressed-audio pipeline: documents' text bytes stand in
     for int16 samples, WAV-ENCODED (pure stdlib RIFF writer,
@@ -1668,7 +1717,11 @@ def q_wav_decode_pipeline(spark, sf_dir):
     linear-interp resample + RMS/peak/ZCR). Closes the audio half of
     the codec seam for lossless files — the decode is an actual
     container parse, bit-exact round-trip pinned in
-    tests/test_codecs.py. Rows-only (no SQL expression)."""
+    tests/test_codecs.py. FULL oracle (round-5 upgrade from
+    rows-only): WAV is lossless and the 2:1 resample selects exactly
+    the even source samples, so DuckDB replays samples, RMS, peak and
+    ZCR from hex(encode(text)) — float32 outputs replicated by
+    casting through REAL before the round."""
     from hls_stac_parquet_spark.operators.multimodal import (
         decode_audio_wav,
         encode_audio_wav,
