@@ -1369,7 +1369,52 @@ def q_png_decode_stats(spark, sf_dir):
     )
 
 
-@query("q_image_dhash_dedup", oracle=None)
+def _dhash_oracle() -> str:
+    """Full SQL twin of the dHash pipeline: the bigram-density pseudo
+    decode (md5 bucket % 72, least(32n, 255)), the 64 gradient bits
+    packed big-endian into a signed int64 (bit 0 folded in as
+    -2^63 so the sum never overflows BIGINT), then a BRUTE-FORCE
+    hamming join — legal as the oracle because the banded candidate
+    generation is COMPLETE for hamming <= 3 (pigeonhole, bands=4) and
+    the 2000-row bucket cap is never hit at oracle scale, so the two
+    constructions provably coincide."""
+    pix = "least(32 * coalesce(map_extract(m, {p})[1], 0), 255)"
+
+    def bit(k):
+        r, c = divmod(k, 8)
+        return (f"(CASE WHEN {pix.format(p=r*9+c+1)} > "
+                f"{pix.format(p=r*9+c)} THEN 1 ELSE 0 END)")
+
+    low = " + ".join(f"CAST({bit(k)} AS BIGINT) * {1 << (63 - k)}"
+                     for k in range(1, 64))
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "  lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ts "
+        "  FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), "
+        "  i -> ts[i] || ' ' || ts[i + 1])) AS g FROM d), "
+        "cnt AS (SELECT doc_id, "
+        "  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 72 AS b, "
+        "  count(*) AS n FROM bg GROUP BY doc_id, b), "
+        "cm AS (SELECT doc_id, map(list(b ORDER BY b), "
+        "  list(n ORDER BY b)) AS m FROM cnt GROUP BY doc_id), "
+        "allm AS (SELECT d.doc_id, cm.m FROM d "
+        "  LEFT JOIN cm USING (doc_id)), "
+        f"h AS (SELECT doc_id, ({low}) "
+        f"+ (CASE WHEN {bit(0)} = 1 THEN -9223372036854775808 "
+        "ELSE 0 END) AS h FROM allm), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  bit_count(xor(a.h, b.h)) AS hamming "
+        "  FROM h a JOIN h b ON a.doc_id < b.doc_id "
+        "  WHERE bit_count(xor(a.h, b.h)) <= 3) "
+        "SELECT hamming, CAST(count(*) / 2 AS BIGINT) AS n_pairs, "
+        "  CAST(count(DISTINCT img) AS BIGINT) AS n_images "
+        "FROM (SELECT hamming, unnest([id_a, id_b]) AS img FROM pairs) "
+        "GROUP BY hamming"
+    )
+
+
+@query("q_image_dhash_dedup", oracle=_dhash_oracle())
 def q_image_dhash_dedup(spark, sf_dir):
     """Image near-duplicate detection via perceptual difference-hash
     (the multimodal twin of SimHash text dedup): 32×32 raw buffers
@@ -1380,8 +1425,11 @@ def q_image_dhash_dedup(spark, sf_dir):
     hamming_near_dup_pairs). Complete for hamming ≤ 3 by pigeonhole
     (4 bands); only 8-byte hashes ever shuffle — image bytes stay in
     the scan stage. Output: near-dup pair counts per hamming
-    distance + distinct images involved. Rows-only for the driver;
-    bit-exact hash replay + brute-force completeness are pinned in
+    distance + distinct images involved. FULL oracle (round-5 upgrade
+    from rows-only): the pigeonhole completeness means the banded
+    construction equals a brute-force hamming join, which DuckDB runs
+    directly over SQL-replayed dHashes (_dhash_oracle); bit-exact
+    hash replay + brute-force completeness additionally pinned in
     tests/test_multimodal.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
         dhash_images,
