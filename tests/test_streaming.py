@@ -812,3 +812,92 @@ def test_sessionize_kill_and_resume_state_recovery(spark, tmp_path):
     assert closed <= got, got
     assert got - closed <= open_ok, got
     assert len(rows) == len(got)  # no duplicate session rows
+
+
+def test_running_profile_kill_and_resume_state_recovery(spark, tmp_path):
+    """Round-5: fourth cell of the exactly-once matrix —
+    transformWithStateInPandas (RocksDB ValueState) killed mid-run.
+    A user's profile SPANS the crash (batch 0 opens it, the replayed
+    batch 1 extends it), so the test proves the RocksDB store
+    restores the pre-crash version; the idempotent upsert sink keyed
+    on user_id (order by n_events — the running count is monotone)
+    makes replays converge."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hls_stac_parquet_spark.streaming.incremental import (
+        stream_running_profile,
+    )
+
+    src, dest = str(tmp_path / "twsk-src"), str(tmp_path / "profiles")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def emit(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, name))
+
+    m = dt.timedelta  # noqa: N806
+    emit("e1.parquet", [(1, base, 1.5), (2, base, 10.0)])
+    emit("e2.parquet", [(1, base + m(minutes=5), 2.5)])
+    emit("e3.parquet", [(1, base + m(hours=1), 6.0),
+                        (2, base + m(hours=1), 1.0)])
+
+    seen: list[int] = []
+    crash_armed = {"on": True}
+
+    def barrier(batch_id: int) -> None:
+        seen.append(batch_id)
+        if crash_armed["on"] and batch_id == 1:
+            raise RuntimeError("injected crash after swap, before commit")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = foreach_batch_upsert(
+            stream_running_profile(stream), dest, ckpt,
+            ["user_id"], "n_events", on_batch_complete=barrier,
+        )
+        q.awaitTermination(120)
+
+    try:
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            run()  # batch 0 commits; batch 1 updates state, dies
+        crash_armed["on"] = False
+        run()  # replay batch 1 from restored RocksDB state, then 2
+
+        assert seen[0] == 0 and seen[1] == 1 and 1 in seen[2:], seen
+        assert 0 not in seen[2:], "committed batch must NOT reprocess"
+        got = {
+            r.user_id: (r.n_events, r.total_value, r.last_seen)
+            for r in spark.read.parquet(dest).collect()
+        }
+        # exactly-once end state: totals as if the stream never died
+        assert got == {
+            1: (3, 10.0, base + m(hours=1)),
+            2: (2, 11.0, base + m(hours=1)),
+        }, got
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
