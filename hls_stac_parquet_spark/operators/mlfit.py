@@ -159,3 +159,68 @@ def bradley_terry_fit(
             .localCheckpoint()
         )
     return p.select("entity", F.col("w").cast("bigint").alias("n_wins"), "p")
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    x_col: str,
+    wy_col: str,
+    w_col: str,
+) -> DataFrame:
+    """Weighted isotonic regression (pool-adjacent-violators) over a
+    BOUNDED pre-aggregated frame — the shape-constrained upgrade of
+    the reliability diagram: fit the least-squares NON-DECREASING
+    curve y_fit(x) to per-bucket outcome rates, the standard
+    calibration map (Zadrozny & Elkan 2002) applied to classifier
+    scores before they gate training data.
+
+    Contract: ``bins`` has ONE row per distinct ``x_col`` value and
+    carries integer sufficient statistics — ``wy_col`` = Σ y (y ∈
+    {0,1}) and ``w_col`` = Σ 1 within the bucket. Pooling decisions
+    compare block means by integer cross-multiplication (wy₁·w₂ >
+    wy₂·w₁), so the fit involves ZERO float comparisons and the
+    fitted value of each block is a single exact int/int division —
+    bit-identical on any engine that computes the same block
+    partition (the DuckDB oracle twin uses the minimax identity
+    ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]) — a different algorithm,
+    same exact arithmetic — so agreement is evidence, not echo).
+
+    Scale shape: the input is an AGGREGATE (≤ #buckets rows, fixed by
+    the binning, not the corpus) — the 100 TB fact scan happens
+    upstream in the grouped count. The fit itself runs as ONE
+    applyInPandas group on an executor: no driver collect, no loop of
+    jobs, O(#buckets) stack-based PAVA. Returns the input columns +
+    ``y_fit`` (double).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = list(bins.schema.fields)
+    out_schema = StructType(in_fields + [StructField("y_fit", DoubleType())])
+    cols = [f.name for f in in_fields]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(x_col).reset_index(drop=True)
+        wy = pdf[wy_col].to_numpy(dtype=np.int64)
+        w = pdf[w_col].to_numpy(dtype=np.int64)
+        blocks: list[list[int]] = []  # [start_idx, Σwy, Σw]
+        for i in range(len(pdf)):
+            cur = [i, int(wy[i]), int(w[i])]
+            while blocks and blocks[-1][1] * cur[2] > cur[1] * blocks[-1][2]:
+                prev = blocks.pop()
+                cur = [prev[0], prev[1] + cur[1], prev[2] + cur[2]]
+            blocks.append(cur)
+        yhat = np.empty(len(pdf), dtype=np.float64)
+        starts = [b[0] for b in blocks] + [len(pdf)]
+        for bi, b in enumerate(blocks):
+            yhat[starts[bi] : starts[bi + 1]] = b[1] / b[2]
+        out = pdf.copy()
+        out["y_fit"] = yhat
+        return out
+
+    return (
+        bins.withColumn("_all", F.lit(1))
+        .groupBy("_all")
+        .applyInPandas(lambda pdf: fit(pdf), out_schema)
+    )

@@ -819,3 +819,150 @@ def random_project(
     return parallelize_for_udf(df.select(id_col, vec_col)).select(
         id_col, project(vec_col).alias("projected")
     )
+
+
+_MMR_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("rnk", IntegerType()),
+        StructField("mmr_score", DoubleType()),
+    ]
+)
+
+
+def mmr_diversify(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): for each probe vector, pick ``k`` results that are relevant
+    AND mutually diverse — the de-dup'd retrieval / diverse-sampling
+    primitive of curation pipelines (a plain top-k returns five copies
+    of the same near-duplicate cluster; MMR returns one per cluster).
+
+    Greedy selection: first pick = max relevance; each next pick
+    maximizes ``lam·rel(q, d) − (1 − lam)·max_{s∈S} sim(d, s)`` over
+    the unpicked candidate pool. Fully deterministic: both relevance
+    and candidate–candidate similarities are rounded to
+    ``round_digits`` before any comparison, and every argmax breaks
+    ties by smaller id — so the output is a pure function of the
+    input, engine-portable, and exactly reproducible by the DuckDB
+    recursive-CTE oracle (one recursive step per greedy pick).
+
+    Scale shape (two-stage, like pq_topk_adc): stage 1 streams the
+    corpus once through an Arrow map against the broadcast query
+    matrix, emitting only each batch's per-query top-``pool`` (the
+    global top-pool is a subset of the union of per-batch top-pools),
+    so the shuffle into the global pool window carries O(batches ×
+    queries × pool) rows, never the corpus. Stage 2 gathers the ≤
+    ``pool`` candidate vectors per query with a broadcast join and
+    runs the O(pool²) greedy loop inside ONE applyInPandas group per
+    query — no driver loop, no per-pick job.
+    """
+    spark = df.sparkSession
+    q_ids, q_mat, q_norms = _collect_matrix(
+        query_df, id_col, vec_col, max_query_rows
+    )
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    n_pool = int(pool)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_ids, r_mat, r_norms = bc.value
+        if len(r_ids) == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_norms = np.linalg.norm(c_mat, axis=1)
+            c_norms[c_norms == 0] = 1.0
+            sims = np.round(
+                (r_mat @ c_mat.T) / np.outer(r_norms, c_norms), round_digits
+            )
+            out_q, out_c, out_r = [], [], []
+            for qi in range(len(r_ids)):
+                mask = c_ids != r_ids[qi]  # the probe is corpus-resident
+                ids_m = c_ids[mask]
+                s_m = sims[qi][mask]
+                order = np.lexsort((ids_m, -s_m))[:n_pool]
+                out_q.extend([r_ids[qi]] * len(order))
+                out_c.extend(ids_m[order])
+                out_r.extend(s_m[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "cand": np.asarray(out_c, dtype=np.int64),
+                    "rel": np.asarray(out_r, dtype=np.float64),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    rel_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand", LongType()),
+            StructField("rel", DoubleType()),
+        ]
+    )
+    partial = parallelize_for_udf(df.select(id_col, vec_col)).mapInPandas(
+        gen, rel_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand"))
+    top_pool = (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_pool)
+        .drop("_rn")
+    )
+    cand_vecs = top_pool.join(
+        df.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("_vec")),
+        "cand",
+    )
+
+    lam_f = float(lam)
+    k_i = int(k)
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand").reset_index(drop=True)
+        qid = int(pdf["query_id"].iloc[0])
+        ids = pdf["cand"].to_numpy(dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cs = np.round((mat @ mat.T) / np.outer(norms, norms), round_digits)
+        n = len(ids)
+        bsim = np.zeros(n, dtype=np.float64)
+        avail = np.ones(n, dtype=bool)
+        rows = []
+        for step in range(1, min(k_i, n) + 1):
+            score = lam_f * rel - (1.0 - lam_f) * bsim
+            idx_avail = np.nonzero(avail)[0]
+            pick_local = np.lexsort((ids[idx_avail], -score[idx_avail]))[0]
+            wi = idx_avail[pick_local]
+            # raw double, deliberately NOT re-rounded: rel and bsim are
+            # 6-decimal-exact, so lam·rel − (1−lam)·bsim lands ON the
+            # half boundary at the 7th decimal and half-even (numpy) vs
+            # half-away (DuckDB) would diverge; the unrounded score is
+            # the same IEEE arithmetic on the same doubles → identical
+            rows.append((qid, int(ids[wi]), step, float(score[wi])))
+            avail[wi] = False
+            bsim = np.maximum(bsim, cs[:, wi])
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "rnk", "mmr_score"]
+        )
+
+    return cand_vecs.groupBy("query_id").applyInPandas(mmr, _MMR_SCHEMA)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hls_stac_parquet_spark.queries.registry import (
+    cosine_edges_sql,
     pagerank_rounds_sql,
     query,
     t,
@@ -903,7 +904,29 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
-@query("q_kcore", oracle=None)  # iterative — peeling-replay tested
+@query(
+    "q_kcore",
+    oracle=(
+        "WITH RECURSIVE "
+        + cosine_edges_sql(0.30)
+        + ", deg AS (SELECT s AS node, count(*) AS d FROM sym GROUP BY s), "
+        "hc(iter, node, c) AS ("
+        "  SELECT 0, node, d FROM deg"
+        "  UNION ALL"
+        # H-index of the neighbors' previous values, as a pure
+        # aggregate: sort desc into a list, H = max_i min(i, l[i])
+        "  SELECT iter + 1, node,"
+        "         list_max(list_transform(range(1, len(l) + 1),"
+        "                                 i -> least(i, l[i])))"
+        "  FROM ("
+        "    SELECT p.iter AS iter, u.d AS node,"
+        "           list(p.c ORDER BY p.c DESC) AS l"
+        "    FROM (SELECT * FROM hc WHERE iter < 60) p"
+        "    JOIN sym u ON u.s = p.node GROUP BY 1, 2)) "
+        "SELECT c AS core, CAST(count(*) AS BIGINT) AS n_vecs "
+        "FROM hc WHERE iter = 60 GROUP BY c"
+    ),
+)
 def q_kcore(spark, sf_dir):
     """K-core decomposition of the embedding similarity graph (same
     edges as q_label_propagation): per-node core numbers via the
@@ -923,8 +946,14 @@ def q_kcore(spark, sf_dir):
     O(small diameter)); arbitrary dense graphs can cascade for
     O(max-coreness) rounds — that trade is the operator's documented
     envelope, not the query's. Equality with textbook peeling is
-    pinned in tests/test_graph.py. Rows-only for the driver
-    (iterative, non-SQL-expressible)."""
+    pinned in tests/test_graph.py.
+
+    FULL ORACLE (round 5, upgraded from rows-only): the same h-index
+    iteration runs as a DuckDB recursive CTE — H computed as a pure
+    aggregate (desc-sorted value list, H = max_i min(i, l[i])) over
+    the identical rounded-cosine edge set — for 60 fixed rounds,
+    past the fixpoint on any graph this corpus produces, so the
+    distribution hash-matches the peeled core numbers exactly."""
     from hls_stac_parquet_spark.operators.graph import core_numbers
     from hls_stac_parquet_spark.operators.similarity import cosine_pairs_above
 

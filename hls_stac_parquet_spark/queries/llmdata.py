@@ -38,6 +38,7 @@ from hls_stac_parquet_spark.operators.similarity import (
     lsh_cosine_candidates,
 )
 from hls_stac_parquet_spark.queries.registry import (
+    cosine_edges_sql,
     pagerank_rounds_sql,
     query,
     t,
@@ -368,6 +369,81 @@ def q_cosine_pairs(spark, sf_dir):
     use ≥0.95; the operator is identical.
     """
     return cosine_pairs_above(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "q_mmr_diversify",
+    oracle=(
+        "WITH RECURSIVE "
+        "qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+        "  FROM embeddings WHERE vec_id < 5), "
+        "rel AS (SELECT q.qid, e.vec_id AS cand, "
+        "  round(list_cosine_similarity(q.qe, "
+        "    CAST(e.embedding AS DOUBLE[])), 6) AS rel "
+        "  FROM qv q JOIN embeddings e ON e.vec_id <> q.qid), "
+        "pool AS (SELECT qid, cand, rel FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY qid "
+        "    ORDER BY rel DESC, cand) AS rn FROM rel) WHERE rn <= 20), "
+        "sims AS (SELECT p1.qid, p1.cand AS ca, p2.cand AS cb, "
+        "  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "    CAST(b.embedding AS DOUBLE[])), 6) AS s "
+        "  FROM pool p1 JOIN pool p2 "
+        "    ON p1.qid = p2.qid AND p1.cand <> p2.cand "
+        "  JOIN embeddings a ON a.vec_id = p1.cand "
+        "  JOIN embeddings b ON b.vec_id = p2.cand), "
+        # one recursive step per greedy pick: winner = struct-max of
+        # (score, -cand); unpicked rows fold the winner's similarity
+        # into their running max-sim-to-selected; picked rows freeze
+        "st(step, qid, cand, rel, bsim, pick_step, pick_score) AS ("
+        "  SELECT 0, qid, cand, rel, 0.0::DOUBLE, CAST(NULL AS INT), "
+        "    CAST(NULL AS DOUBLE) FROM pool "
+        "  UNION ALL "
+        "  SELECT p.step + 1, p.qid, p.cand, p.rel, "
+        "    CASE WHEN p.pick_step IS NULL AND p.cand <> w.wc "
+        "      THEN greatest(p.bsim, coalesce(s.s, 0.0)) ELSE p.bsim END, "
+        "    CASE WHEN p.pick_step IS NULL AND p.cand = w.wc "
+        "      THEN p.step + 1 ELSE p.pick_step END, "
+        "    CASE WHEN p.pick_step IS NULL AND p.cand = w.wc "
+        "      THEN 0.7::DOUBLE * p.rel "
+        "        - (1.0::DOUBLE - 0.7::DOUBLE) * p.bsim "
+        "      ELSE p.pick_score END "
+        "  FROM (SELECT * FROM st WHERE step < 5) p "
+        "  JOIN (SELECT qid, -((max(struct_pack("
+        "      sc := 0.7::DOUBLE * rel - (1.0::DOUBLE - 0.7::DOUBLE) * bsim, "
+        "      nv := -cand))).nv) AS wc "
+        "    FROM st WHERE step < 5 AND pick_step IS NULL "
+        "    GROUP BY qid) w ON w.qid = p.qid "
+        "  LEFT JOIN sims s ON s.qid = p.qid AND s.ca = p.cand "
+        "    AND s.cb = w.wc) "
+        "SELECT qid AS query_id, cand AS vec_id, "
+        "  CAST(pick_step AS INT) AS rnk, pick_score AS mmr_score "
+        "FROM st WHERE step = 5 AND pick_step IS NOT NULL"
+    ),
+)
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein
+    1998) — diversity-aware top-k, the retrieval op that returns one
+    result per near-duplicate cluster instead of five copies of the
+    closest one (operators/similarity.py::mmr_diversify). Five corpus
+    vectors act as probes; each gets its exact top-20 candidate pool,
+    then k=5 greedy picks maximizing 0.7·rel − 0.3·max-sim-to-picked.
+
+    Deterministic end-to-end (rounded similarities, id-asc ties), so
+    this carries a FULL oracle despite being an iterative greedy
+    algorithm: the DuckDB twin runs one recursive-CTE step per pick,
+    carrying each candidate's running max-sim-to-selected as state —
+    the same trick as the LPA/k-core oracles, applied to a ranking op.
+
+    Scale shape: stage 1 is a zero-shuffle Arrow map of the corpus
+    against the broadcast probe matrix emitting per-batch top-pools
+    (the window then ranks O(batches·pool) rows per probe, never the
+    corpus); stage 2 is one applyInPandas group per probe over ≤20
+    candidate vectors — O(pool²) work, no driver loop."""
+    from hls_stac_parquet_spark.operators.similarity import mmr_diversify
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return mmr_diversify(emb, probes, k=5, pool=20, lam=0.7)
 
 
 @query("q_ann_lsh", oracle=None)  # seeded random hyperplanes — rows-only
@@ -2180,7 +2256,52 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-@query("q_dbscan", oracle=None)  # iterative CC inside — numpy-replay tested
+@query(
+    "q_dbscan",
+    oracle=(
+        "WITH RECURSIVE "
+        "pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,"
+        "               CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), "
+        # eps² as the same double product the operator evaluates
+        # (literal 0.0009 parses to a DIFFERENT double than 0.03*0.03)
+        "prs AS (SELECT a.id AS pa, b.id AS pb FROM pts a, pts b"
+        "  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+        "        <= CAST(0.03 AS DOUBLE) * CAST(0.03 AS DOUBLE)), "
+        "core AS (SELECT pa AS id FROM prs GROUP BY pa"
+        "  HAVING count(*) >= 5), "
+        "ce AS (SELECT pa, pb FROM prs WHERE pa <> pb"
+        "  AND pa IN (SELECT id FROM core)"
+        "  AND pb IN (SELECT id FROM core)), "
+        # self-loops let min-label propagation run off ONE reference
+        # to the previous iteration (neighbors ∪ self per step)
+        "cesym AS (SELECT pa AS s, pb AS d FROM ce"
+        "  UNION SELECT pa, pa FROM ce UNION SELECT pb, pb FROM ce), "
+        "cc(iter, node, comp) AS ("
+        "  SELECT 0, s, s FROM (SELECT DISTINCT s FROM cesym) t0(s)"
+        "  UNION ALL"
+        "  SELECT p.iter + 1, u.d, min(p.comp)"
+        "  FROM (SELECT * FROM cc WHERE iter < 40) p"
+        "  JOIN cesym u ON u.s = p.node GROUP BY 1, 2), "
+        "core_clusters AS ("
+        "  SELECT c.id, coalesce(f.comp, c.id) AS cluster FROM core c"
+        "  LEFT JOIN (SELECT node, comp FROM cc WHERE iter = 40) f"
+        "  ON f.node = c.id), "
+        "border AS ("
+        "  SELECT p.pa AS id, min(k.cluster) AS cluster"
+        "  FROM prs p JOIN core_clusters k ON k.id = p.pb"
+        "  WHERE p.pa <> p.pb AND p.pa NOT IN (SELECT id FROM core)"
+        "  GROUP BY p.pa), "
+        "labeled AS ("
+        "  SELECT id, 'core' AS role, cluster FROM core_clusters"
+        "  UNION ALL SELECT id, 'border' AS role, cluster FROM border), "
+        "final AS ("
+        "  SELECT t.id, coalesce(l.role, 'noise') AS role, l.cluster"
+        "  FROM pts t LEFT JOIN labeled l ON l.id = t.id) "
+        "SELECT role, CAST(count(*) AS BIGINT) AS n_points,"
+        "       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters "
+        "FROM final GROUP BY role"
+    ),
+)
 def q_dbscan(spark, sf_dir):
     """Density clustering of the corpus embedding map: exact DBSCAN
     over the first two embedding dimensions (operators/clustering.py
@@ -2193,8 +2314,14 @@ def q_dbscan(spark, sf_dir):
     role distribution (core/border/noise counts + cluster count).
     Deterministic (min-core-id labels, min-cluster border rule);
     equality with a brute-force numpy replay is pinned in
-    tests/test_clustering.py. Rows-only for the driver (iterative
-    connected components inside)."""
+    tests/test_clustering.py.
+
+    FULL ORACLE (round 5, upgraded from rows-only): brute-force ≤eps
+    pairs in double arithmetic (same eps² product as the operator's
+    filter), core rule incl. self, then connected components as a
+    recursive-CTE min-label propagation over the self-looped core
+    graph (fixpoint = min core id per component — the operator's
+    cluster label), plus the identical min-cluster border rule."""
     from hls_stac_parquet_spark.operators.clustering import dbscan
 
     emb = t(spark, sf_dir, "embeddings")
@@ -2592,7 +2719,41 @@ def q_zipf_slope(spark, sf_dir):
     )
 
 
-@query("q_label_propagation", oracle=None)  # iterative — python-replay tested
+@query(
+    "q_label_propagation",
+    oracle=(
+        "WITH RECURSIVE "
+        + cosine_edges_sql(0.30)
+        + ", seeds AS ("
+        "  SELECT vec_id AS n, CAST(label AS BIGINT) AS sl"
+        "  FROM embeddings WHERE vec_id % 5 = 0), "
+        "lab(iter, node, label) AS ("
+        "  SELECT 0, n, sl FROM seeds"
+        "  UNION ALL"
+        "  SELECT coalesce(w.iter, p.iter) + 1,"
+        "         coalesce(w.node, p.node),"
+        "         coalesce(s.sl, w.wl, p.label)"
+        "  FROM (SELECT * FROM lab WHERE iter < 3) p"
+        "  FULL JOIN ("
+        # deterministic argmax: max (votes, -label) struct — the same
+        # tie rule (count DESC, label ASC) as propagate_labels
+        "    SELECT iter, node,"
+        "           -((max(struct_pack(v := c, nl := -lbl))).nl) AS wl"
+        "    FROM ("
+        "      SELECT l.iter AS iter, u.d AS node, l.label AS lbl,"
+        "             count(*) AS c"
+        "      FROM lab l JOIN sym u ON u.s = l.node"
+        "      WHERE l.iter < 3 GROUP BY 1, 2, 3) v"
+        "    GROUP BY iter, node) w ON w.node = p.node"
+        "  LEFT JOIN seeds s ON s.n = coalesce(w.node, p.node)) "
+        "SELECT l.node AS vec_id, l.label AS label,"
+        "       (l.node % 5 = 0) AS is_seed,"
+        "       (NOT (l.node % 5 = 0)"
+        "        OR l.label = CAST(e.label AS BIGINT)) AS seed_label_ok "
+        "FROM lab l JOIN embeddings e ON e.vec_id = l.node "
+        "WHERE l.iter = 3"
+    ),
+)
 def q_label_propagation(spark, sf_dir):
     """Semi-supervised label spreading over the embedding similarity
     graph — the weak-labeling operator for training data: 20% of
@@ -2602,8 +2763,14 @@ def q_label_propagation(spark, sf_dir):
     one argmax aggregate per round, labels frame stays |V|-sized).
     Deterministic by construction (count desc, label asc tie rule);
     equality with a pure-Python synchronous replay is asserted in
-    tests/test_graph.py. Rows-only for the driver (iterative,
-    non-SQL-expressible)."""
+    tests/test_graph.py.
+
+    FULL ORACLE (round 5, upgraded from rows-only): the synchronous
+    schedule is replayed in one DuckDB recursive CTE — each recursive
+    step is exactly one LPA round (vote join → struct-max argmax →
+    full-join carryover with seed clamping), with the same rounded
+    double cosine edge set as q_cosine_pairs. Fixed 3 rounds ≡ the
+    query's max_iter=3, so the hash-match is exact, not approximate."""
     from hls_stac_parquet_spark.operators.graph import propagate_labels
     from hls_stac_parquet_spark.operators.similarity import cosine_pairs_above
 

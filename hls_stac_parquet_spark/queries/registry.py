@@ -96,3 +96,24 @@ def pagerank_rounds_sql(iterations: int = 8) -> str:
             "  ON r.node = e.src GROUP BY e.dst) s USING (node))"
         )
     return sql
+
+
+def cosine_edges_sql(threshold: float) -> str:
+    """CTE pair ``pairs(va, vb)`` / ``sym(s, d)``: the exact cosine
+    similarity graph over ``embeddings`` — the oracle twin of
+    operators/similarity.py::cosine_pairs_above (same double
+    arithmetic, same round-to-6 comparison as q_cosine_pairs, which
+    is driver-hash-verified) plus the symmetrized edge view the graph
+    operators consume.  Returns a fragment starting with "pairs AS …"
+    for embedding in a WITH/WITH RECURSIVE header."""
+    return (
+        "pairs AS ("
+        "  SELECT a.vec_id AS va, b.vec_id AS vb"
+        "  FROM embeddings a, embeddings b"
+        "  WHERE a.vec_id < b.vec_id"
+        "    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        f"              CAST(b.embedding AS DOUBLE[])), 6) >= {threshold}), "
+        "sym AS ("
+        "  SELECT va AS s, vb AS d FROM pairs"
+        "  UNION SELECT vb AS s, va AS d FROM pairs)"
+    )

@@ -1116,6 +1116,79 @@ def q_calibration_bins(spark, sf_dir):
 
 
 @query(
+    "q_isotonic_calibration",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT value / (SELECT max(value) FROM events "
+        "    WHERE event_type IN ('purchase', 'view') AND isfinite(value)) AS p, "
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "  FROM events WHERE event_type IN ('purchase', 'view') "
+        "    AND isfinite(value)), "
+        "b AS (SELECT CAST(least(floor(p * 50), 49) AS INT) AS bin, "
+        "  count(*) AS w, sum(y) AS wy, avg(p) AS mp FROM scored GROUP BY bin), "
+        "o AS (SELECT *, row_number() OVER (ORDER BY bin) AS i FROM b), "
+        "pre AS (SELECT *, sum(w) OVER (ORDER BY i) AS cw, "
+        "  sum(wy) OVER (ORDER BY i) AS cwy FROM o), "
+        # every contiguous bucket interval [j..k] with its exact mean:
+        # integer sums ratio'd in double — bit-identical to PAVA's
+        # pooled block value
+        "iv AS (SELECT a.i AS j, c.i AS k, "
+        "  CAST(c.cwy - a.cwy + a.wy AS DOUBLE) / (c.cw - a.cw + a.w) AS avgv "
+        "  FROM pre a JOIN pre c ON a.i <= c.i), "
+        "im AS (SELECT v.j, o2.i AS i, min(v.avgv) AS mn "
+        "  FROM iv v JOIN o o2 ON o2.i BETWEEN v.j AND v.k GROUP BY v.j, o2.i), "
+        "fit AS (SELECT i, max(mn) AS yhat FROM im GROUP BY i) "
+        "SELECT o.bin, CAST(o.w AS BIGINT) AS n, round(o.mp, 6) AS mean_pred, "
+        "  round(f.yhat, 6) AS y_fit "
+        "FROM o JOIN fit f USING (i)"
+    ),
+)
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic calibration curve (weighted PAVA) — the
+    shape-constrained upgrade of q_calibration_bins: fit the
+    least-squares NON-DECREASING map from predicted score to observed
+    positive rate over 50 score buckets (operators/mlfit.py::
+    isotonic_fit), the standard post-hoc calibrator applied to
+    quality-classifier scores before they gate training data.
+
+    Scale shape: the 100 TB fact scan collapses in ONE grouped
+    aggregate to ≤50 integer sufficient-statistic rows (Σy, Σ1 per
+    bucket — y ∈ {0,1}, so every pooled block mean is an exact
+    int/int division, float-compare-free on both engines); the PAVA
+    stack runs inside a single applyInPandas group on an executor —
+    no driver collect, no per-block job.
+
+    ORACLE INDEPENDENCE: the DuckDB twin does NOT replay PAVA — it
+    evaluates the minimax identity ŷᵢ = max_{j≤i} min_{k≥i}
+    avg(y[j..k]) over all O(bins²) contiguous intervals (Robertson,
+    Wright & Dykstra 1988, Thm 1.4.4). Two different algorithms, one
+    exact-arithmetic answer: agreement is evidence, not echo."""
+    from hls_stac_parquet_spark.operators.mlfit import isotonic_fit
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view") & _finite(F.col("value"))
+    )
+    mx = ev.agg(F.max("value").alias("_mx"))
+    scored = ev.join(F.broadcast(mx)).select(
+        (F.col("value") / F.col("_mx")).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 50), F.lit(49)).cast("int").alias("bin")
+    ).agg(
+        F.count("*").alias("w"),
+        F.sum("y").alias("wy"),
+        F.avg("p").alias("mp"),
+    )
+    return isotonic_fit(bins, "bin", "wy", "w").select(
+        "bin",
+        F.col("w").cast("bigint").alias("n"),
+        F.round("mp", 6).alias("mean_pred"),
+        F.round("y_fit", 6).alias("y_fit"),
+    )
+
+
+@query(
     "q_outlier_iqr",
     oracle=(
         "WITH fences AS ("

@@ -111,3 +111,62 @@ def test_bradley_terry_matches_pure_python_mm(spark):
         assert got[e][0] == wins[e]
         assert abs(got[e][1] - p[e]) < 1e-9, (e, got[e], p[e])
     assert got["A"][1] > got["B"][1] > got["C"][1]
+
+
+def _minimax_isotonic(wy, w):
+    """Independent replay via the minimax identity ŷᵢ = max_{j≤i}
+    min_{k≥i} avg(y[j..k]) — a different algorithm from the
+    operator's PAVA stack."""
+    n = len(wy)
+    out = []
+    for i in range(n):
+        best = -np.inf
+        for j in range(i + 1):
+            mn = np.inf
+            for k in range(i, n):
+                mn = min(mn, sum(wy[j : k + 1]) / sum(w[j : k + 1]))
+            best = max(best, mn)
+        out.append(best)
+    return out
+
+
+def test_isotonic_fit_matches_minimax_replay(spark):
+    from hls_stac_parquet_spark.operators.mlfit import isotonic_fit
+
+    rng = np.random.default_rng(23)
+    w = rng.integers(1, 50, size=30)
+    wy = np.array([rng.integers(0, wi + 1) for wi in w])
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(wy, w))],
+        "x long, wy long, w long",
+    )
+    got = {
+        r.x: r.y_fit for r in isotonic_fit(df, "x", "wy", "w").collect()
+    }
+    want = _minimax_isotonic(list(map(int, wy)), list(map(int, w)))
+    assert [got[i] for i in range(30)] == pytest.approx(want, abs=1e-12)
+
+
+def test_isotonic_fit_is_monotone_and_idempotent_on_sorted(spark):
+    from hls_stac_parquet_spark.operators.mlfit import isotonic_fit
+
+    # violator case: fitted curve must be non-decreasing
+    rng = np.random.default_rng(5)
+    w = rng.integers(1, 20, size=40)
+    wy = np.array([rng.integers(0, wi + 1) for wi in w])
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(zip(wy, w))],
+        "x long, wy long, w long",
+    )
+    fit = sorted(isotonic_fit(df, "x", "wy", "w").collect(), key=lambda r: r.x)
+    ys = [r.y_fit for r in fit]
+    assert all(a <= b for a, b in zip(ys, ys[1:]))
+
+    # already-monotone input passes through untouched (projection is
+    # the identity on the feasible set)
+    mono = spark.createDataFrame(
+        [(0, 0, 10), (1, 2, 10), (2, 5, 10), (3, 9, 10)],
+        "x long, wy long, w long",
+    )
+    got = {r.x: r.y_fit for r in isotonic_fit(mono, "x", "wy", "w").collect()}
+    assert got == {0: 0.0, 1: 0.2, 2: 0.5, 3: 0.9}

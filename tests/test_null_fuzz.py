@@ -53,6 +53,9 @@ FUZZ_QUERIES = [
     # value → NULL-tolerant open/close picks)
     "q_token_fertility",
     "q_ohlc_bars",
+    # round-5 additions touching fuzzed columns (value → NULL excluded
+    # by the finite() measurement semantic on both engines)
+    "q_isotonic_calibration",
 ]
 
 
@@ -185,6 +188,9 @@ EMPTY_OK_QUERIES = [
     "q_jpeg_decode_stats",
     "q_gif_frame_pipeline",
     "q_int8_quantize",
+    # round-5 additions — every new operator must no-op cleanly
+    "q_mmr_diversify",
+    "q_isotonic_calibration",
 ]
 
 

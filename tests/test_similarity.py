@@ -240,3 +240,84 @@ def test_random_projection_query_jl_flag(spark):
 
     row = REGISTRY["q_random_projection"].fn(spark, SF0001).collect()[0]
     assert row.jl_band_ok, row
+
+
+def _numpy_mmr(pdf, probe_ids, k, pool, lam):
+    """Independent MMR replay: plain dict/loop implementation."""
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    out = []
+    for q in probe_ids:
+        qi = int(np.nonzero(ids == q)[0][0])
+        cands = [
+            (int(ids[j]), sims[qi][j]) for j in range(len(ids)) if ids[j] != q
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        cands = cands[:pool]
+        cid = [c for c, _ in cands]
+        crel = {c: r for c, r in cands}
+        idx = {c: int(np.nonzero(ids == c)[0][0]) for c in cid}
+        selected = []
+        bsim = {c: 0.0 for c in cid}
+        for step in range(1, k + 1):
+            best = None
+            for c in cid:
+                if c in (s[0] for s in selected):
+                    continue
+                sc = lam * crel[c] - (1.0 - lam) * bsim[c]
+                key = (-sc, c)
+                if best is None or key < best[0]:
+                    best = (key, c, sc)
+            selected.append((best[1], step, best[2]))
+            for c in cid:
+                bsim[c] = max(bsim[c], float(sims[idx[c]][idx[best[1]]]))
+        out.extend((q, c, s, sc) for c, s, sc in selected)
+    return sorted(out)
+
+
+def test_mmr_matches_independent_replay(emb):
+    from hls_stac_parquet_spark.operators.similarity import mmr_diversify
+
+    probes = emb.filter("vec_id < 3")
+    got = sorted(
+        (r.query_id, r.vec_id, r.rnk, r.mmr_score)
+        for r in mmr_diversify(emb, probes, k=5, pool=10, lam=0.7).collect()
+    )
+    want = _numpy_mmr(emb.toPandas(), [0, 1, 2], k=5, pool=10, lam=0.7)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_mmr_diversifies_planted_dup_cluster(spark):
+    from hls_stac_parquet_spark.operators.similarity import mmr_diversify
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((12, DIM))
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(12)]
+    # four near-copies of base[0]: a dup cluster a plain top-k would
+    # return wholesale
+    for j in range(4):
+        noisy = base[0] + rng.standard_normal(DIM) * 0.005
+        rows.append((200 + j, noisy.astype(np.float32).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    probes = df.filter("vec_id = 0")
+
+    picked = [
+        r.vec_id
+        for r in sorted(
+            mmr_diversify(df, probes, k=4, pool=8, lam=0.3).collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    # first pick is the max-relevance candidate (one of the copies) …
+    assert picked[0] in {200, 201, 202, 203}
+    # … then at lam=0.3 a remaining copy scores 0.3·1 − 0.7·1 < 0 while
+    # an unrelated candidate scores ≈ 0, so the dup cluster yields
+    # exactly one pick — a plain top-4 would be all four copies
+    assert len([p for p in picked if p in {200, 201, 202, 203}]) == 1
+    assert len(picked) == len(set(picked)) == 4
