@@ -52,17 +52,26 @@ def main() -> None:
     # constant alongside the timings lets per-round bench comparisons
     # separate code changes from host weather.
     def host_probe() -> dict:
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(10**7):
-            x += i
-        py_s = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
-            "k"
-        ).count().write.format("noop").mode("overwrite").save()
-        spark_s = round(time.perf_counter() - t0, 3)
-        return {"py_loop_s": py_s, "spark_range_agg_s": spark_s}
+        # median of 3: a single-shot probe swung 0.44–0.84 s across
+        # same-day quiet runs (round 5) and mis-normalized the gate in
+        # BOTH directions; the median tracks the host, not one GC/JIT
+        # hiccup. The probe's first spark run doubles as its warmup.
+        def once() -> tuple:
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(10**7):
+                x += i
+            py_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr("id % 97 AS k").groupBy(
+                "k"
+            ).count().write.format("noop").mode("overwrite").save()
+            return py_s, time.perf_counter() - t0
+        runs = [once() for _ in range(3)]
+        return {
+            "py_loop_s": round(sorted(r[0] for r in runs)[1], 3),
+            "spark_range_agg_s": round(sorted(r[1] for r in runs)[1], 3),
+        }
 
     probe_before = host_probe()
 

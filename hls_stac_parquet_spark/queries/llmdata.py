@@ -3096,8 +3096,13 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     # (round-5 verdict item: rows-only must mean more than rows>0;
     # est ≥ true is DETERMINISTIC by construction; measured excess is
     # 0 at every SF vs a 2N/width ≈ 53-row allowance at sf0.01;
-    # tests/test_sketches.py asserts every flag)
-    n_total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    # tests/test_sketches.py asserts every flag). N comes from the
+    # SKETCH, not a third token scan: every input row increments one
+    # cell per depth row, so Σcells/depth = stream length — the first
+    # cut re-tokenized the corpus just to count it (bench-gate catch)
+    n_total = sketch.agg(
+        (F.sum("cnt") / F.lit(4.0)).alias("n_total")
+    )
     return (
         countmin_estimate(sketch, head, "term", depth=4, width=1024)
         .join(head, "term")
@@ -4227,22 +4232,20 @@ def q_jpeg_decode_stats(spark, sf_dir):
     )
     # self-evidencing invariant (round-5): lossy JPEG still preserves
     # the DC term, so the decoded mean must sit close to the RAW
-    # source-buffer mean — computed JVM-side from the hex of the
-    # zero-padded bytes (measured max drift 3.1 px across SFs at the
-    # 35/60/85 quality sweep; band 8 px; tests/test_multimodal.py
-    # asserts every flag)
-    hx = F.hex(F.encode("text", "UTF-8"))
+    # source-buffer mean — computed JVM-side (measured max drift
+    # 3.1 px across SFs at the 35/60/85 quality sweep; band 8 px;
+    # tests/test_multimodal.py asserts every flag). One split pass +
+    # ascii per char, NOT per-byte conv(substring(hex)) — the hex
+    # form re-scanned the string 256× and cost 17× more for the same
+    # value (bench-gate catch). Byte == codepoint holds because the
+    # source buffers are this corpus's ASCII text (the same bytes the
+    # encoder packs); missing text ≡ zero-padded buffer, mean 0.
+    chars = F.slice(
+        F.split(F.coalesce(F.col("text"), F.lit("")), ""), 1, 256
+    )
     raw_mean = (
         F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(255)),
-                lambda k: F.when(
-                    2 * k + 2 <= F.length(hx),
-                    F.conv(
-                        F.substring(hx, 2 * k + 1, F.lit(2)), 16, 10
-                    ).cast("double"),
-                ).otherwise(F.lit(0.0)),
-            ),
+            F.transform(chars, lambda c: F.ascii(c).cast("double")),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -1920,6 +1920,74 @@ def q_psi_drift(spark, sf_dir):
 
 
 @query(
+    "q_holt_winters",
+    oracle=(
+        "WITH RECURSIVE "
+        "daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "  CAST(count(*) AS DOUBLE) AS x FROM events "
+        "  WHERE event_type IS NOT NULL GROUP BY 1, 2), "
+        "obs AS (SELECT event_type AS grp, x, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY day) - 1 AS step FROM daily), "
+        # state = (level, trend, 7-slot seasonal list); one recursive
+        # step consumes one observation; recursion stops per group when
+        # the join finds no next step
+        "hw(grp, step, lvl, trd, seas) AS ("
+        "  SELECT grp, 0, x, 0.0::DOUBLE, "
+        "    [0.0,0.0,0.0,0.0,0.0,0.0,0.0]::DOUBLE[] FROM obs WHERE step = 0 "
+        "  UNION ALL "
+        "  SELECT grp, step, nl, "
+        "    0.2*(nl - lvl) + (1.0 - 0.2)*trd, "
+        "    list_transform(range(1, 8), "
+        "      i -> CASE WHEN i = si THEN 0.3*(x - nl) + (1.0 - 0.3)*seas[i] "
+        "           ELSE seas[i] END) "
+        "  FROM ("
+        "    SELECT h.grp AS grp, h.step + 1 AS step, h.lvl AS lvl, "
+        "      h.trd AS trd, h.seas AS seas, o.x AS x, "
+        "      ((h.step + 1) % 7) + 1 AS si, "
+        "      0.5*(o.x - h.seas[((h.step + 1) % 7) + 1]) "
+        "        + (1.0 - 0.5)*(h.lvl + h.trd) AS nl "
+        "    FROM hw h JOIN obs o ON o.grp = h.grp "
+        "      AND o.step = h.step + 1)), "
+        "fin AS (SELECT h.grp AS grp, h.step AS step, h.lvl AS lvl, "
+        "  h.trd AS trd, h.seas AS seas FROM hw h "
+        "  JOIN (SELECT grp, max(step) AS ms FROM hw GROUP BY grp) m "
+        "  ON m.grp = h.grp AND m.ms = h.step) "
+        "SELECT grp AS event_type, CAST(hh AS INT) AS h, "
+        "  lvl + hh*trd + seas[((step + hh) % 7) + 1] AS forecast "
+        "FROM fin, range(1, 8) r(hh)"
+    ),
+)
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive forecast of daily event volume per event
+    type (operators/forecast.py::holt_winters): level+trend+weekly
+    seasonality smoothed over each type's daily-count series, 7-day
+    forecast out — the classical capacity-planning / volume-anomaly
+    baseline (alert when tomorrow's ingest leaves the forecast band).
+
+    FULL oracle for an inherently sequential recursion: the DuckDB
+    twin carries (level, trend, seasonal-list) through a recursive CTE
+    — one step per observation, stopping naturally per group when the
+    next-step join misses — with the IDENTICAL IEEE operation tree
+    seeded from exact integer counts, so forecasts hash-match
+    bit-for-bit with no rounding rescue (the MMR discipline).
+
+    Scale shape: the fact scan collapses to a days×types series in one
+    grouped count; the O(length) smoothing loop runs inside one
+    applyInPandas group per type — sequential state confined to the
+    smallest possible relation, never a driver loop."""
+    from hls_stac_parquet_spark.operators.forecast import holt_winters
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    return holt_winters(
+        daily, "event_type", "day", "x", season=7,
+        alpha=0.5, beta=0.2, gamma=0.3, horizon=7,
+    )
+
+
+@query(
     "q_seasonal_decompose",
     oracle=(
         "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt "

@@ -63,6 +63,12 @@ REPRESENTATIVE = [
     "q_perplexity_filter",
     "q_jpeg_decode_stats",
     "q_gif_frame_pipeline",
+    # round-5: MMR diverse retrieval (broadcast probe map + pool-
+    # bounded greedy — corpus cost is the zero-shuffle Arrow map) and
+    # isotonic calibration (fact scan collapsing to a ≤50-row fit —
+    # should scale with the scan, nothing else)
+    "q_mmr_diversify",
+    "q_isotonic_calibration",
 ]
 
 

@@ -19,8 +19,19 @@ def spark():
     yield s
     # explicit stop at session finish: without it the JVM teardown
     # races the interpreter exit and full-suite runs can die before
-    # pytest prints its final summary line (round-4 verdict note)
+    # pytest prints its final summary line (round-4 verdict note).
+    # stop() alone proved insufficient (round 5: full run still exited
+    # 1 with the summary suppressed AFTER a 100% dot matrix) — the
+    # Py4J gateway's callback/daemon threads outlive it; shut the
+    # gateway down explicitly and give its threads a beat to exit.
     try:
+        sc = s.sparkContext
         s.stop()
+        gw = getattr(sc, "_gateway", None)
+        if gw is not None:
+            gw.shutdown()
+        import time
+
+        time.sleep(1.0)
     except Exception:
         pass

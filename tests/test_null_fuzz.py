@@ -191,6 +191,7 @@ EMPTY_OK_QUERIES = [
     # round-5 additions — every new operator must no-op cleanly
     "q_mmr_diversify",
     "q_isotonic_calibration",
+    "q_holt_winters",
 ]
 
 

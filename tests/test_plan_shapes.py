@@ -873,3 +873,35 @@ def test_market_basket_blocked_pairs_and_takeordered(spark):
     # any other keyless join shape is a scale bug
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "l_orderkey" in plan, plan  # basket-blocked self join key
+
+
+def test_mmr_pool_is_partial_window_limit_then_broadcast(spark):
+    """q_mmr_diversify: the per-probe candidate pool must be pruned
+    BEFORE the shuffle (WindowGroupLimit Partial on top of the Arrow
+    map), and the pool→vector gather must broadcast the pool side —
+    the corpus never shuffles."""
+    plan = _plan(spark, "q_mmr_diversify")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one fact-scale exchange feeds the window (round-robin
+    # spread for the Arrow map is input-sized, the window exchange is
+    # pool-sized); no exchange after the broadcast join except the
+    # tiny per-probe group shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_isotonic_calibration_fits_on_aggregate_not_fact(spark):
+    """q_isotonic_calibration: the PAVA group must consume the ≤50-row
+    bucket AGGREGATE (partial+final HashAggregate below the group
+    shuffle), never raw events; the score normalizer joins as a
+    broadcast scalar."""
+    plan = _plan(spark, "q_isotonic_calibration")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the groups-in-pandas input is the bucket aggregate: its exchange
+    # hashes the constant group key, downstream of the aggregate
+    agg_pos = plan.find("HashAggregate")
+    fmg_pos = plan.find("FlatMapGroupsInPandas")
+    assert fmg_pos < agg_pos, "fit must sit ABOVE the aggregate in the plan tree"
