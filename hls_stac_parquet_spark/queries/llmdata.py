@@ -278,6 +278,86 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "q_greedy_max_cover",
+    oracle=(
+        "WITH RECURSIVE "
+        "base AS (SELECT doc_id, string_split(lower(text), ' ') AS ts "
+        "  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), "
+        "posts AS (SELECT DISTINCT doc_id AS doc, shingle AS tok FROM ("
+        "  SELECT doc_id, unnest(list_transform(range(1, len(ts)), "
+        "    i -> ts[i] || ' ' || ts[i+1])) AS shingle FROM base)), "
+        # working relation = postings annotated with (covered, picked)
+        # flags; one recursive step per greedy pick — winner is the
+        # struct-max of (uncovered-count DESC, doc ASC) over unpicked
+        # docs with positive gain
+        "st(step, doc, tok, covered, picked, gain) AS ("
+        "  SELECT 0, doc, tok, FALSE, CAST(NULL AS INT), "
+        "    CAST(NULL AS BIGINT) FROM posts "
+        "  UNION ALL "
+        "  SELECT p.step + 1, p.doc, p.tok, "
+        "    p.covered OR (wr.wt IS NOT NULL), "
+        "    CASE WHEN p.doc = w.wdoc AND p.picked IS NULL "
+        "      THEN p.step + 1 ELSE p.picked END, "
+        "    CASE WHEN p.doc = w.wdoc AND p.picked IS NULL "
+        "      THEN w.g ELSE p.gain END "
+        "  FROM (SELECT * FROM st WHERE step < 5) p "
+        "  JOIN (SELECT -((max(struct_pack(g := g, nd := -doc))).nd) AS wdoc, "
+        "      (max(struct_pack(g := g, nd := -doc))).g AS g "
+        "    FROM (SELECT doc, count(*) FILTER (WHERE NOT covered) AS g "
+        "      FROM st WHERE step < 5 AND picked IS NULL GROUP BY doc "
+        "      HAVING count(*) FILTER (WHERE NOT covered) > 0) cand"
+        "  ) w ON TRUE "
+        "  LEFT JOIN (SELECT doc AS wd, tok AS wt FROM st WHERE step < 5) wr "
+        "    ON wr.wd = w.wdoc AND wr.wt = p.tok) "
+        "SELECT rank, doc_id, gain, "
+        "  CAST(sum(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total "
+        "FROM (SELECT DISTINCT CAST(picked AS INT) AS rank, "
+        "    doc AS doc_id, gain FROM st "
+        "  WHERE step = (SELECT max(step) FROM st) "
+        "    AND picked IS NOT NULL)"
+    ),
+    bench=False,  # k sequential postings scans by design — the greedy
+    # envelope is k driver-sequenced rounds, declared, not a plan flaw
+)
+def q_greedy_max_cover(spark, sf_dir):
+    """Greedy maximum-coverage subset selection (facility location):
+    the 5 documents whose bigram sets jointly cover the most corpus
+    vocabulary — coreset/eval-seed selection, the set-function cousin
+    of q_mmr_diversify's pairwise diversity
+    (operators/coverage.py::greedy_max_cover; classical (1−1/e)
+    greedy, deterministic gain-desc/doc-asc tie rule).
+
+    FULL oracle for a sequential greedy: the DuckDB twin's recursive
+    CTE carries the postings relation annotated with covered/picked
+    flags, one step per pick — integer gains make the hash-match
+    exact. Each Spark round is one broadcast anti-join (covered token
+    set, bounded by k × doc size) + one doc-keyed count + a
+    TakeOrdered(1); k single-row collects total."""
+    from hls_stac_parquet_spark.operators.coverage import greedy_max_cover
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("ts")
+    ).filter(F.size("ts") >= 2)
+    posts = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ts", i.cast("int")),
+                        F.element_at("ts", (i + 1).cast("int")),
+                    ),
+                )
+            )
+        ).alias("tok"),
+    )
+    return greedy_max_cover(posts, k=5, doc_col="doc_id", tok_col="tok")
+
+
 @query("q_minhash_dedup", oracle=None)  # xxhash64 sketch — engine-specific
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (banded bucket join)."""

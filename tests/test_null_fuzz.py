@@ -54,8 +54,10 @@ FUZZ_QUERIES = [
     "q_token_fertility",
     "q_ohlc_bars",
     # round-5 additions touching fuzzed columns (value → NULL excluded
-    # by the finite() measurement semantic on both engines)
+    # by the finite() measurement semantic on both engines; text →
+    # NULL docs drop out of the postings identically)
     "q_isotonic_calibration",
+    "q_greedy_max_cover",
 ]
 
 
@@ -192,6 +194,7 @@ EMPTY_OK_QUERIES = [
     "q_mmr_diversify",
     "q_isotonic_calibration",
     "q_holt_winters",
+    "q_greedy_max_cover",
 ]
 
 
