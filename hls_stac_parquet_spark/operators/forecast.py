@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
-    StringType,
     StructField,
     StructType,
 )
@@ -63,9 +62,12 @@ def holt_winters(
     a, b, g = float(alpha), float(beta), float(gamma)
     m, hz = int(season), int(horizon)
 
+    # the group key keeps its INPUT type (int cohort ids, dates, …) —
+    # pinning StringType here broke any non-string caller with an Arrow
+    # schema mismatch at runtime (round-5 ADVICE)
     out_schema = StructType(
         [
-            StructField(group_col, StringType()),
+            StructField(group_col, series.schema[group_col].dataType),
             StructField("h", IntegerType()),
             StructField("forecast", DoubleType()),
         ]

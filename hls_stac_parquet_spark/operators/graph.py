@@ -304,6 +304,77 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """HITS (hubs & authorities) over a DIRECTED edge list — the
+    mutual-reinforcement centrality pair: auth(v) = Σ hub(u) over
+    in-edges, hub(u) = Σ auth(v) over out-edges, L1-normalized each
+    half-step (any positive scaling converges to the same fixpoint;
+    L1 keeps the arithmetic a float sum + one division — no sqrt, so
+    the oracle replays it exactly).
+
+    Returns (node, auth, hub) for every node, 0.0 where a node has no
+    in-edges (auth) or out-edges (hub). Same scale discipline as
+    :func:`pagerank`: each half-step is ONE keyed shuffle (edge join +
+    destination aggregate) plus a 1-row sum broadcast for the
+    normalization; per-round localCheckpoints truncate lineage so
+    round k never replays rounds 1..k-1.
+    """
+    e = edges.select(src, dst).localCheckpoint()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionAll(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = e.select(F.col(src).alias("node")).distinct().withColumn(
+        "hub", F.lit(1.0)
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", src), src)
+            .groupBy(dst)
+            .agg(F.sum("hub").alias("_v"))
+        )
+        a_sum = a_raw.agg(F.sum("_v").alias("_s"))
+        auth = (
+            a_raw.join(F.broadcast(a_sum))
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("_v") / F.col("_s")).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", dst), dst)
+            .groupBy(src)
+            .agg(F.sum("auth").alias("_v"))
+        )
+        h_sum = h_raw.agg(F.sum("_v").alias("_s"))
+        hub = (
+            h_raw.join(F.broadcast(h_sum))
+            .select(
+                F.col(src).alias("node"),
+                (F.col("_v") / F.col("_s")).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count via the edge-iterator / adjacency-
     intersection algorithm (one row: n_edges, n_triangles).

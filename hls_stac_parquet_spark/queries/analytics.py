@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from hls_stac_parquet_spark.queries.registry import (
     cosine_edges_sql,
+    hits_rounds_sql,
     pagerank_rounds_sql,
     query,
     t,
@@ -78,7 +79,8 @@ def q_skyline(spark, sf_dir):
         "WITH sessions AS ("
         "  SELECT user_id, CAST(ts AS DATE) AS day, "
         "         min(ts) AS s, max(ts) AS e "
-        "  FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+        "  FROM events WHERE ts IS NOT NULL "
+        "  GROUP BY user_id, CAST(ts AS DATE)), "
         "points AS ("
         "  SELECT day, s AS pt, 1 AS delta FROM sessions "
         "  UNION ALL "
@@ -104,9 +106,11 @@ def q_max_concurrency(spark, sf_dir):
     one day-partitioned window — never materializes overlap pairs, so
     it scales where an interval self-join (O(n²) per day) would not.
     Ties between identical (point, delta) rows permute only the order
-    of equal +1s/-1s, which cannot change the running-max.
+    of equal +1s/-1s, which cannot change the running-max.  NULL-ts
+    events define no interval and are excluded on BOTH engines
+    (round-6 key-fuzz discipline).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sessions = (
         ev.withColumn("day", F.col("ts").cast("date"))
         .groupBy("user_id", "day")
@@ -402,10 +406,12 @@ def q_bigram_lm(spark, sf_dir):
     oracle=(
         "WITH p AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'purchase' AND isfinite(value)), "
+        "  FROM events WHERE event_type = 'purchase' AND isfinite(value) "
+        "    AND ts IS NOT NULL AND user_id IS NOT NULL), "
         "r AS (SELECT user_id, event_id, ts AS s, "
         "  ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e "
-        "  FROM events WHERE event_type = 'error' AND isfinite(value)) "
+        "  FROM events WHERE event_type = 'error' AND isfinite(value) "
+        "    AND ts IS NOT NULL AND user_id IS NOT NULL) "
         "SELECT p.user_id, p.event_id AS purchase_id, "
         "  r.event_id AS error_id, "
         "  CAST(date_diff('microsecond', greatest(p.s, r.s), "
@@ -445,8 +451,13 @@ def q_interval_overlap_join(spark, sf_dir):
         # dirty-float semantic (tests/test_nan_fuzz.py)
         from hls_stac_parquet_spark.queries.registry import finite
 
+        # NULL ts => no interval; NULL user_id => no join identity:
+        # excluded explicitly on both engines (round-6 key-fuzz sweep)
         return ev.filter(
-            (F.col("event_type") == etype) & finite(F.col("value"))
+            (F.col("event_type") == etype)
+            & finite(F.col("value"))
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
         ).select(
             "user_id",
             "event_id",
@@ -659,6 +670,124 @@ def q_pagerank(spark, sf_dir):
 
 
 @query(
+    "q_hits",
+    oracle=(
+        "WITH edges AS (SELECT DISTINCT concat('c', o_custkey) AS src, "
+        "  concat('s', l_suppkey) AS dst "
+        "  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)"
+        + hits_rounds_sql(8)
+        + ", nodes AS (SELECT src AS node FROM edges "
+        "  UNION SELECT dst FROM edges) "
+        "SELECT n.node, round(coalesce(a.auth, 0.0), 6) AS auth, "
+        "  round(coalesce(h.hub, 0.0), 6) AS hub "
+        "FROM nodes n LEFT JOIN a8 a ON a.node = n.node "
+        "LEFT JOIN h8 h ON h.node = n.node"
+    ),
+    bench=False,  # iterative multi-job op — q_pagerank posture
+)
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the DIRECTED customer→supplier
+    purchase graph (operators/graph.py::hits): 8 mutual-reinforcement
+    rounds, each half-step ONE keyed shuffle + a 1-row L1-norm
+    broadcast. On this bipartite graph authorities concentrate on
+    suppliers (who do the best customers buy from?) and hubs on
+    customers (who buys from the best suppliers?) — the same operator
+    ranks citation/link graphs in a corpus pipeline, where PageRank's
+    single score conflates the two roles. FULL oracle: the fixed-count
+    iteration unrolls to materialized SQL CTE pairs
+    (queries/registry.py::hits_rounds_sql) — L1 normalization (sum +
+    divide, no sqrt) is what makes the float recipe replayable."""
+    from hls_stac_parquet_spark.operators.graph import hits
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    r = hits(e, iterations=8)
+    return r.select(
+        "node",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+@query(
+    "q_adamic_adar",
+    oracle=(
+        "WITH od AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb "
+        "  FROM od a JOIN od b ON a.l_orderkey = b.l_orderkey "
+        "   AND a.l_partkey < b.l_partkey), "
+        "sym AS (SELECT pa AS s, pb AS d FROM e "
+        "  UNION ALL SELECT pb, pa FROM e), "
+        "deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg "
+        "  FROM sym GROUP BY s), "
+        "wedges AS ("
+        "  SELECT w1.d AS pa, w2.d AS pb, "
+        "    round(sum(1.0 / ln(g.deg)), 6) AS aa "
+        "  FROM sym w1 JOIN sym w2 ON w1.s = w2.s AND w1.d < w2.d "
+        "  JOIN deg g ON g.node = w1.s "
+        "  GROUP BY w1.d, w2.d), "
+        "cand AS (SELECT w.pa, w.pb, w.aa FROM wedges w "
+        "  LEFT JOIN e ON e.pa = w.pa AND e.pb = w.pb "
+        "  WHERE e.pa IS NULL) "
+        "SELECT pa, pb, aa FROM cand ORDER BY aa DESC, pa, pb LIMIT 20"
+    ),
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction on the co-purchase part graph: for
+    each NON-adjacent pair sharing neighbors, score Σ 1/ln(deg z) over
+    the common neighbors z (rare shared neighbors are stronger
+    evidence than hubs) — the classic 'you may also like' / missing-
+    edge ranking primitive.
+
+    Scale shape: wedges enumerate per CENTER node (an equi-self-join
+    of the symmetric edge list on the center), so the cost is
+    Σ_z deg(z)² — identical envelope to q_item_item_cf's basket² and
+    bounded here by basket-size-bounded co-purchase degrees; a
+    power-law graph caps the center degree first (documented dial, as
+    in similarity's brute tier). The existing-edge exclusion is an
+    anti-join against the canonical edge list, the degree dim is
+    |V|-sized (AQE broadcasts it), and the head is
+    TakeOrderedAndProject on the ROUNDED score (both engines rank the
+    same 6-decimal key, so summation-order ulps can't flip the
+    cutoff)."""
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+
+    od = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = self_join_pairs(od, ["l_orderkey"], "l_partkey").select(
+        F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
+    ).distinct()
+    sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    w1 = sym.select(F.col("s").alias("z"), F.col("d").alias("pa"))
+    w2 = sym.select(F.col("s").alias("z"), F.col("d").alias("pb"))
+    wedges = (
+        w1.join(w2, "z")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(deg.withColumnRenamed("node", "z"), "z")
+        .groupBy("pa", "pb")
+        .agg(F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa"))
+    )
+    cand = wedges.join(e, ["pa", "pb"], "left_anti")
+    return cand.orderBy(F.desc("aa"), "pa", "pb").limit(20)
+
+
+@query(
     "q_dq_expectations",
     oracle=(
         "SELECT 'orders_custkey_fk' AS rule, CAST(("
@@ -734,7 +863,8 @@ def q_dq_expectations(spark, sf_dir):
     oracle=(
         "WITH seq AS (SELECT user_id, event_id, ts, value, "
         "  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 "
-        "    AS i FROM events WHERE event_type = 'purchase') "
+        "    AS i FROM events WHERE event_type = 'purchase' "
+        "  AND ts IS NOT NULL AND user_id IS NOT NULL) "
         "SELECT user_id, event_id, value, round("
         "  sum(value * pow(0.7, -i)) OVER w / sum(pow(0.7, -i)) OVER w, 6) "
         "  AS ewma "
@@ -755,9 +885,13 @@ def q_ewma(spark, sf_dir):
     series here are far shorter, and the production mitigation is
     chunked re-basing of i.  Both engines evaluate the identical
     formula with an identical total order (ts, event_id tiebreak).
+    NULL ts / user_id rows define no series position and are excluded
+    on BOTH engines (round-6 key-fuzz sweep).
     """
     ev = t(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     seq = ev.select(
         "user_id",
@@ -924,7 +1058,16 @@ def q_triangle_count(spark, sf_dir):
         "    FROM (SELECT * FROM hc WHERE iter < 60) p"
         "    JOIN sym u ON u.s = p.node GROUP BY 1, 2)) "
         "SELECT c AS core, CAST(count(*) AS BIGINT) AS n_vecs "
-        "FROM hc WHERE iter = 60 GROUP BY c"
+        "FROM hc WHERE iter = 60 GROUP BY c "
+        # convergence sentinel (round-5 ADVICE): the 60-round cap is
+        # calibrated to this corpus; if iter 59 ≠ iter 60 the oracle is
+        # STALE, and this extra core=-1 row makes the parity failure
+        # diagnose as oracle staleness, not an engine bug
+        "UNION ALL "
+        "SELECT -1, CAST(count(*) AS BIGINT) FROM ("
+        "  SELECT node, c FROM hc WHERE iter = 60 "
+        "  EXCEPT SELECT node, c FROM hc WHERE iter = 59) "
+        "HAVING count(*) > 0"
     ),
 )
 def q_kcore(spark, sf_dir):
@@ -974,7 +1117,8 @@ def q_kcore(spark, sf_dir):
         "WITH seq AS ("
         "  SELECT user_id, count(*) AS n_events, "
         "    string_agg(event_type, ',' ORDER BY ts, event_id) AS path "
-        "  FROM events GROUP BY user_id) "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "  GROUP BY user_id) "
         "SELECT user_id, CAST(n_events AS BIGINT) AS n_events "
         "FROM seq "
         "WHERE regexp_matches(path, 'view.*click.*purchase')"
@@ -994,8 +1138,12 @@ def q_pattern_sequence(spark, sf_dir):
     path) ever shuffles.  Arbitrary patterns (negation, bounded gaps)
     drop into the same shape by editing the regex, which is the point:
     sequence mining as one aggregate, not an iterative join chain.
+    NULL ts / user_id rows define no sequence position and are
+    excluded on BOTH engines (round-6 key-fuzz discipline).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     seq = (
         ev.groupBy("user_id")
         .agg(
@@ -1195,11 +1343,13 @@ def q_funnel_windowed(spark, sf_dir):
 @query(
     "q_attribution",
     oracle=(
-        "WITH touches AS ("
-        "  SELECT user_id, ts, event_type FROM events "
+        "WITH ev AS (SELECT * FROM events "
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "touches AS ("
+        "  SELECT user_id, ts, event_type FROM ev "
         "  WHERE event_type IN ('view', 'click')), "
         "purchases AS ("
-        "  SELECT event_id, user_id, ts FROM events "
+        "  SELECT event_id, user_id, ts FROM ev "
         "  WHERE event_type = 'purchase'), "
         "tagged AS ("
         "  SELECT p.event_id, t.event_type, "
@@ -1223,8 +1373,12 @@ def q_attribution(spark, sf_dir):
     the user's merged event stream ONCE and carries the last touch
     forward (the same union-sort-carry-forward kernel as the as-of
     join, q_asof_join): one user-keyed shuffle, one window pass,
-    O(1) state per row, then a touch-type-sized aggregate."""
-    e = t(spark, sf_dir, "events")
+    O(1) state per row, then a touch-type-sized aggregate. NULL ts /
+    user_id rows can neither earn nor give credit and are excluded on
+    BOTH engines (round-6 key-fuzz sweep)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     touches = e.filter(
         F.col("event_type").isin("view", "click")
     ).select(
@@ -1274,7 +1428,8 @@ def q_attribution(spark, sf_dir):
         "  SELECT user_id, ts, event_id, event_type, "
         "    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
         "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
-        "    THEN 1 ELSE 0 END AS is_new FROM events), "
+        "    THEN 1 ELSE 0 END AS is_new FROM events "
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "sess AS ("
         "  SELECT user_id, ts, event_id, event_type, "
         "    sum(is_new) OVER (PARTITION BY user_id "
@@ -1298,9 +1453,13 @@ def q_session_paths(spark, sf_dir):
     AND the per-session ordered aggregation (sort_array over
     (ts, event_id, type) structs — deterministic total order, no
     second exchange); path counting shuffles only the paths-sized
-    aggregate, and the head is TakeOrdered."""
+    aggregate, and the head is TakeOrdered. NULL ts / user_id rows
+    can't be sessionized and are excluded on BOTH engines (round-6
+    key-fuzz sweep)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = t(spark, sf_dir, "events").withColumn(
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn(
         "ts_us",
         F.expr(
             "timestampdiff(MICROSECOND,"

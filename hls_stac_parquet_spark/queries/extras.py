@@ -88,10 +88,12 @@ def q_join_skew_salted(spark, sf_dir):
 @query(
     "q_asof_join",
     oracle=(
-        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "WITH ev AS (SELECT * FROM events "
+        "            WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "     l AS (SELECT event_id, user_id, ts, value FROM ev "
         "           WHERE event_type = 'purchase'), "
         "     r AS (SELECT user_id, ts, max(event_id) AS prior_click_id "
-        "           FROM events WHERE event_type = 'click' "
+        "           FROM ev WHERE event_type = 'click' "
         "           GROUP BY user_id, ts) "
         "SELECT l.user_id, l.ts, l.event_id, l.value, "
         "       r.ts AS prior_click_ts, r.prior_click_id "
@@ -105,8 +107,14 @@ def q_asof_join(spark, sf_dir):
     oracle). Spark side is operators/asof.py's union-sort-carry-forward
     merge formulation: ONE shuffle on user_id, no range cross-product.
     Right side pre-aggregated to one row per (user_id, ts) so the
-    tie-winner is deterministic on both engines."""
-    ev = t(spark, sf_dir, "events")
+    tie-winner is deterministic on both engines. NULL ts / user_id
+    rows cannot participate in point-in-time matching and are
+    excluded on BOTH engines (round-6 key-fuzz sweep: DuckDB's ASOF
+    never matches a NULL key, Spark's merge sorted it into a
+    partition)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -124,10 +132,12 @@ def q_asof_join(spark, sf_dir):
 @query(
     "q_asof_nearest",
     oracle=(
-        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "WITH ev AS (SELECT * FROM events "
+        "            WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "     l AS (SELECT event_id, user_id, ts, value FROM ev "
         "           WHERE event_type = 'purchase'), "
         "     r AS (SELECT user_id, ts, max(event_id) AS near_click_id "
-        "           FROM events WHERE event_type = 'click' "
+        "           FROM ev WHERE event_type = 'click' "
         "           GROUP BY user_id, ts), "
         "cand AS ("
         "  SELECT l.event_id, l.user_id, l.ts, l.value, "
@@ -157,8 +167,12 @@ def q_asof_nearest(spark, sf_dir):
     (last preceding) and carry-backward (first following) candidates
     come from the SAME user-keyed sort, so nearest costs exactly what
     backward costs: one shuffle, one partition sort, no second join.
+    NULL ts / user_id rows are excluded on BOTH engines (round-6
+    key-fuzz sweep — as in q_asof_join).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -248,7 +262,7 @@ def q_mad(spark, sf_dir):
     oracle=(
         "WITH s AS (SELECT user_id, value, lag(value) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id) AS pv "
-        "FROM events WHERE isfinite(value)) "
+        "FROM events WHERE isfinite(value) AND ts IS NOT NULL) "
         "SELECT user_id, round(corr(value, pv), 6) AS autocorr "
         "FROM s WHERE pv IS NOT NULL GROUP BY user_id"
     ),
@@ -259,13 +273,17 @@ def q_autocorr_lag1(spark, sf_dir):
     One user-keyed sort-window for the lag, then a partial-aggregable
     corr; the groupBy reuses the window's partitioning (no second
     shuffle). Non-finite values excluded on both engines (declared
-    dirty-float semantic — Inf poisons the correlation moments)."""
+    dirty-float semantic — Inf poisons the correlation moments);
+    NULL-ts events carry no series position and are excluded on BOTH
+    engines too (round-6 key-fuzz sweep)."""
     from pyspark.sql.window import Window
 
     from hls_stac_parquet_spark.queries.registry import finite
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = t(spark, sf_dir, "events").filter(finite(F.col("value"))).select(
+    s = t(spark, sf_dir, "events").filter(
+        finite(F.col("value")) & F.col("ts").isNotNull()
+    ).select(
         "user_id", "value", F.lag("value").over(w).alias("pv")
     )
     return (
@@ -472,7 +490,8 @@ def q_profile_columns(spark, sf_dir):
         "  SELECT user_id, event_type, ts, event_id, "
         "  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
         "  THEN 1 ELSE 0 END AS chg "
-        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "grp AS ("
         "  SELECT user_id, event_type, ts, "
         "  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg "
@@ -493,11 +512,15 @@ def q_scd2_intervals(spark, sf_dir):
     slowly-changing-dimension snapshot a warehouse derives from CDC.
     Gaps-and-islands (lag → change flag → running sum) plus a lead
     for the closing edge; every window keys on user_id, so the whole
-    query is ONE user-keyed shuffle with in-partition sorts."""
+    query is ONE user-keyed shuffle with in-partition sorts. NULL ts
+    / user_id rows carry no validity position and are excluded on
+    BOTH engines (round-6 key-fuzz sweep)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = t(spark, sf_dir, "events").select(
+    marked = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "event_type",
         "ts",
@@ -528,7 +551,8 @@ def q_scd2_intervals(spark, sf_dir):
         "WITH steps AS ("
         "  SELECT user_id, lag(event_type) OVER "
         "  (PARTITION BY user_id ORDER BY ts, event_id) AS ev_from, "
-        "  event_type AS ev_to FROM events), "
+        "  event_type AS ev_to FROM events "
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "counts AS ("
         "  SELECT ev_from, ev_to, count(*) AS n FROM steps "
         "  WHERE ev_from IS NOT NULL GROUP BY ev_from, ev_to) "
@@ -543,11 +567,15 @@ def q_markov_transitions(spark, sf_dir):
     with what probability). The lag window keys on user_id (one
     shuffle); the transition count is a partial-aggregable groupBy
     over |event_types|² keys, and the row-normalization window runs
-    on that tiny aggregate, not the facts."""
+    on that tiny aggregate, not the facts. NULL ts / user_id rows
+    define no sequence position and are excluded on BOTH engines
+    (round-6 key-fuzz sweep)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = t(spark, sf_dir, "events").select(
+    steps = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         F.lag("event_type").over(w).alias("ev_from"),
         F.col("event_type").alias("ev_to"),
     )
@@ -570,7 +598,8 @@ def q_markov_transitions(spark, sf_dir):
     "q_rolling_active_users",
     oracle=(
         "WITH ud AS (SELECT DISTINCT user_id, "
-        "CAST(date_trunc('day', ts) AS DATE) AS d FROM events), "
+        "CAST(date_trunc('day', ts) AS DATE) AS d FROM events "
+        "WHERE ts IS NOT NULL), "
         "cover AS (SELECT user_id, "
         "CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) "
         "AS DATE) AS day FROM ud) "
@@ -586,9 +615,12 @@ def q_rolling_active_users(spark, sf_dir):
     once — shuffle volume 7×|distinct (user,day)|, linear in the
     data. The approximate twin at extreme scale is per-day HLL
     sketches merged over the trailing window (see q_hll_user_reach
-    for the mergeable-sketch pattern)."""
+    for the mergeable-sketch pattern). NULL-ts events belong to no
+    day and are excluded on BOTH engines (round-6 key-fuzz
+    discipline; a NULL d would also NULL the whole cover sequence)."""
     ud = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
@@ -607,7 +639,7 @@ def q_rolling_active_users(spark, sf_dir):
         "WITH seg AS ("
         "  SELECT user_id, value, ts, "
         "  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
-        "  FROM events), "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "w AS (SELECT user_id, value, "
         "  date_diff('microsecond', ts, nxt) AS dur_us FROM seg "
         "  WHERE nxt IS NOT NULL) "
@@ -622,11 +654,15 @@ def q_time_weighted_avg(spark, sf_dir):
     the next event) — the correct mean for irregularly-sampled
     series, where the arithmetic mean over-weights bursts. One
     user-keyed window for the lead, then a partial-aggregable
-    weighted-sum groupBy that reuses the window's partitioning."""
+    weighted-sum groupBy that reuses the window's partitioning.
+    NULL ts / user_id rows define no holding interval and are
+    excluded on BOTH engines (round-6 key-fuzz discipline)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seg = t(spark, sf_dir, "events").select(
+    seg = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "value",
         F.expr(
@@ -657,7 +693,7 @@ def q_time_weighted_avg(spark, sf_dir):
         "WITH s0 AS ("
         "  SELECT value, date_trunc('minute', ts) "
         "  - to_minutes(CAST(extract(minute FROM ts) AS BIGINT) % 15) AS base "
-        "  FROM events), "
+        "  FROM events WHERE ts IS NOT NULL), "
         "hops AS ("
         "  SELECT value, base - to_minutes(CAST(k * 15 AS BIGINT)) AS win_start "
         "  FROM s0, (SELECT unnest([0, 1, 2, 3]) AS k)) "
@@ -672,8 +708,10 @@ def q_hopping_window(spark, sf_dir):
     scan-side (a 4-element explode, no self-join), then ONE window-
     keyed partial-aggregable groupBy; the same expression runs under
     Structured Streaming with a watermark. The oracle replays the
-    hop enumeration with generate_series."""
-    e = t(spark, sf_dir, "events")
+    hop enumeration with generate_series. NULL-ts events belong to no
+    window on BOTH engines (Spark's window() drops them silently;
+    the oracle filter makes DuckDB agree — round-6 key-fuzz sweep)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
         .agg(
@@ -888,9 +926,16 @@ def q_fk_discovery(spark, sf_dir):
     the semi-join probes the parent's key column only (column-pruned
     scan), and AQE broadcasts the smaller side. Candidates are
     independent branches of one union — they parallelize as separate
-    stages of the same job."""
+    stages of the same job. Inclusion is defined over NON-NULL child
+    values (the standard IND definition, and what the oracle's
+    count(DISTINCT)/IN pair computes — a NULL child value neither
+    counts nor matches; round-6 key-fuzz sweep)."""
     def incl(child_df, child_col, parent_df, parent_col, label):
-        child = child_df.select(F.col(child_col).alias("k")).distinct()
+        child = (
+            child_df.select(F.col(child_col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
         parent = parent_df.select(F.col(parent_col).alias("k")).distinct()
         matched = child.join(parent, "k", "left_semi")
         return (

@@ -304,7 +304,7 @@ def q_degree_distribution(spark, sf_dir):
         "    event_type ORDER BY ts, event_id) AS rn_a, "
         "  row_number() OVER (PARTITION BY date_trunc('day', ts), "
         "    event_type ORDER BY ts DESC, event_id DESC) AS rn_d "
-        "  FROM events) "
+        "  FROM events WHERE ts IS NOT NULL) "
         "SELECT CAST(day AS TIMESTAMP) AS day, event_type, "
         "  round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open, "
         "  round(max(value), 6) AS high, "
@@ -324,8 +324,13 @@ def q_ohlc_bars(spark, sf_dir):
     partitioning, so Spark plans a single exchange + sort and reuses
     it (ascending and descending rank come from the same sorted run);
     the group-by then collapses to |days × types| rows. No
-    single-partition window anywhere."""
-    ev = t(spark, sf_dir, "events")
+    single-partition window anywhere.
+
+    NULL-ts events belong to no daily bar — excluded on BOTH engines
+    (round-6 key-fuzz; also sidesteps a DuckDB 1.0.0 optimizer quirk
+    where date_trunc('day', ts) is treated as never-NULL, making the
+    NULL-day window partition unstable on the oracle side)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     from pyspark.sql.window import Window
 
     day = F.date_trunc("day", F.col("ts")).alias("day")
@@ -444,7 +449,8 @@ def q_sql_text_interface(spark, sf_dir):
         "WITH agg AS (SELECT source, lang, count(*) AS n "
         "  FROM documents GROUP BY source, lang), "
         "noised AS (SELECT source, lang, n, "
-        "  (CAST(concat('0x', substr(md5(concat(source, '|', lang)), 1, 13)) "
+        "  (CAST(concat('0x', substr(md5(concat(coalesce(source, ''), '|', "
+        "    coalesce(lang, ''))), 1, 13)) "
         "    AS BIGINT) / 4503599627370496.0) - 0.5 AS u FROM agg) "
         "SELECT source, lang, "
         "  CAST(n + round(-2.0 * sign(u) * ln(1 - 2 * abs(u))) AS BIGINT) "
@@ -475,9 +481,17 @@ def q_dp_counts(spark, sf_dir):
     arithmetic in codegen."""
     docs = t(spark, sf_dir, "documents")
     agg = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    # NULL cell keys hash as '' EXPLICITLY on both engines — Spark's
+    # concat_ws silently DROPS a NULL arg (and its separator) where
+    # DuckDB's concat maps it to '', desynchronizing the seed for
+    # NULL-lang cells (round-6 key-fuzz sweep)
+    key = F.concat(
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
     u = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", "source", "lang")), 1, 13),
-               16, 10).cast("double")
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
         / F.lit(4503599627370496.0)
         - 0.5
     ).alias("u")
@@ -500,7 +514,7 @@ def q_dp_counts(spark, sf_dir):
     oracle=(
         "WITH daily AS (SELECT date_trunc('day', ts) AS day, "
         "  round(sum(value), 4) AS rev FROM events "
-        "  WHERE isfinite(value) GROUP BY 1) "
+        "  WHERE isfinite(value) AND ts IS NOT NULL GROUP BY 1) "
         "SELECT CAST(day AS TIMESTAMP) AS day, rev, "
         "  round(quantile_cont(rev, 0.5) OVER ("
         "    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) "
@@ -526,10 +540,15 @@ def q_rolling_median(spark, sf_dir):
     AGGREGATE, not the fact table (the single fact shuffle is the
     day group-by); the frame is 7 rows, so per-row state is O(7)
     regardless of corpus size. The unpartitioned ORDER BY over the
-    days-sized series is the registry's documented benign pattern."""
+    days-sized series is the registry's documented benign pattern.
+    NULL-ts events belong to no day — excluded on BOTH engines
+    (round-6 key-fuzz discipline: the window ORDER BY day must never
+    see a NULL key)."""
     from hls_stac_parquet_spark.queries.registry import finite
 
-    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
+    ev = t(spark, sf_dir, "events").filter(
+        finite(F.col("value")) & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum("value"), 4).alias("rev")
     )

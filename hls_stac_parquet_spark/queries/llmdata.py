@@ -2379,7 +2379,16 @@ def q_kmeans_clusters(spark, sf_dir):
         "  FROM pts t LEFT JOIN labeled l ON l.id = t.id) "
         "SELECT role, CAST(count(*) AS BIGINT) AS n_points,"
         "       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters "
-        "FROM final GROUP BY role"
+        "FROM final GROUP BY role "
+        # convergence sentinel (round-5 ADVICE): the 40-round cap is
+        # calibrated to this corpus; if min-label CC hasn't fixed by
+        # iter 40 the oracle is STALE — the extra 'STALE_ORACLE' row
+        # makes the parity failure diagnose as staleness, not a bug
+        "UNION ALL "
+        "SELECT 'STALE_ORACLE', CAST(count(*) AS BIGINT), 0 FROM ("
+        "  SELECT node, comp FROM cc WHERE iter = 40 "
+        "  EXCEPT SELECT node, comp FROM cc WHERE iter = 39) "
+        "HAVING count(*) > 0"
     ),
 )
 def q_dbscan(spark, sf_dir):
@@ -3164,7 +3173,11 @@ def q_countmin_heavy_hitters(spark, sf_dir):
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    sketch = countmin_build(toks, "term", depth=4, width=1024)
+    # single source of truth for the sketch geometry — n_total divides
+    # by DEPTH and the eps bound divides by WIDTH, so a dial change in
+    # one place must not silently corrupt the other (round-5 ADVICE)
+    depth, width = 4, 1024
+    sketch = countmin_build(toks, "term", depth=depth, width=width)
     head = (
         toks.groupBy("term")
         .agg(F.count("*").alias("true_count"))
@@ -3181,10 +3194,10 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     # cell per depth row, so Σcells/depth = stream length — the first
     # cut re-tokenized the corpus just to count it (bench-gate catch)
     n_total = sketch.agg(
-        (F.sum("cnt") / F.lit(4.0)).alias("n_total")
+        (F.sum("cnt") / F.lit(float(depth))).alias("n_total")
     )
     return (
-        countmin_estimate(sketch, head, "term", depth=4, width=1024)
+        countmin_estimate(sketch, head, "term", depth=depth, width=width)
         .join(head, "term")
         .join(F.broadcast(n_total))
         .select(
@@ -3196,7 +3209,7 @@ def q_countmin_heavy_hitters(spark, sf_dir):
             ),
             (
                 F.col("est_count")
-                <= F.col("true_count") + 2.0 * F.col("n_total") / 1024
+                <= F.col("true_count") + 2.0 * F.col("n_total") / width
             ).alias("est_within_eps"),
         )
     )
@@ -4527,7 +4540,8 @@ def _bradley_terry_oracle() -> str:
     double reference is structural to the update)."""
     sql = (
         "WITH ev AS (SELECT user_id, event_id, ts, event_type, value "
-        "  FROM events WHERE isfinite(value)), "
+        "  FROM events WHERE isfinite(value) "
+        "    AND ts IS NOT NULL AND user_id IS NOT NULL), "
         "r AS (SELECT user_id, event_type, value, row_number() OVER ("
         "  PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev), "
         "cmp AS (SELECT "
@@ -4594,7 +4608,13 @@ def q_bradley_terry(spark, sf_dir):
     from hls_stac_parquet_spark.operators.mlfit import bradley_terry_fit
     from hls_stac_parquet_spark.queries.registry import finite
 
-    ev = t(spark, sf_dir, "events").filter(finite(F.col("value")))
+    # NULL ts / user_id rows define no comparison position — excluded
+    # on BOTH engines (round-6 key-fuzz sweep)
+    ev = t(spark, sf_dir, "events").filter(
+        finite(F.col("value"))
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select(
         "user_id",

@@ -110,7 +110,8 @@ def q_hilbert_curve_exact(spark, sf_dir):
         "SELECT event_id, user_id, ts, "
         "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
-        "THEN 1 ELSE 0 END AS is_new FROM events))"
+        "THEN 1 ELSE 0 END AS is_new FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL))"
     ),
 )
 def q_sessionize(spark, sf_dir):
@@ -118,12 +119,19 @@ def q_sessionize(spark, sf_dir):
 
     Batch-expressible stateful operator: lag + cumulative sum over a
     per-user ordered window — one shuffle on user_id, no Python.
+
+    NULL semantics declared on BOTH engines: an event with no
+    timestamp or no user cannot be placed in a session and is
+    excluded (Spark orders NULL ts FIRST, DuckDB LAST — the round-6
+    key-fuzz sweep caught the divergence).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ (not castable to double); timestampdiff from a
     # fixed NTZ epoch gives exact integer microseconds, timezone-free —
     # matching the oracle's fractional epoch() diff at full precision.
-    e = t(spark, sf_dir, "events").withColumn(
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn(
         "ts_us",
         F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"),
     )
@@ -142,14 +150,18 @@ def q_sessionize(spark, sf_dir):
         "SELECT date_trunc('hour', ts) AS win_start, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value, "
         "round(avg(value), 6) AS avg_value "
-        "FROM events GROUP BY win_start"
+        "FROM events WHERE ts IS NOT NULL GROUP BY win_start"
     ),
 )
 def q_tumbling_window_agg(spark, sf_dir):
     """Tumbling-window aggregate via Spark's window() — the same
     expression runs unchanged under Structured Streaming with a
-    watermark (streaming/incremental.py)."""
-    e = t(spark, sf_dir, "events")
+    watermark (streaming/incremental.py).
+
+    NULL semantics declared on BOTH engines: a NULL-ts event belongs
+    to no window (Spark's window() silently drops it; the oracle
+    filter makes DuckDB agree instead of emitting a NULL bucket)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(
@@ -172,7 +184,8 @@ def q_tumbling_window_agg(spark, sf_dir):
         "SELECT event_id, user_id, ts, "
         "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) >= 1800.0 "
-        "THEN 1 ELSE 0 END AS is_new FROM events)) "
+        "THEN 1 ELSE 0 END AS is_new FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL)) "
         "GROUP BY user_id, session_id"
     ),
 )
@@ -184,8 +197,12 @@ def q_session_window_agg(spark, sf_dir):
     Boundary semantics: an event exactly `gap` after the previous one
     opens a NEW session (windows touch but don't overlap), hence the
     oracle's >=. session_end is max(ts), not window.end (which is
-    last-event + gap)."""
-    e = t(spark, sf_dir, "events")
+    last-event + gap). NULL ts / user_id rows are excluded on BOTH
+    engines (session_window drops NULL ts silently; the oracle filter
+    makes DuckDB agree)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(

@@ -98,6 +98,38 @@ def pagerank_rounds_sql(iterations: int = 8) -> str:
     return sql
 
 
+def hits_rounds_sql(iterations: int = 8) -> str:
+    """CTE chain ``h0 .. h{iterations}`` / ``a1 .. a{iterations}``
+    computing fixed-count HITS with L1 normalization — the oracle
+    twin of operators/graph.py::hits, unrolled like
+    :func:`pagerank_rounds_sql`. Expects a prior CTE
+    ``edges(src, dst)``; raw half-step CTEs are MATERIALIZED because
+    each is referenced twice (the value rows and the normalizing
+    1-row sum) — without it DuckDB inlines both references and the
+    plan doubles per round. Returns a string starting with
+    ", h0 AS …"."""
+    sql = (
+        ", h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS hub "
+        "FROM edges)"
+    )
+    for k in range(1, iterations + 1):
+        sql += (
+            f", a{k}_raw AS MATERIALIZED ("
+            "  SELECT e.dst AS node, sum(h.hub) AS v "
+            f"  FROM edges e JOIN h{k - 1} h ON h.node = e.src "
+            "  GROUP BY e.dst)"
+            f", a{k} AS (SELECT node, "
+            f"  v / (SELECT sum(v) FROM a{k}_raw) AS auth FROM a{k}_raw)"
+            f", h{k}_raw AS MATERIALIZED ("
+            "  SELECT e.src AS node, sum(a.auth) AS v "
+            f"  FROM edges e JOIN a{k} a ON a.node = e.dst "
+            "  GROUP BY e.src)"
+            f", h{k} AS (SELECT node, "
+            f"  v / (SELECT sum(v) FROM h{k}_raw) AS hub FROM h{k}_raw)"
+        )
+    return sql
+
+
 def cosine_edges_sql(threshold: float) -> str:
     """CTE pair ``pairs(va, vb)`` / ``sym(s, d)``: the exact cosine
     similarity graph over ``embeddings`` — the oracle twin of

@@ -392,14 +392,16 @@ def q_first_match_per_group(spark, sf_dir):
         "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
         "count(*) FILTER (WHERE event_type = 'error') AS error "
-        "FROM events GROUP BY day"
+        "FROM events WHERE ts IS NOT NULL GROUP BY day"
     ),
 )
 def q_pivot(spark, sf_dir):
     """Pivot — reporting extension; explicit value list avoids the
-    extra distinct-values job Spark otherwise runs."""
+    extra distinct-values job Spark otherwise runs. NULL-ts events
+    belong to no day and are excluded on BOTH engines (round-6
+    key-fuzz discipline)."""
     kinds = ["click", "view", "purchase", "signup", "error"]
-    e = t(spark, sf_dir, "events").withColumn(
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
     p = e.groupBy("day").pivot("event_type", kinds).count()
@@ -663,9 +665,13 @@ def _sort_global_oracle() -> str:
     from hls_stac_parquet_spark.functions.spatial import morton_key_sql
 
     z = morton_key_sql("user_id % 256", "event_id % 256", dialect="duckdb")
+    # NULLS FIRST pins DuckDB to Spark's ascending default: a NULL
+    # user_id yields a NULL z_key, and the range-partition kernel
+    # sorts it first (round-6 key-fuzz sweep)
     return (
         f"SELECT event_id, {z} AS z_key, "
-        "CAST(row_number() OVER (ORDER BY z_key, event_id) AS INT) AS z_rank "
+        "CAST(row_number() OVER (ORDER BY z_key NULLS FIRST, event_id) "
+        "AS INT) AS z_rank "
         "FROM events"
     )
 
@@ -697,14 +703,21 @@ def q_window_rank(spark, sf_dir):
     oracle=(
         "SELECT event_id, user_id, "
         "round(value - coalesce(lag(value) OVER w, value), 6) AS delta_value, "
-        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "round(sum(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts NULLS LAST, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts NULLS LAST, event_id)"
     ),
 )
 def q_window_analytic(spark, sf_dir):
-    """Analytic window (lag + running sum) — time-series extension."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    """Analytic window (lag + running sum) — time-series extension.
+    NULL-ts rows sort AFTER all timed rows on BOTH engines (pinned
+    NULLS LAST; Spark's ascending default is NULLS FIRST, DuckDB's is
+    NULLS LAST — round-6 key-fuzz sweep)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e = t(spark, sf_dir, "events")
     return e.select(
@@ -994,7 +1007,7 @@ def q_cube(spark, sf_dir):
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
         "AS rolling_1h "
-        "FROM events"
+        "FROM events WHERE ts IS NOT NULL"
     ),
 )
 def q_window_range_frame(spark, sf_dir):
@@ -1004,8 +1017,10 @@ def q_window_range_frame(spark, sf_dir):
     numeric ordering key, so ts (TIMESTAMP_NTZ) is projected to epoch
     microseconds via timestampdiff — full precision, so the closed
     frame [-3600s, 0] includes exactly the rows the oracle's
-    INTERVAL RANGE does (ties at the boundary included)."""
-    e = t(spark, sf_dir, "events")
+    INTERVAL RANGE does (ties at the boundary included). NULL-ts rows
+    have no RANGE position and are excluded on BOTH engines (round-6
+    key-fuzz discipline)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(
@@ -1285,12 +1300,13 @@ def q_funnel(spark, sf_dir):
 @query(
     "q_retention_cohorts",
     oracle=(
-        "WITH cohort AS (SELECT user_id, min(date_trunc('day', ts)) AS c0 "
-        "FROM events GROUP BY user_id) "
+        "WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL), "
+        "cohort AS (SELECT user_id, min(date_trunc('day', ts)) AS c0 "
+        "FROM ev GROUP BY user_id) "
         "SELECT CAST(c.c0 AS TIMESTAMP) AS cohort_day, "
         "CAST(datediff('day', c.c0, date_trunc('day', e.ts)) AS BIGINT) "
         "AS day_offset, count(DISTINCT e.user_id) AS n_active "
-        "FROM events e JOIN cohort c USING (user_id) "
+        "FROM ev e JOIN cohort c USING (user_id) "
         "GROUP BY 1, 2"
     ),
 )
@@ -1299,8 +1315,10 @@ def q_retention_cohorts(spark, sf_dir):
     distinct-active counts per (cohort, day-offset) cell. The cohort
     dim is one row per user (first groupBy shuffles user ids only)
     and joins back user-keyed; the matrix aggregate shuffles one row
-    per (cohort, offset, user) — partial-deduped map-side."""
-    e = t(spark, sf_dir, "events")
+    per (cohort, offset, user) — partial-deduped map-side. NULL-ts
+    events have no cohort position and are excluded on BOTH engines
+    (round-6 key-fuzz discipline)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cohort = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("c0")
     )
@@ -1433,7 +1451,7 @@ def q_set_ops_all(spark, sf_dir):
     "q_gap_fill_locf",
     oracle=(
         "SELECT event_id, user_id, last_value(v IGNORE NULLS) OVER ("
-        "PARTITION BY user_id ORDER BY ts, event_id "
+        "PARTITION BY user_id ORDER BY ts NULLS LAST, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled "
         "FROM (SELECT event_id, user_id, ts, "
         "CASE WHEN value < 50 THEN NULL ELSE value END AS v FROM events)"
@@ -1444,11 +1462,13 @@ def q_gap_fill_locf(spark, sf_dir):
     imputation staple: null readings (here: values < 50 masked as
     missing) inherit the most recent non-null per user. IGNORE NULLS
     last() over an unbounded-preceding frame; one shuffle on user_id,
-    leading nulls stay null by design."""
+    leading nulls stay null by design. NULL-ts rows sort AFTER all
+    timed rows on BOTH engines (pinned NULLS LAST — round-6 key-fuzz
+    sweep)."""
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.when(F.col("value") < 50, None).otherwise(F.col("value"))
@@ -1658,7 +1678,8 @@ def q_try_cast(spark, sf_dir):
     "q_islands",
     oracle=(
         "WITH d AS (SELECT DISTINCT user_id, "
-        "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+        "CAST(date_trunc('day', ts) AS DATE) AS day FROM events "
+        "WHERE ts IS NOT NULL), "
         "r AS (SELECT user_id, day, CAST(row_number() OVER ("
         "PARTITION BY user_id ORDER BY day) AS INT) AS rn FROM d) "
         "SELECT user_id, min(day) AS island_start, max(day) AS island_end, "
@@ -1671,8 +1692,11 @@ def q_islands(spark, sf_dir):
     active days (streaks). The rn-difference trick — day minus the
     per-user day rank is constant within a consecutive run — turns
     streak detection into one groupBy; a single user-keyed shuffle
-    over the distinct-day table, never the raw events."""
-    e = t(spark, sf_dir, "events")
+    over the distinct-day table, never the raw events. NULL-ts events
+    belong to no streak and are excluded on BOTH engines (round-6
+    key-fuzz discipline: a NULL day would shift every rn after it by
+    a NULLS-FIRST/LAST-dependent offset)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).distinct()
@@ -1767,7 +1791,8 @@ def q_multi_distinct(spark, sf_dir):
     "q_moving_avg",
     oracle=(
         "SELECT event_id, user_id, "
-        "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "round(avg(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts NULLS LAST, event_id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4 "
         "FROM events"
     ),
@@ -1776,10 +1801,11 @@ def q_moving_avg(spark, sf_dir):
     """Bounded sliding-frame moving average (last 4 events per user) —
     the row-count-bounded frame that complements q_window_range_frame's
     time-bounded one; constant state per row regardless of partition
-    size."""
+    size. NULL-ts rows sort AFTER timed rows on BOTH engines (pinned
+    NULLS LAST — round-6 key-fuzz sweep)."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-3, 0)
     )
     return t(spark, sf_dir, "events").select(

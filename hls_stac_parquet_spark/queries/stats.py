@@ -75,12 +75,12 @@ def q_corr_matrix(spark, sf_dir):
     oracle=(
         "WITH first_seen AS ("
         "  SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
-        "  FROM events GROUP BY user_id), "
+        "  FROM events WHERE ts IS NOT NULL GROUP BY user_id), "
         "per_day AS ("
         "  SELECT first_day AS day, count(*) AS new_users "
         "  FROM first_seen GROUP BY first_day) "
         "SELECT day, new_users, "
-        "  sum(new_users) OVER (ORDER BY day "
+        "  sum(new_users) OVER (ORDER BY day NULLS LAST "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users "
         "FROM per_day"
     ),
@@ -96,15 +96,24 @@ def q_cumulative_distinct(spark, sf_dir):
     aggregate, where the single-partition window is free.  The naive
     formulation (distinct over an expanding window) is quadratic and
     un-shardable; this one is linear and survives any scale.
+
+    NULL semantics are declared on BOTH engines: events with a NULL
+    `ts` carry no arrival day and are excluded up front (a user whose
+    every event is NULL-timestamped simply never arrives).  Without
+    the filter the running sum ordered a NULL day FIRST on Spark and
+    LAST on DuckDB — the round-5 driver red.  The window order is
+    additionally pinned NULLS LAST on both sides as belt-and-braces.
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("first_day")
     )
     per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy(F.col("day").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return per_day.withColumn("cum_users", F.sum("new_users").over(w))
 
 
@@ -676,7 +685,7 @@ def q_snapshot_diff(spark, sf_dir):
         "  SELECT event_id, user_id, event_type, ts, "
         "    lag(ts) OVER (PARTITION BY user_id, event_type "
         "                  ORDER BY ts, event_id) AS prev_ts "
-        "  FROM events) "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
         "SELECT event_id, user_id, event_type, ts FROM lagged "
         "WHERE prev_ts IS NULL "
         "   OR date_diff('microsecond', prev_ts, ts) > 3600000000"
@@ -693,8 +702,14 @@ def q_dedup_time_window(spark, sf_dir):
     One keyed window (shuffle on user+type), µs-exact gap compare —
     identical semantics in the DuckDB oracle.  State per row is a
     single timestamp regardless of partition size.
+
+    NULL semantics declared on BOTH engines: an event with no
+    timestamp or no user key cannot be time-throttled and is excluded
+    (round-6 key-fuzz sweep).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
     gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
@@ -738,11 +753,12 @@ def q_mom_growth(spark, sf_dir):
 @query(
     "q_new_vs_returning",
     oracle=(
-        "WITH first_seen AS ("
+        "WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL), "
+        "first_seen AS ("
         "  SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
-        "  FROM events GROUP BY user_id), "
+        "  FROM ev GROUP BY user_id), "
         "daily AS ("
-        "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+        "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev) "
         "SELECT d.day, "
         "  CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT) "
         "    AS new_users, "
@@ -759,9 +775,10 @@ def q_new_vs_returning(spark, sf_dir):
     user-days), joined on user_id — the first-seen dim is |users|-
     sized, so AQE broadcasts it while it fits and shuffle-joins
     beyond; the day rollup then runs over |user-days|.  No expanding
-    windows, no per-day rescans.
+    windows, no per-day rescans.  NULL-ts events belong to no day and
+    are excluded on BOTH engines (round-6 key-fuzz discipline).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("first_day")
     )
@@ -787,7 +804,8 @@ def q_new_vs_returning(spark, sf_dir):
     oracle=(
         "WITH du AS ("
         "  SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, "
-        "    CAST(ts AS DATE) AS day, user_id FROM events), "
+        "    CAST(ts AS DATE) AS day, user_id FROM events "
+        "  WHERE ts IS NOT NULL), "
         "dau AS ("
         "  SELECT month, day, count(*) AS dau FROM du GROUP BY month, day), "
         "mau AS ("
@@ -811,8 +829,12 @@ def q_stickiness(spark, sf_dir):
     formulation re-scans and re-distincts the fact table per branch
     (column pruning makes the subtrees non-identical, so AQE cannot
     reuse the exchange — measured, 4 scans).
+
+    NULL-ts events belong to no month and are excluded on BOTH
+    engines (a NULL month group has n_days = 0, which was an ANSI
+    divide-by-zero on Spark — round-6 key-fuzz sweep).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     du = ev.select(
         F.date_trunc("month", "ts").alias("month"),
         F.col("ts").cast("date").alias("day"),
@@ -837,7 +859,7 @@ def q_stickiness(spark, sf_dir):
     oracle=(
         "WITH mu AS ("
         "  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, "
-        "    user_id FROM events), "
+        "    user_id FROM events WHERE ts IS NOT NULL), "
         "weeks AS (SELECT DISTINCT week FROM mu), "
         "nxt AS ("
         "  SELECT week, lead(week) OVER (ORDER BY week) AS next_week "
@@ -863,9 +885,11 @@ def q_churn(spark, sf_dir):
     probe is a LEFT join of week-actives against next-week-actives on
     (next_week, user) — both sides are the same |week-actives| table,
     hash-partitioned on user, so the probe is one co-keyed shuffle,
-    not a per-week rescan.
+    not a per-week rescan.  NULL-ts events belong to no week and are
+    excluded on BOTH engines (round-6 key-fuzz discipline: the weeks
+    dim's lead() window must never order a NULL key).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     mu = ev.select(
         F.date_trunc("week", "ts").alias("week"), "user_id"
     ).distinct()
@@ -903,7 +927,7 @@ def q_churn(spark, sf_dir):
         "      AS DOUBLE) AS n_views, "
         "    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
         "      AS DOUBLE) AS n_purchases "
-        "  FROM events GROUP BY day) "
+        "  FROM events WHERE ts IS NOT NULL GROUP BY day) "
         "SELECT day, CAST(n_views AS BIGINT) AS n_views, "
         "  CAST(n_purchases AS BIGINT) AS n_purchases, "
         "  round(corr(n_views, n_purchases) OVER ("
@@ -921,9 +945,11 @@ def q_rolling_corr(spark, sf_dir):
     windowed corr runs over the days-sized series where the bounded
     frame costs O(1) state per row.  corr interpolates identically in
     both engines and yields NULL for frames with <2 points or zero
-    variance on either side — no special-casing needed.
+    variance on either side — no special-casing needed.  NULL-ts
+    events belong to no day and are excluded on BOTH engines (round-6
+    key-fuzz sweep).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("double")
@@ -1278,7 +1304,8 @@ def q_decayed_counts(spark, sf_dir):
         "  SELECT user_id, ts, event_id, value, "
         "    CASE event_type WHEN 'signup' THEN 'I' "
         "      WHEN 'purchase' THEN 'U' ELSE 'D' END AS op "
-        "  FROM events WHERE event_type IN ('signup', 'purchase', 'error')), "
+        "  FROM events WHERE event_type IN ('signup', 'purchase', 'error') "
+        "    AND ts IS NOT NULL AND user_id IS NOT NULL), "
         "latest AS ("
         "  SELECT *, row_number() OVER ("
         "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
@@ -1299,7 +1326,13 @@ def q_cdc_apply(spark, sf_dir):
     per row."""
     ops = (
         t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        # NULL ts / user_id ops can't be replayed in order — excluded
+        # on BOTH engines (round-6 key-fuzz discipline)
+        .filter(
+            F.col("event_type").isin("signup", "purchase", "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select(
             "user_id",
             "ts",
@@ -1445,12 +1478,13 @@ def q_point_in_polygon(spark, sf_dir):
 @query(
     "q_kaplan_meier",
     oracle=(
-        "WITH obs_end AS (SELECT max(ts) AS mts FROM events), "
+        "WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL), "
+        "obs_end AS (SELECT max(ts) AS mts FROM ev), "
         "starts AS ("
-        "  SELECT user_id, min(ts) AS s FROM events "
+        "  SELECT user_id, min(ts) AS s FROM ev "
         "  WHERE event_type = 'signup' GROUP BY user_id), "
         "deaths AS ("
-        "  SELECT e.user_id, min(e.ts) AS d FROM events e "
+        "  SELECT e.user_id, min(e.ts) AS d FROM ev e "
         "  JOIN starts st ON e.user_id = st.user_id "
         "  WHERE e.event_type = 'purchase' AND e.ts >= st.s "
         "  GROUP BY e.user_id), "
@@ -1468,15 +1502,15 @@ def q_point_in_polygon(spark, sf_dir):
         "  FROM durs GROUP BY cohort, dur), "
         "risk AS ("
         "  SELECT cohort, dur, d, "
-        "    sum(removed) OVER (PARTITION BY cohort ORDER BY dur "
+        "    sum(removed) OVER (PARTITION BY cohort ORDER BY dur NULLS LAST "
         "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n "
         "  FROM tab) "
         "SELECT cohort, CAST(dur AS BIGINT) AS dur, d, n, "
-        "  CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER "
-        "    (PARTITION BY cohort ORDER BY dur) = 1 THEN 0.0 "
-        "  ELSE round(exp(coalesce(sum(CASE WHEN d < n AND d > 0 "
-        "    THEN ln(1 - d * 1.0 / n) END) OVER "
-        "    (PARTITION BY cohort ORDER BY dur), 0.0)), 6) END AS survival "
+        "  round(product(CASE WHEN d > 0 THEN CAST(n - d AS DOUBLE) / n "
+        "                ELSE 1.0 END) OVER "
+        "    (PARTITION BY cohort ORDER BY dur NULLS LAST "
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+        "    AS survival "
         "FROM risk"
     ),
 )
@@ -1491,13 +1525,21 @@ def q_kaplan_meier(spark, sf_dir):
     (cohort, duration)-level life table — every window after that
     runs over the life table (|distinct durations| rows per cohort),
     never over events. At-risk counts come from a reversed cumulative
-    sum (no self-join); the survival product is exp∘cumsum∘ln with
-    the d=n absorbing-zero case handled by an explicit cummax flag —
-    the identical float recipe the oracle replays, so the hash check
-    is exact. Windows are all cohort-partitioned: no global sort."""
+    sum (no self-join); the survival product is a cumulative PRODUCT
+    of (n-d)/n hazard complements — integer-derived, correctly-rounded
+    IEEE divisions folded in dur order, so the oracle replays it with
+    no ln/exp libm dependency (a d=n event yields ratio 0 and the
+    product absorbs to exact 0.0 thereafter, no special-case flag
+    needed). Windows are all cohort-partitioned: no global sort.
+
+    NULL semantics declared on BOTH engines: NULL-timestamped events
+    carry no time and are excluded up front (round-5 driver red: a
+    user with all-NULL `ts` produced a NULL dur that Spark ordered
+    FIRST and DuckDB LAST in the at-risk window). Window orders are
+    additionally pinned NULLS LAST on both sides."""
     from pyspark.sql.window import Window
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     obs_end = ev.agg(F.max("ts").alias("mts"))
     starts = (
         ev.filter(F.col("event_type") == "signup")
@@ -1528,44 +1570,25 @@ def q_kaplan_meier(spark, sf_dir):
     )
     w_rev = (
         Window.partitionBy("cohort")
-        .orderBy("dur")
+        .orderBy(F.col("dur").asc_nulls_last())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     w_cum = (
         Window.partitionBy("cohort")
-        .orderBy("dur")
+        .orderBy(F.col("dur").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     risk = tab.withColumn("n", F.sum("removed").over(w_rev))
+    ratio = F.when(
+        F.col("d") > 0,
+        (F.col("n") - F.col("d")).cast("double") / F.col("n"),
+    ).otherwise(F.lit(1.0))
     return risk.select(
         "cohort",
         F.col("dur").cast("bigint").alias("dur"),
         "d",
         "n",
-        F.when(
-            F.max(
-                F.when(F.col("d") == F.col("n"), 1).otherwise(0)
-            ).over(w_cum)
-            == 1,
-            F.lit(0.0),
-        )
-        .otherwise(
-            F.round(
-                F.exp(
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                (F.col("d") < F.col("n")) & (F.col("d") > 0),
-                                F.log(1 - F.col("d") / F.col("n")),
-                            )
-                        ).over(w_cum),
-                        F.lit(0.0),
-                    )
-                ),
-                6,
-            )
-        )
-        .alias("survival"),
+        F.round(F.product(ratio).over(w_cum), 6).alias("survival"),
     )
 
 
@@ -1639,7 +1662,8 @@ def q_itemsets_3(spark, sf_dir):
         "WITH daily AS ("
         "  SELECT user_id, CAST(ts AS DATE) AS day, "
         "    round(sum(value), 6) AS x "
-        "  FROM events WHERE value IS NOT NULL "
+        "  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL "
+        "    AND user_id IS NOT NULL "
         "  GROUP BY user_id, CAST(ts AS DATE)), "
         "seq AS ("
         "  SELECT user_id, day, x, "
@@ -1673,10 +1697,16 @@ def q_ema(spark, sf_dir):
     series segment-rescale (documented, not needed here). Relative
     precision concentrates on recent terms — which is exactly EMA's
     semantics. Identical arithmetic on both engines, rounded at the
-    day aggregate and the output."""
+    day aggregate and the output. NULL-ts / NULL-user events carry no
+    (user, day) coordinate and are excluded on BOTH engines (round-6
+    key-fuzz sweep)."""
     e = t(spark, sf_dir, "events")
     daily = (
-        e.filter(F.col("value").isNotNull())
+        e.filter(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("x"))
     )
@@ -1991,7 +2021,7 @@ def q_holt_winters(spark, sf_dir):
     "q_seasonal_decompose",
     oracle=(
         "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt "
-        "  FROM events GROUP BY 1), "
+        "  FROM events WHERE ts IS NOT NULL GROUP BY 1), "
         "win AS (SELECT day, cnt, sum(cnt) OVER w AS t7, "
         "  count(*) OVER w AS nw, CAST(extract(dow FROM day) AS INT) AS dow "
         "  FROM daily WINDOW w AS "
@@ -2021,9 +2051,11 @@ def q_seasonal_decompose(spark, sf_dir):
     round-rescued. Weekday numbering is aligned explicitly (Spark
     dayofweek−1 ≡ DuckDB dow). Scale shape: every window/aggregate
     runs over the DAYS-sized relation (one fact-table pass produces
-    it); the seasonal dim is 7 rows, broadcast.
+    it); the seasonal dim is 7 rows, broadcast. NULL-ts events belong
+    to no day and are excluded on BOTH engines (round-6 key-fuzz
+    sweep).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("cnt")
     )
@@ -2252,7 +2284,7 @@ def q_global_quantiles(spark, sf_dir):
     "q_cusum_changepoint",
     oracle=(
         "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt "
-        "  FROM events GROUP BY 1), "
+        "  FROM events WHERE ts IS NOT NULL GROUP BY 1), "
         "tot AS (SELECT sum(cnt) AS total, count(*) AS n FROM daily), "
         "pre AS (SELECT day, cnt, "
         "  sum(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
@@ -2283,9 +2315,10 @@ def q_cusum_changepoint(spark, sf_dir):
     once at presentation. Scale shape: one fact pass builds the
     days-sized aggregate; prefix sums and the peak test run over
     |days| rows (the running-sum window is a days-sized relation, as
-    in q_max_concurrency).
+    in q_max_concurrency). NULL-ts events belong to no day and are
+    excluded on BOTH engines (round-6 key-fuzz sweep).
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("cnt")
     )
@@ -2387,4 +2420,148 @@ def q_theil_sen(spark, sf_dir):
     )
     return med.select(
         "user_id", "n_pairs", F.round("_m", 6).alias("slope_per_hour")
+    )
+
+
+@query(
+    "q_conformal_threshold",
+    oracle=(
+        "WITH s AS (SELECT event_type, value, event_id FROM events "
+        "  WHERE isfinite(value)), "
+        "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "  FROM s GROUP BY event_type), "
+        "k AS (SELECT event_type, n, "
+        "  least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n) AS k FROM n), "
+        "r AS (SELECT event_type, value, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY value, event_id) AS rn FROM s), "
+        "thr AS (SELECT r.event_type, k.n, k.k, r.value AS threshold "
+        "  FROM r JOIN k USING (event_type) WHERE r.rn = k.k) "
+        "SELECT t.event_type, t.n, t.k, round(t.threshold, 6) AS threshold, "
+        "  round(CAST(count(*) FILTER (WHERE s.value <= t.threshold) "
+        "    AS DOUBLE) / t.n, 6) AS emp_coverage "
+        "FROM thr t JOIN s USING (event_type) "
+        "GROUP BY t.event_type, t.n, t.k, t.threshold"
+    ),
+)
+def q_conformal_threshold(spark, sf_dir):
+    """Split-conformal prediction threshold per group (α = 0.1): the
+    ⌈(n+1)(1−α)⌉-th smallest nonconformity score — the distribution-
+    free cutoff that guarantees ≥ 90% coverage on exchangeable future
+    points (Vovk; the eval-calibration primitive behind selective
+    prediction and LLM-judge score thresholds). Emits the finite-
+    sample-corrected rank k, the threshold, and the measured
+    empirical coverage (≥ 0.9 by construction — the output carries
+    its own contract).
+
+    Scale shape: one event_type-keyed rank window (per-group sort in
+    hash partitions — never a global sort), the k dim is
+    |groups|-sized and broadcast, and the coverage re-check joins the
+    threshold dim BACK to the scores as a broadcast hash join: two
+    fact passes total, both partial-aggregable. Ties at the k-th
+    value are safe: row_number may permute equal values but the k-th
+    VALUE is invariant. Non-finite scores are excluded on both
+    engines (registry finite-measurement semantic)."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(_finite(F.col("value")))
+        .select("event_type", "value", "event_id")
+    )
+    n = s.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    k = n.select(
+        "event_type",
+        "n",
+        F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))
+        .alias("k"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = s.withColumn("rn", F.row_number().over(w))
+    thr = (
+        r.join(F.broadcast(k), "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", "n", "k", F.col("value").alias("threshold"))
+    )
+    return (
+        s.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n", "k", "threshold")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("value") <= F.col("threshold"), 1).otherwise(0)
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("emp_coverage")
+        )
+        .select(
+            "event_type",
+            "n",
+            "k",
+            F.round("threshold", 6).alias("threshold"),
+            "emp_coverage",
+        )
+    )
+
+
+@query(
+    "q_ece_calibration",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT least(greatest(value / 100.0, 0.0), 1.0) AS p, "
+        "    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y "
+        "  FROM events WHERE isfinite(value)), "
+        "binned AS ("
+        "  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, "
+        "    CAST(count(*) AS BIGINT) AS n_b, "
+        "    avg(p) AS conf, avg(y) AS acc "
+        "  FROM scored GROUP BY 1), "
+        "tot AS (SELECT sum(n_b) AS n, "
+        "  sum(n_b * abs(acc - conf)) AS werr FROM binned) "
+        "SELECT b.bin, b.n_b, round(b.conf, 6) AS conf, "
+        "  round(b.acc, 6) AS acc, round(abs(b.acc - b.conf), 6) AS gap, "
+        "  round(t.werr / t.n, 6) AS ece "
+        "FROM binned b, tot t"
+    ),
+)
+def q_ece_calibration(spark, sf_dir):
+    """Expected calibration error (ECE, 10 equal-width bins) of a
+    scored binary outcome — the reliability-diagram aggregate that
+    complements q_isotonic_calibration's corrective fit: per-bin
+    confidence vs accuracy, plus the n-weighted |gap| average every
+    row carries. Scores are the clamped value/100 (pure rational
+    arithmetic — no exp/ln, so the oracle replays the floats exactly;
+    the round-5 verdict's cross-libm hardening rule), labels are
+    purchase events.
+
+    Scale shape: ONE conditional-aggregate pass over the facts into a
+    10-row bin table; the ECE constant is a 1-row aggregate of that
+    table cross-joined back — nothing after the first groupBy touches
+    fact-scale data. Non-finite scores excluded on both engines."""
+    ev = t(spark, sf_dir, "events").filter(_finite(F.col("value")))
+    p = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0))
+    scored = ev.select(
+        p.alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    tot = binned.agg(
+        F.sum("n_b").alias("n"),
+        F.sum(F.col("n_b") * F.abs(F.col("acc") - F.col("conf"))).alias(
+            "werr"
+        ),
+    )
+    return binned.join(F.broadcast(tot)).select(
+        "bin",
+        "n_b",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+        F.round(F.col("werr") / F.col("n"), 6).alias("ece"),
     )

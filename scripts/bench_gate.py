@@ -15,9 +15,16 @@ Exit 1 on any regression > --threshold (default 1.5x) among queries
 present in both files, unless the query is named in --allow (a
 deliberate perf-for-scale trade recorded in the commit message).
 Sub-0.2s timings are noise-dominated at sf0.1 and are compared against
-a 0.2s floor instead of raw ratio. Both comparisons are probe-
-normalized (the fixed synthetic probe in BENCH_DETAIL absorbs host
-weather).
+a 0.2s floor instead of raw ratio.
+
+Host-weather normalization (round-5 verdict, "What's wrong" #3): the
+single-value synthetic probe swung 1.6x WITHIN one sweep and flipped
+gate verdicts between same-day runs, so both comparisons are now
+normalized by a PAIRED CONTROL SET — the median old/new ratio over a
+fixed list of plan-stable, mid-duration queries that no round has
+touched since round 1 (they re-run inside the same bench session as
+everything else, so their drift IS the host drift). The probe value
+is still printed for context but no longer scales anything.
 
 End-of-round bookkeeping: snapshot the final BENCH_DETAIL.json as
 BENCH_ROUNDS/r{N:02d}.json so the next round has a cumulative anchor.
@@ -33,6 +40,26 @@ import subprocess
 import sys
 
 FLOOR_SEC = 0.2  # below this, local jitter dominates; ratio is meaningless
+
+# Paired control set: plan-stable queries (single scan + trivial
+# plan, untouched since round 1) spanning the mid-duration band.
+# Their median old/new ratio estimates the host factor for the whole
+# session. A code change to any ONE of them barely moves the MEDIAN,
+# and the gate still flags it per-query like everything else.
+CONTROL_QUERIES = [
+    "q_regexp_extract",
+    "q_string_funcs",
+    "q_math_funcs",
+    "q_distinct",
+    "q_join_range",
+    "q_hash_agg",
+]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def load_baseline_from_git(path: str) -> dict | None:
@@ -72,19 +99,29 @@ def compare(
         return [("__sf_mismatch__", 0.0, 0.0, 0.0)]
 
     oq, nq = old["queries"], new["queries"]
-    # host-weather normalization: when both files carry the fixed
-    # synthetic probe, scale the new timings by the probe ratio
-    # (clamped) so a slow-host run doesn't read as a code regression
-    op = (old.get("host_probe_after") or {}).get("spark_range_agg_s")
-    np_ = (new.get("host_probe_after") or {}).get("spark_range_agg_s")
-    if op and np_:
-        scale = min(2.0, max(0.5, op / np_))
+    # host-weather normalization via the paired control set: median
+    # old/new ratio over the plan-stable controls present in both
+    # files (floored — a sub-floor control is jitter, not signal)
+    ctl = [
+        max(oq[c], FLOOR_SEC) / max(nq[c], FLOOR_SEC)
+        for c in CONTROL_QUERIES
+        if c in oq and c in nq
+    ]
+    if len(ctl) >= 3:
+        scale = min(2.0, max(0.5, _median(ctl)))
         if abs(scale - 1.0) > 0.05:
             print(
-                f"[{label}] host probe {op:.2f}s -> {np_:.2f}s: "
-                f"scaling new timings x{scale:.2f}"
+                f"[{label}] control set ({len(ctl)} queries, median "
+                f"ratio {_median(ctl):.2f}): scaling new timings "
+                f"x{scale:.2f}"
             )
         nq = {k: v * scale for k, v in nq.items()}
+    # the old probe is informational only (round-5 verdict: it swung
+    # 1.6x within one sweep — not fit to normalize anything)
+    op = (old.get("host_probe_after") or {}).get("spark_range_agg_s")
+    np_ = (new.get("host_probe_after") or {}).get("spark_range_agg_s")
+    if op and np_ and abs(op / np_ - 1.0) > 0.2:
+        print(f"[{label}] (host probe, fyi: {op:.2f}s -> {np_:.2f}s)")
     shared = sorted(set(oq) & set(nq))
     regressed, improved = [], 0
     for name in shared:

@@ -58,6 +58,43 @@ FUZZ_QUERIES = [
     # NULL docs drop out of the postings identically)
     "q_isotonic_calibration",
     "q_greedy_max_cover",
+    # round-6: the KEY-fuzz class (NULL ts / user_id, including one
+    # user whose EVERY ts is NULL — the round-5 driver-red signature).
+    # Spark orders NULL ts FIRST ascending, DuckDB LAST; every query
+    # below either declares "NULL time/key rows are excluded" on both
+    # engines or pins NULLS placement on both sides.
+    "q_cumulative_distinct",
+    "q_kaplan_meier",
+    "q_markov_transitions",
+    "q_moving_avg",
+    "q_rolling_corr",
+    "q_scd2_intervals",
+    "q_session_paths",
+    "q_session_window_agg",
+    "q_stickiness",
+    "q_seasonal_decompose",
+    "q_cusum_changepoint",
+    "q_dp_counts",
+    "q_asof_join",
+    "q_asof_nearest",
+    "q_attribution",
+    "q_autocorr_lag1",
+    "q_bradley_terry",
+    "q_dedup_time_window",
+    "q_ema",
+    "q_ewma",
+    "q_fk_discovery",
+    "q_gap_fill_locf",
+    "q_hopping_window",
+    "q_interval_overlap_join",
+    "q_sort_global",
+    "q_window_analytic",
+    "q_sessionize",
+    "q_tumbling_window_agg",
+    # round-6 additions touching fuzzed columns (value → finite()
+    # declared on both engines)
+    "q_conformal_threshold",
+    "q_ece_calibration",
 ]
 
 
@@ -72,8 +109,16 @@ def fuzz_dir(tmp_path_factory):
           source, n_chars
          FROM read_parquet('{SF0001}/documents.parquet'))
         TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    # KEY fuzz (round 6): ~6% NULL ts, ~3% NULL user_id, AND one user
+    # (14, the most active) whose EVERY ts is NULL — per-row injection
+    # alone does NOT reproduce the round-5 driver reds; the all-NULL-
+    # per-key entity is what flips a window's cumulative frame
     con.execute(f"""
-        COPY (SELECT event_id, ts, user_id, event_type,
+        COPY (SELECT event_id,
+          CASE WHEN user_id = 14 OR event_id % 17 = 4 THEN NULL ELSE ts
+            END AS ts,
+          CASE WHEN event_id % 29 = 11 THEN NULL ELSE user_id END AS user_id,
+          event_type,
           CASE WHEN event_id % 17 = 2 THEN NULL ELSE value END AS value,
           CASE WHEN event_id % 13 = 7 THEN NULL ELSE props END AS props
          FROM read_parquet('{SF0001}/events.parquet'))
@@ -100,12 +145,23 @@ def test_fuzz_dir_actually_has_nulls(fuzz_dir):
         "count(*) FILTER (WHERE lang IS NULL) "
         f"FROM read_parquet('{fuzz_dir}/documents.parquet')"
     ).fetchone()
-    n_val, n_props = con.execute(
+    n_val, n_props, n_ts, n_uid = con.execute(
         "SELECT count(*) FILTER (WHERE value IS NULL), "
-        "count(*) FILTER (WHERE props IS NULL) "
+        "count(*) FILTER (WHERE props IS NULL), "
+        "count(*) FILTER (WHERE ts IS NULL), "
+        "count(*) FILTER (WHERE user_id IS NULL) "
         f"FROM read_parquet('{fuzz_dir}/events.parquet')"
     ).fetchone()
-    assert min(n_text, n_lang, n_val, n_props) > 0
+    assert min(n_text, n_lang, n_val, n_props, n_ts, n_uid) > 0
+    # the all-NULL-ts entity must exist — the per-row injection alone
+    # missed the round-5 driver-red class
+    n_all_null = con.execute(
+        "SELECT count(*) FROM ("
+        "  SELECT user_id FROM read_parquet(?) WHERE user_id IS NOT NULL "
+        "  GROUP BY user_id HAVING count(ts) = 0 AND count(*) > 0)",
+        [f"{fuzz_dir}/events.parquet"],
+    ).fetchone()[0]
+    assert n_all_null >= 1
 
 
 # ---- empty-table robustness --------------------------------------------
@@ -195,6 +251,11 @@ EMPTY_OK_QUERIES = [
     "q_isotonic_calibration",
     "q_holt_winters",
     "q_greedy_max_cover",
+    # round-6 additions — every new operator must no-op cleanly
+    "q_hits",
+    "q_adamic_adar",
+    "q_conformal_threshold",
+    "q_ece_calibration",
 ]
 
 

@@ -321,3 +321,26 @@ def test_mmr_diversifies_planted_dup_cluster(spark):
     # exactly one pick — a plain top-4 would be all four copies
     assert len([p for p in picked if p in {200, 201, 202, 203}]) == 1
     assert len(picked) == len(set(picked)) == 4
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_corpus_has_no_zero_norm_embeddings(sf_dir):
+    """Pin the latent cosine-oracle divergence (round-5 ADVICE): the
+    operators map a zero-norm embedding to similarity 0 while DuckDB's
+    list_cosine_similarity yields NaN — the two sides agree only while
+    the corpus contains no zero vector. This pins that precondition at
+    every local SF; if a future generator emits one, this fails loudly
+    and the 7 cosine oracles must switch to an explicit NULLIF-guarded
+    dot/norm formula."""
+    import duckdb
+
+    n_zero = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?) "
+        "WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) = 0",
+        [f"{sf_dir}/embeddings.parquet"],
+    ).fetchone()[0]
+    assert n_zero == 0
