@@ -728,11 +728,14 @@ def q_hits(spark, sf_dir):
         "  UNION ALL SELECT pb, pa FROM e), "
         "deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg "
         "  FROM sym GROUP BY s), "
+        # declared center cap (deg <= 64): wedge work is Σ deg², so
+        # super-hub centers are EXCLUDED as evidence on both engines
+        "ctr AS (SELECT node, deg FROM deg WHERE deg <= 64), "
         "wedges AS ("
         "  SELECT w1.d AS pa, w2.d AS pb, "
         "    round(sum(1.0 / ln(g.deg)), 6) AS aa "
-        "  FROM sym w1 JOIN sym w2 ON w1.s = w2.s AND w1.d < w2.d "
-        "  JOIN deg g ON g.node = w1.s "
+        "  FROM ctr g JOIN sym w1 ON w1.s = g.node "
+        "  JOIN sym w2 ON w2.s = g.node AND w1.d < w2.d "
         "  GROUP BY w1.d, w2.d), "
         "cand AS (SELECT w.pa, w.pb, w.aa FROM wedges w "
         "  LEFT JOIN e ON e.pa = w.pa AND e.pb = w.pb "
@@ -748,16 +751,21 @@ def q_adamic_adar(spark, sf_dir):
     edge ranking primitive.
 
     Scale shape: wedges enumerate per CENTER node (an equi-self-join
-    of the symmetric edge list on the center), so the cost is
-    Σ_z deg(z)² — identical envelope to q_item_item_cf's basket² and
-    bounded here by basket-size-bounded co-purchase degrees; a
-    power-law graph caps the center degree first (documented dial, as
-    in similarity's brute tier). The existing-edge exclusion is an
-    anti-join against the canonical edge list, the degree dim is
-    |V|-sized (AQE broadcasts it), and the head is
-    TakeOrderedAndProject on the ROUNDED score (both engines rank the
-    same 6-decimal key, so summation-order ulps can't flip the
-    cutoff)."""
+    of the symmetric edge list on the center), so the raw cost is
+    Σ_z deg(z)² — quadratic in hub degree, the classic power-law
+    blow-up (measured: 90 s at sf0.1 uncapped vs ~3 s capped).
+    Centers are therefore DEGREE-CAPPED at 64, declared identically
+    in the oracle: a super-hub shared neighbor is excluded as
+    evidence outright — the standard production AA trade (its
+    1/ln(deg) weight is the smallest while its pair fan-out is the
+    largest), and the same bounded-candidate discipline as
+    similarity's brute-tier cap and the LSH max_bucket guard. The
+    cap bounds wedge work at 64·|E|. The existing-edge exclusion is
+    an anti-join against the canonical edge list, the degree dim is
+    |V|-sized (AQE broadcasts it; the cap filter prunes it scan-
+    side), and the head is TakeOrderedAndProject on the ROUNDED
+    score (both engines rank the same 6-decimal key, so
+    summation-order ulps can't flip the cutoff)."""
     from hls_stac_parquet_spark.operators.lsh import self_join_pairs
 
     od = (
@@ -767,19 +775,21 @@ def q_adamic_adar(spark, sf_dir):
     )
     e = self_join_pairs(od, ["l_orderkey"], "l_partkey").select(
         F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
-    ).distinct()
+    ).distinct().localCheckpoint()
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
-    deg = sym.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").cast("bigint").alias("deg")
+    ctr = (
+        sym.groupBy(F.col("s").alias("z"))
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .filter(F.col("deg") <= 64)
     )
     w1 = sym.select(F.col("s").alias("z"), F.col("d").alias("pa"))
     w2 = sym.select(F.col("s").alias("z"), F.col("d").alias("pb"))
     wedges = (
-        w1.join(w2, "z")
+        ctr.join(w1, "z")
+        .join(w2, "z")
         .filter(F.col("pa") < F.col("pb"))
-        .join(deg.withColumnRenamed("node", "z"), "z")
         .groupBy("pa", "pb")
         .agg(F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa"))
     )

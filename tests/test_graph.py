@@ -330,3 +330,45 @@ def test_label_propagation_query_seed_flags(spark):
     rows = REGISTRY["q_label_propagation"].fn(spark, SF0001).collect()
     assert rows and all(r.seed_label_ok for r in rows)
     assert any(r.is_seed for r in rows)
+
+
+def test_hits_matches_numpy_iteration(spark):
+    """Spark HITS must agree with a dense numpy mutual-reinforcement
+    iteration on the same directed graph (same L1 normalization, same
+    half-step order, same iteration count)."""
+    import numpy as np
+
+    from hls_stac_parquet_spark.operators.graph import hits
+
+    pairs = [
+        (0, 10), (0, 11), (1, 10), (2, 11), (2, 12), (3, 12), (1, 13),
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits(edges, iterations=8).collect()}
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a]][idx[b]] = 1
+    hub = np.array([1.0 if adj[i].any() else 0.0 for i in range(n)])
+    auth = np.zeros(n)
+    for _ in range(8):
+        auth = adj.T @ hub
+        auth = np.where(auth > 0, auth / auth.sum(), 0.0)
+        hub = adj @ auth
+        hub = np.where(hub > 0, hub / hub.sum(), 0.0)
+
+    assert set(got) == set(nodes)
+    for node in nodes:
+        i = idx[node]
+        assert abs(got[node][0] - auth[i]) < 1e-9, (node, got[node], auth[i])
+        assert abs(got[node][1] - hub[i]) < 1e-9, (node, got[node], hub[i])
+
+
+def test_hits_empty_edges_yields_empty(spark):
+    from hls_stac_parquet_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(edges, iterations=3).count() == 0
