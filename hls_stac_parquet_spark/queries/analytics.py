@@ -1439,7 +1439,8 @@ def q_attribution(spark, sf_dir):
         "    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
         "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0 "
         "    THEN 1 ELSE 0 END AS is_new FROM events "
-        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "    AND event_type IS NOT NULL), "
         "sess AS ("
         "  SELECT user_id, ts, event_id, event_type, "
         "    sum(is_new) OVER (PARTITION BY user_id "
@@ -1464,11 +1465,15 @@ def q_session_paths(spark, sf_dir):
     (ts, event_id, type) structs — deterministic total order, no
     second exchange); path counting shuffles only the paths-sized
     aggregate, and the head is TakeOrdered. NULL ts / user_id rows
-    can't be sessionized and are excluded on BOTH engines (round-6
-    key-fuzz sweep)."""
+    can't be sessionized, and a NULL event_type contributes no path
+    step (Spark's concat_ws would render an all-NULL session as ''
+    where DuckDB's string_agg yields NULL) — all three excluded on
+    BOTH engines (round-6 key-fuzz sweeps)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = t(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
     ).withColumn(
         "ts_us",
         F.expr(

@@ -42,7 +42,7 @@ _URL_SPARK = _URL_SQL.replace("AS VARCHAR", "AS STRING")
     "q_url_canonical_dedup",
     oracle=(
         "WITH u AS (SELECT doc_id, source, " + _URL_SQL + " AS url "
-        "  FROM documents), "
+        "  FROM documents WHERE source IS NOT NULL), "
         "parts AS (SELECT doc_id, url, "
         "  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, "
         "  regexp_replace(lower(regexp_extract(url, "
@@ -77,10 +77,13 @@ def q_url_canonical_dedup(spark, sf_dir):
     (codegen, zero shuffle); the only shuffle is the final group-by on
     the canonical key — exactly the digest-keyed dedup shuffle of
     q_dedup_exact, so the same plan holds at crawl scale. Portable
-    regexes (no lookaround) run identically on Java regex and RE2."""
-    docs = t(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_URL_SPARK} AS url"
-    )
+    regexes (no lookaround) run identically on Java regex and RE2.
+    A NULL-source doc derives no URL and is excluded on BOTH engines
+    (Spark's concat propagates the NULL where DuckDB's maps it to ''
+    — round-6 key-fuzz sweep 2)."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).selectExpr("doc_id", f"{_URL_SPARK} AS url")
     parts = docs.select(
         "doc_id",
         "url",

@@ -1008,7 +1008,8 @@ def q_dup_rate_by_source(spark, sf_dir):
         "WITH d AS (SELECT doc_id, source, "
         "  len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
         "      x -> x <> '')) AS n_tok, "
-        "  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+        "  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents "
+        "  WHERE source IS NOT NULL), "
         "c AS (SELECT doc_id, source, n_tok, "
         "  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id "
         "    ROWS UNBOUNDED PRECEDING) AS cum FROM d) "
@@ -1032,7 +1033,10 @@ def q_token_budget_mix(spark, sf_dir):
     source's start offset — a window over the |sources|-row totals
     dim. Exact integer arithmetic end to end; the greedy-prefix cut
     is deterministic (md5 order, doc_id tiebreak). NULL text counts
-    0 tokens on both engines.
+    0 tokens on both engines; a NULL-source doc has no budget to draw
+    from and is excluded on BOTH engines (the per-source offset join
+    silently dropped NULL keys where the oracle's window kept them —
+    round-6 key-fuzz sweep 2).
     """
     from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
 
@@ -1040,7 +1044,9 @@ def q_token_budget_mix(spark, sf_dir):
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
         lambda x: x != "",
     )
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select(
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("n_tok"),
@@ -2993,7 +2999,8 @@ def q_boilerplate_removal(spark, sf_dir):
         "    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b "
         "  FROM (SELECT doc_id, source, "
         "          unnest(string_split(lower(text), ' ')) AS term "
-        "        FROM documents) WHERE term <> ''), "
+        "        FROM documents WHERE source IS NOT NULL) "
+        "  WHERE term <> ''), "
         "tgt AS (SELECT b, count(*) AS n FROM feat "
         "  WHERE source IN ('src0', 'src1') GROUP BY b), "
         "rawc AS (SELECT b, count(*) AS n FROM feat "
@@ -3037,11 +3044,15 @@ def q_dsir_resample(spark, sf_dir):
     arbitrary-order float aggregate, rounded before the rank cut with
     a doc_id tiebreak). The top-k is TakeOrdered, never a global
     sort. NULL/empty text yields no features and is absent from the
-    pool on both engines.
+    pool on both engines; a NULL-source doc can be attributed to
+    neither distribution and is excluded on BOTH engines (Spark's
+    NOT-isin put it in the raw pool where DuckDB's NOT IN dropped it
+    — round-6 key-fuzz sweep 2).
     """
     TGT = ("src0", "src1")
     toks = (
         t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
         .select(
             "doc_id",
             "source",

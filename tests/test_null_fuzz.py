@@ -95,6 +95,13 @@ FUZZ_QUERIES = [
     # declared on both engines)
     "q_conformal_threshold",
     "q_ece_calibration",
+    # round-6 sweep 2 (NULL event_type / source axes): untyped events
+    # contribute no path step; unattributed docs are excluded from
+    # source-keyed selection/budget/URL derivation on BOTH engines
+    "q_session_paths",
+    "q_dsir_resample",
+    "q_token_budget_mix",
+    "q_url_canonical_dedup",
 ]
 
 
@@ -106,7 +113,8 @@ def fuzz_dir(tmp_path_factory):
         COPY (SELECT doc_id,
           CASE WHEN doc_id % 19 = 3 THEN NULL ELSE text END AS text,
           CASE WHEN doc_id % 23 = 5 THEN NULL ELSE lang END AS lang,
-          source, n_chars
+          CASE WHEN doc_id % 41 = 6 THEN NULL ELSE source END AS source,
+          n_chars
          FROM read_parquet('{SF0001}/documents.parquet'))
         TO '{out}/documents.parquet' (FORMAT PARQUET)""")
     # KEY fuzz (round 6): ~6% NULL ts, ~3% NULL user_id, AND one user
@@ -118,7 +126,8 @@ def fuzz_dir(tmp_path_factory):
           CASE WHEN user_id = 14 OR event_id % 17 = 4 THEN NULL ELSE ts
             END AS ts,
           CASE WHEN event_id % 29 = 11 THEN NULL ELSE user_id END AS user_id,
-          event_type,
+          CASE WHEN event_id % 37 = 5 THEN NULL ELSE event_type END
+            AS event_type,
           CASE WHEN event_id % 17 = 2 THEN NULL ELSE value END AS value,
           CASE WHEN event_id % 13 = 7 THEN NULL ELSE props END AS props
          FROM read_parquet('{SF0001}/events.parquet'))
