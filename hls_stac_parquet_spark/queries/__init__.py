@@ -130,6 +130,9 @@ PRIORITY_QUERIES = [
     "q_url_canonical_dedup", "q_k_anonymity", "q_cuped", "q_dp_counts",
     "q_sql_text_interface", "q_ohlc_bars", "q_degree_distribution",
     "q_token_fertility",
+    # round-6 flagships
+    "q_hits", "q_adamic_adar", "q_conformal_threshold",
+    "q_ece_calibration", "q_kl_source_divergence", "q_propensity_ipw",
 ]
 
 

@@ -4655,3 +4655,89 @@ def q_bradley_terry(spark, sf_dir):
     return bradley_terry_fit(cmp_df, iters=10).select(
         "entity", "n_wins", F.round("p", 6).alias("strength")
     )
+
+
+@query(
+    "q_kl_source_divergence",
+    oracle=(
+        "WITH feat AS ("
+        "  SELECT source, "
+        "    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b "
+        "  FROM (SELECT source, "
+        "          unnest(string_split(lower(text), ' ')) AS term "
+        "        FROM documents WHERE source IS NOT NULL) "
+        "  WHERE term <> ''), "
+        "sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c "
+        "  FROM feat GROUP BY source, b), "
+        "stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n "
+        "  FROM sb GROUP BY source), "
+        "cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY b), "
+        "ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM cb), "
+        "grid AS (SELECT s.source, s.n, r.i AS b, "
+        "    coalesce(x.c, 0) AS c, coalesce(g.cc, 0) AS cc, t.nn "
+        "  FROM stot s CROSS JOIN range(0, 64) r(i) CROSS JOIN ctot t "
+        "  LEFT JOIN sb x ON x.source = s.source AND x.b = r.i "
+        "  LEFT JOIN cb g ON g.b = r.i) "
+        "SELECT source, n AS n_tokens, "
+        "  round(sum(((c + 1.0) / (n + 64)) * "
+        "    (ln((c + 1.0) / (n + 64)) - ln((cc + 1.0) / (nn + 64)))), 6) "
+        "    AS kl "
+        "FROM grid GROUP BY source, n"
+    ),
+)
+def q_kl_source_divergence(spark, sf_dir):
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the information-theoretic drift/outlier
+    metric for corpus composition (which source looks least like the
+    mixture?), complementing q_psi_drift's population-stability and
+    q_ks_drift's distributional tests with the quantity DSIR-style
+    selection actually optimizes. Features are unigrams hashed into
+    64 buckets with the engine-portable md5-prefix bucket
+    (q_feature_hashing); both distributions are add-1 smoothed so
+    every bucket is defined, and KL ≥ 0 with equality only at
+    identical histograms.
+
+    Scale shape: ONE corpus explode feeds the (source, bucket) counts
+    (the only fact-scale shuffle, 64·|sources|-bounded output); the
+    corpus histogram and totals are tiny rollups OF that aggregate —
+    fact data is touched once. The smoothed grid is
+    |sources|×64 rows, built by a broadcast cross join. A NULL-source
+    doc is attributable to no distribution and is excluded on BOTH
+    engines (the q_dsir_resample rule)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    sb = toks.select("source", bucket.cast("int").alias("b")).groupBy(
+        "source", "b"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    cb = sb.groupBy("b").agg(F.sum("c").cast("bigint").alias("cc"))
+    ctot = cb.agg(F.sum("cc").cast("bigint").alias("nn"))
+    rng = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    grid = (
+        stot.crossJoin(F.broadcast(rng))
+        .join(F.broadcast(sb), ["source", "b"], "left")
+        .join(F.broadcast(cb), "b", "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+            "nn",
+        )
+    )
+    p_src = (F.col("c") + 1.0) / (F.col("n") + 64)
+    p_cor = (F.col("cc") + 1.0) / (F.col("nn") + 64)
+    return grid.groupBy("source", F.col("n").alias("n_tokens")).agg(
+        F.round(F.sum(p_src * (F.log(p_src) - F.log(p_cor))), 6).alias("kl")
+    )

@@ -2565,3 +2565,105 @@ def q_ece_calibration(spark, sf_dir):
         F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
         F.round(F.col("werr") / F.col("n"), 6).alias("ece"),
     )
+
+
+@query(
+    "q_propensity_ipw",
+    oracle=(
+        "WITH u AS ("
+        "  SELECT user_id, "
+        "    CAST(count(*) AS BIGINT) AS n_events, "
+        "    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t, "
+        "    coalesce(sum(CASE WHEN event_type = 'purchase' "
+        "      AND isfinite(value) THEN value END), 0.0) AS y "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "d AS (SELECT *, CAST(ntile(10) OVER ("
+        "  ORDER BY n_events, user_id) AS INT) AS decile FROM u), "
+        "e AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users, "
+        "  CAST(sum(t) AS BIGINT) AS n_treated, "
+        "  least(greatest(sum(t) * 1.0 / count(*), 0.05), 0.95) AS eh "
+        "  FROM d GROUP BY decile), "
+        "terms AS (SELECT d.decile, "
+        "  d.t * d.y / e.eh - (1 - d.t) * d.y / (1.0 - e.eh) AS w "
+        "  FROM d JOIN e USING (decile)), "
+        "ate AS (SELECT round(sum(w) / (SELECT count(*) FROM d), 6) AS a "
+        "  FROM terms) "
+        "SELECT e.decile, e.n_users, e.n_treated, round(e.eh, 6) AS e_hat, "
+        "  ate.a AS ate_ipw FROM e, ate"
+    ),
+)
+def q_propensity_ipw(spark, sf_dir):
+    """Inverse-propensity-weighted treatment-effect estimate with
+    decile-binned propensities — the observational-causal workhorse
+    (did clicking CAUSE higher purchase value, adjusting for how
+    active the user is?) that complements q_cuped's variance
+    reduction: treatment = user ever clicked, outcome = total
+    purchase value, confounder = activity decile; ê(d) = P(T=1|d)
+    clipped to [0.05, 0.95] (the standard overlap guard, declared on
+    both engines), ATE = mean(T·Y/ê − (1−T)·Y/(1−ê)).
+
+    Scale shape: the fact table collapses to ONE row per user (single
+    keyed aggregate — count, treated flag, outcome ride together);
+    deciles come from the distributed ntile kernel
+    (operators/ranking.py::with_global_ntile — a range shuffle +
+    broadcast offsets, never a single-partition window; its closed
+    form IS SQL ntile, so the oracle's plain ntile(10) matches rank
+    for rank); propensities are a 10-row aggregate broadcast back.
+    Pure rational arithmetic — no exp/ln, so no cross-libm risk.
+    NULL user_id rows have no unit identity and are excluded on BOTH
+    engines; a NULL event_type is simply not a click (CASE ELSE 0);
+    non-finite purchase values are excluded from the outcome by the
+    registry's finite-measurement semantic."""
+    from hls_stac_parquet_spark.operators.ranking import with_global_ntile
+
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("t"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & _finite(F.col("value")),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    d = with_global_ntile(
+        u, [F.col("n_events"), F.col("user_id")], 10, "decile"
+    )
+    e = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.least(
+            F.greatest(F.sum("t") / F.count("*"), F.lit(0.05)), F.lit(0.95)
+        ).alias("eh"),
+    )
+    terms = d.join(F.broadcast(e), "decile").select(
+        "decile",
+        (
+            F.col("t") * F.col("y") / F.col("eh")
+            - (1 - F.col("t")) * F.col("y") / (1.0 - F.col("eh"))
+        ).alias("w"),
+    )
+    n_total = d.agg(F.count("*").alias("_n"))
+    ate = (
+        terms.agg(F.sum("w").alias("_sw"))
+        .join(F.broadcast(n_total))
+        .select(F.round(F.col("_sw") / F.col("_n"), 6).alias("ate_ipw"))
+    )
+    return e.join(F.broadcast(ate)).select(
+        "decile",
+        "n_users",
+        "n_treated",
+        F.round("eh", 6).alias("e_hat"),
+        "ate_ipw",
+    )

@@ -102,6 +102,9 @@ FUZZ_QUERIES = [
     "q_dsir_resample",
     "q_token_budget_mix",
     "q_url_canonical_dedup",
+    # round-6 late additions (source/user_id-keyed from birth)
+    "q_kl_source_divergence",
+    "q_propensity_ipw",
 ]
 
 
@@ -265,6 +268,8 @@ EMPTY_OK_QUERIES = [
     "q_adamic_adar",
     "q_conformal_threshold",
     "q_ece_calibration",
+    "q_kl_source_divergence",
+    "q_propensity_ipw",
 ]
 
 
