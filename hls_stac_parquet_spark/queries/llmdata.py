@@ -2721,8 +2721,9 @@ def q_ngram_novelty(spark, sf_dir):
         "  SELECT first_doc_id AS doc_id, count(*) AS n_new "
         "  FROM first_doc GROUP BY first_doc_id) "
         "SELECT d.doc_id, coalesce(n.n_new, 0) AS n_new_terms, "
-        "  sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id "
-        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size "
+        "  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "    AS vocab_size "
         "FROM (SELECT DISTINCT doc_id FROM documents) d "
         "LEFT JOIN new_terms n USING (doc_id)"
     ),

@@ -80,8 +80,9 @@ def q_corr_matrix(spark, sf_dir):
         "  SELECT first_day AS day, count(*) AS new_users "
         "  FROM first_seen GROUP BY first_day) "
         "SELECT day, new_users, "
-        "  sum(new_users) OVER (ORDER BY day NULLS LAST "
-        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users "
+        "  CAST(sum(new_users) OVER (ORDER BY day NULLS LAST "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "    AS cum_users "
         "FROM per_day"
     ),
 )
@@ -1502,8 +1503,9 @@ def q_point_in_polygon(spark, sf_dir):
         "  FROM durs GROUP BY cohort, dur), "
         "risk AS ("
         "  SELECT cohort, dur, d, "
-        "    sum(removed) OVER (PARTITION BY cohort ORDER BY dur NULLS LAST "
-        "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n "
+        "    CAST(sum(removed) OVER (PARTITION BY cohort ORDER BY dur "
+        "      NULLS LAST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) "
+        "      AS BIGINT) AS n "
         "  FROM tab) "
         "SELECT cohort, CAST(dur AS BIGINT) AS dur, d, n, "
         "  round(product(CASE WHEN d > 0 THEN CAST(n - d AS DOUBLE) / n "
@@ -2667,3 +2669,4 @@ def q_propensity_ipw(spark, sf_dir):
         F.round("eh", 6).alias("e_hat"),
         "ate_ipw",
     )
+
