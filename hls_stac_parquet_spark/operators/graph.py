@@ -324,6 +324,8 @@ def hits(
     normalization; per-round localCheckpoints truncate lineage so
     round k never replays rounds 1..k-1.
     """
+    if iterations < 1:
+        raise ValueError(f"hits() needs iterations >= 1, got {iterations}")
     e = edges.select(src, dst).localCheckpoint()
     nodes = (
         e.select(F.col(src).alias("node"))

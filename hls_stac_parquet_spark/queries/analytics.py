@@ -764,8 +764,14 @@ def q_adamic_adar(spark, sf_dir):
     an anti-join against the canonical edge list, the degree dim is
     |V|-sized (AQE broadcasts it; the cap filter prunes it scan-
     side), and the head is TakeOrderedAndProject on the ROUNDED
-    score (both engines rank the same 6-decimal key, so
-    summation-order ulps can't flip the cutoff)."""
+    score with (pa, pb) as deterministic tie-breakers. Rounding to 6
+    decimals collapses almost all summation-order ulp noise, but it
+    is applied AFTER each engine's own summation order — a sum
+    landing within an ulp of a 5e-7 boundary could still round apart
+    and flip the LIMIT 20 cutoff. That residual risk is accepted as
+    a low-probability parity flake (wedge sums here are short —
+    ≤ 64 terms of 1/ln(deg) — so observed divergence is zero across
+    every sweep; if it ever fires, re-run or widen the tie window)."""
     from hls_stac_parquet_spark.operators.lsh import self_join_pairs
 
     od = (

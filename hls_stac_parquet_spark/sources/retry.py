@@ -41,9 +41,17 @@ TRANSIENT_EXCEPTIONS = (
 )
 
 
-def parse_retry_after(headers: Mapping[str, str] | None) -> float | None:
-    """``Retry-After: <seconds>`` → float; HTTP-date form and garbage
-    return None (the computed backoff applies)."""
+def parse_retry_after(
+    headers: Mapping[str, str] | None,
+    now: Callable[[], float] = time.time,
+) -> float | None:
+    """``Retry-After`` → seconds to wait, handling BOTH RFC 9110
+    forms: delay-seconds (``Retry-After: 120``) and HTTP-date
+    (``Retry-After: Fri, 31 Dec 1999 23:59:59 GMT``) — the date form
+    converts to ``max(0, date - now())``, so a date already in the
+    past means "retry immediately" rather than a bogus sleep. Garbage
+    still returns None (the computed backoff applies). ``now`` is an
+    injection seam for deterministic tests."""
     if not headers:
         return None
     value = None
@@ -56,7 +64,20 @@ def parse_retry_after(headers: Mapping[str, str] | None) -> float | None:
     try:
         return max(0.0, float(value))
     except (TypeError, ValueError):
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(str(value))
+    except (TypeError, ValueError):
         return None
+    if dt is None:  # pre-3.10 parsedate returns None on garbage
+        return None
+    if dt.tzinfo is None:  # RFC 5322 "-0000": treat naive as UTC
+        import datetime as _dt
+
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return max(0.0, dt.timestamp() - now())
 
 
 def request_with_retries(

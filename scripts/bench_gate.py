@@ -42,15 +42,19 @@ import sys
 FLOOR_SEC = 0.2  # below this, local jitter dominates; ratio is meaningless
 
 # Paired control set: plan-stable queries (single scan + trivial
-# plan, untouched since round 1) spanning the mid-duration band.
-# Their median old/new ratio estimates the host factor for the whole
-# session. A code change to any ONE of them barely moves the MEDIAN,
-# and the gate still flags it per-query like everything else.
+# plan, untouched since round 1) spanning the mid-duration band —
+# every control sits comfortably ABOVE FLOOR_SEC (0.33-0.49 s in the
+# r06 detail), so none gets its ratio pinned to 1.0 by the floor
+# (round-6 advice: q_regexp_extract/q_string_funcs sat at ~0.15 s and
+# contributed no host-drift signal). Their median old/new ratio
+# estimates the host factor for the whole session. A code change to
+# any ONE of them barely moves the MEDIAN, and the gate still flags
+# it per-query like everything else.
 CONTROL_QUERIES = [
-    "q_regexp_extract",
-    "q_string_funcs",
+    "q_join_left_semi",
+    "q_grouping_sets",
     "q_math_funcs",
-    "q_distinct",
+    "q_pivot",
     "q_join_range",
     "q_hash_agg",
 ]

@@ -90,6 +90,42 @@ def test_retry_after_capped_and_garbage_ignored():
     assert sleeps == [8.0]  # capped at max_delay
 
 
+def test_retry_after_http_date_form():
+    """RFC 9110 HTTP-date form: wait = date - now, clamped at 0;
+    partial/garbage dates still fall back to None (computed backoff)."""
+    now = lambda: 946684800.0  # 2000-01-01T00:00:00Z  # noqa: E731
+    # 2 minutes in the future → 120 s
+    assert parse_retry_after(
+        {"Retry-After": "Sat, 01 Jan 2000 00:02:00 GMT"}, now=now
+    ) == 120.0
+    # RFC 5322 "-0000" (naive) parses as UTC
+    assert parse_retry_after(
+        {"retry-after": "Sat, 01 Jan 2000 00:02:00 -0000"}, now=now
+    ) == 120.0
+    # date in the past → retry immediately, never negative
+    assert parse_retry_after(
+        {"Retry-After": "Fri, 31 Dec 1999 23:00:00 GMT"}, now=now
+    ) == 0.0
+    assert parse_retry_after({"Retry-After": "Wed, 21 Oct"}) is None
+    assert parse_retry_after({"Retry-After": "not a date"}) is None
+
+
+def test_retry_after_both_forms_property():
+    """Property sweep over both RFC 9110 forms: delay-seconds N and an
+    HTTP-date N seconds past the injected now() must agree."""
+    from email.utils import formatdate
+
+    now_s = 1_000_000_000.0
+    now = lambda: now_s  # noqa: E731
+    for n in (0, 1, 7, 59, 60, 3599, 86400):
+        secs = parse_retry_after({"Retry-After": str(n)})
+        date = parse_retry_after(
+            {"Retry-After": formatdate(now_s + n, usegmt=True)}, now=now
+        )
+        assert secs == float(n)
+        assert date is not None and abs(date - n) < 1.0  # formatdate is 1s-granular
+
+
 def test_retry_permanent_status_no_retry():
     calls = []
 

