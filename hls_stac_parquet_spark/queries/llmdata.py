@@ -4742,3 +4742,301 @@ def q_kl_source_divergence(spark, sf_dir):
     return grid.groupBy("source", F.col("n").alias("n_tokens")).agg(
         F.round(F.sum(p_src * (F.log(p_src) - F.log(p_cor))), 6).alias("kl")
     )
+
+
+_MHP_N = 16  # portable minhash: 16 md5-keyed permutations, 16 bands of 1
+
+_MHP_ORACLE = (
+    "WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS ts "
+    "  FROM documents WHERE len(string_split(lower(text), ' ')) >= 3), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "  unnest(list_transform(range(1, len(ts) - 1), "
+    "    i -> array_to_string(ts[i:i+2], ' '))) AS s FROM base), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(_MHP_N))
+    + " FROM sh GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, "
+    f"  unnest(range({_MHP_N})) AS band, "
+    "  unnest(["
+    + ", ".join(f"h{i}" for i in range(_MHP_N))
+    + "]) AS hv FROM sig), "
+    "elig AS (SELECT band, hv FROM banded GROUP BY 1, 2 "
+    "  HAVING count(*) BETWEEN 2 AND 50), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "  FROM banded a JOIN banded b USING (band, hv) "
+    "  JOIN elig USING (band, hv) WHERE a.doc_id < b.doc_id), "
+    "m AS (SELECT doc_a, doc_b, CAST("
+    + " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MHP_N)
+    )
+    + " AS INT) AS n_match "
+    "  FROM pairs JOIN sig sa ON sa.doc_id = doc_a "
+    "  JOIN sig sb ON sb.doc_id = doc_b) "
+    f"SELECT doc_a, doc_b, n_match, round(n_match / {_MHP_N}.0, 6) "
+    "  AS est_jaccard FROM m WHERE n_match >= 4"
+)
+
+
+@query("q_minhash_portable", oracle=_MHP_ORACLE)
+def q_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidates with a FULLY
+    oracle-checked hash family: each of the 16 permutations is
+    min(md5(i || ':' || shingle)) — md5 is bit-identical on both
+    engines, so unlike q_minhash_dedup's xxhash64 sketch (rows-only
+    by necessity) this twin hash-verifies the complete MinHash+LSH
+    semantics end to end: shingling, signature mins, banded bucketing
+    (16 bands of 1 row), the 2..50 bucket-size guard, in-bucket pair
+    expansion, and the signature-agreement Jaccard estimate
+    (n_match/16 >= 0.25).
+
+    The production operator keeps xxhash64 (one 8-byte long per
+    permutation vs a 32-char string — ~4x less shuffle and no hex
+    materialization); THIS query exists so the algorithmic recipe
+    itself is hash-verified, closing the main evidence gap of the
+    rows-only dedup class. Scale shape is identical to
+    q_minhash_dedup: one shingle explode feeding a doc-keyed
+    aggregate holding all 16 mins (partial map-side combine), a
+    band-keyed bucket aggregate with the declared size guard
+    (operators/lsh.py::bucket_pairs — in-row pair expansion, no
+    self-join), and two sparse signature lookups AQE broadcasts at
+    test scale. NULL text rows have no shingles and drop on BOTH
+    engines (size/len >= 3)."""
+    from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") >= 3)
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ts", i.cast("int")),
+                        F.element_at("ts", (i + 1).cast("int")),
+                        F.element_at("ts", (i + 2).cast("int")),
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(_MHP_N)
+        ]
+    )
+    sig = sig.persist()
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(_MHP_N)])).alias(
+            "band", "hv"
+        ),
+    )
+    pairs = bucket_pairs(banded, ["band", "hv"], "doc_id", max_bucket=50).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(_MHP_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(_MHP_N)],
+    )
+    n_match = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(_MHP_N)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", n_match.cast("int"))
+        .filter(F.col("n_match") >= 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.round(F.col("n_match") / float(_MHP_N), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "q_mutual_info",
+    oracle=(
+        "WITH base AS (SELECT lang, source FROM documents "
+        "  WHERE lang IS NOT NULL AND source IS NOT NULL), "
+        "jt AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c "
+        "  FROM base GROUP BY 1, 2), "
+        "l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM jt GROUP BY lang), "
+        "s AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs "
+        "  FROM jt GROUP BY source), "
+        "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM jt), "
+        "mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+        "    sum((jt.c * 1.0 / n.n) "
+        "      * ln(jt.c * 1.0 * n.n / (l.cl * 1.0 * s.cs))) AS mi "
+        "  FROM jt JOIN l USING (lang) JOIN s USING (source), n), "
+        "hl AS (SELECT sum(-(cl * 1.0 / n.n) * ln(cl * 1.0 / n.n)) AS h "
+        "  FROM l, n), "
+        "hs AS (SELECT sum(-(cs * 1.0 / n.n) * ln(cs * 1.0 / n.n)) AS h "
+        "  FROM s, n) "
+        "SELECT n.n AS n_docs, mi.n_cells, round(mi.mi, 6) AS mi_nats, "
+        "  round(mi.mi / sqrt(hl.h * hs.h), 6) AS nmi "
+        "FROM mi, n, hl, hs"
+    ),
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between two categorical columns (lang x
+    source) in nats, plus the sqrt-normalized NMI — the
+    feature-association / dataset-balance diagnostic: high MI means
+    language and source are entangled (a per-source sample skews the
+    language mix), MI ~ 0 means stratifying by one leaves the other
+    alone. Complements q_chi2_conversion (significance) with effect
+    size, and q_kl_source_divergence (each source vs corpus) with a
+    single coupling number.
+
+    Scale shape: ONE fact-scale keyed aggregate (lang x source cell
+    counts — partial combine does the heavy lifting); everything
+    downstream runs on the |langs| x |sources| cell relation and its
+    two tiny margins, all AQE-broadcast. NULL lang/source rows carry
+    no category identity and are excluded on BOTH engines."""
+    base = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    jt = base.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    jt = jt.persist()
+    l_m = jt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
+    s_m = jt.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    n = jt.agg(F.sum("c").cast("bigint").alias("n"))
+    mi = (
+        jt.join(F.broadcast(l_m), "lang")
+        .join(F.broadcast(s_m), "source")
+        .join(F.broadcast(n))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log(
+                    F.col("c") * 1.0 * F.col("n")
+                    / (F.col("cl") * 1.0 * F.col("cs"))
+                )
+            ).alias("mi"),
+        )
+    )
+    hl = (
+        l_m.join(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("cl") * 1.0 / F.col("n"))
+                * F.log(F.col("cl") * 1.0 / F.col("n"))
+            ).alias("hl")
+        )
+    )
+    hs = (
+        s_m.join(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("cs") * 1.0 / F.col("n"))
+                * F.log(F.col("cs") * 1.0 / F.col("n"))
+            ).alias("hs")
+        )
+    )
+    return (
+        mi.join(F.broadcast(n))
+        .join(F.broadcast(hl))
+        .join(F.broadcast(hs))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(F.col("mi") / F.sqrt(F.col("hl") * F.col("hs")), 6).alias(
+                "nmi"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ngram_entropy_rate",
+    oracle=(
+        "WITH base AS (SELECT source, string_split(lower(text), ' ') AS ts "
+        "  FROM documents WHERE source IS NOT NULL "
+        "    AND len(string_split(lower(text), ' ')) >= 2), "
+        "bg AS (SELECT source, unnest(ts[1:len(ts)-1]) AS a, "
+        "    unnest(ts[2:len(ts)]) AS b FROM base), "
+        "cab AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c "
+        "  FROM bg GROUP BY 1, 2, 3), "
+        "ca AS (SELECT source, a, CAST(sum(c) AS BIGINT) AS cprev "
+        "  FROM cab GROUP BY 1, 2), "
+        "tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams "
+        "  FROM cab GROUP BY source) "
+        "SELECT cab.source, tot.n_bigrams, "
+        "  round(sum(-(cab.c * 1.0 / tot.n_bigrams) "
+        "    * ln(cab.c * 1.0 / ca.cprev)), 6) AS cond_entropy "
+        "FROM cab JOIN ca USING (source, a) JOIN tot USING (source) "
+        "GROUP BY cab.source, tot.n_bigrams"
+    ),
+)
+def q_ngram_entropy_rate(spark, sf_dir):
+    """Bigram conditional entropy H(next | prev) per source, in nats —
+    the repetitiveness / templated-ness signal for corpus curation: a
+    boilerplate-heavy source where each token nearly determines the
+    next scores low, natural prose scores high. Sits between
+    q_entropy (unigram) and q_doc_repetition (verbatim windows):
+    H(next|prev) = -sum_ab p(ab) ln(c_ab / c_a), with c_a the bigram
+    PREFIX count so the conditional is exactly row-normalized.
+
+    Scale shape: one bigram explode (zip of adjacent tokens, pure
+    codegen — no UDF) feeding a (source, a, b)-keyed aggregate (the
+    only fact-scale shuffle; partial combine absorbs duplicate
+    bigrams early); prefix counts and totals are second-stage
+    aggregates OVER the bigram-count relation, never a corpus
+    re-scan. NULL-source docs carry no group identity and are
+    excluded on BOTH engines; docs under 2 tokens have no bigram."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("source", toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    bg = base.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    cab = bg.groupBy("source", "a", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cab = cab.persist()
+    ca = cab.groupBy("source", "a").agg(
+        F.sum("c").cast("bigint").alias("cprev")
+    )
+    tot = cab.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams")
+    )
+    return (
+        cab.join(ca, ["source", "a"])
+        .join(F.broadcast(tot), "source")
+        .groupBy("source", "n_bigrams")
+        .agg(
+            F.round(
+                F.sum(
+                    -(F.col("c") * 1.0 / F.col("n_bigrams"))
+                    * F.log(F.col("c") * 1.0 / F.col("cprev"))
+                ),
+                6,
+            ).alias("cond_entropy")
+        )
+    )

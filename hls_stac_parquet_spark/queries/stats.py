@@ -2670,3 +2670,242 @@ def q_propensity_ipw(spark, sf_dir):
         "ate_ipw",
     )
 
+
+@query(
+    "q_mann_whitney",
+    oracle=(
+        "WITH s AS ("
+        "  SELECT value AS v, "
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g "
+        "  FROM events WHERE event_type IN ('purchase', 'click') "
+        "    AND isfinite(value)), "
+        "pv AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1, "
+        "    CAST(count(*) AS BIGINT) AS t "
+        "  FROM s GROUP BY v), "
+        "cum AS (SELECT v, c1, t, "
+        "    CAST(coalesce(sum(t) OVER (ORDER BY v "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "      AS BIGINT) AS c "
+        "  FROM pv), "
+        "agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+        "    CAST(sum(t - c1) AS BIGINT) AS n2, "
+        "    sum(c1 * (c + (t + 1) / 2.0)) AS r1, "
+        "    CAST(sum(t * t * t - t) AS BIGINT) AS tie "
+        "  FROM cum) "
+        "SELECT n1, n2, "
+        "  round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1, "
+        "  round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) "
+        "    / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1) "
+        "      - tie * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z "
+        "FROM agg"
+    ),
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (tie-corrected normal
+    approximation): are 'purchase' event values stochastically larger
+    than 'click' values? The non-parametric A/B workhorse next to
+    q_welch_ttest (means) and q_ks_drift (full distribution) — rank
+    statistics are robust to the heavy right tails revenue columns
+    always have.
+
+    No per-row ranks are ever materialized: the rank-sum collapses to
+    VALUE-level sufficient statistics — for each distinct value v with
+    t(v) total rows (c1(v) from group 1), every row at v has average
+    rank C(v) + (t(v)+1)/2 where C(v) = #rows below v. So the plan is
+    one value-keyed aggregate (the only fact-scale shuffle), one
+    distributed exclusive prefix-sum over the |distinct-values| relation
+    (operators/ranking.py::with_global_cumsum — range shuffle +
+    broadcast offsets, never a single-partition window), and a 1-row
+    fold. All sums are exact in float (ranks are halves well below
+    2^52), so U and the tie term are deterministic regardless of
+    partition order; z is one closed-form expression over them.
+    NULL/non-finite values and NULL event_type rows are excluded on
+    BOTH engines (a NULL measurement has no rank)."""
+    from hls_stac_parquet_spark.operators.ranking import with_global_cumsum
+
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & _finite(F.col("value"))
+        )
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    cum = with_global_cumsum(pv, [F.col("v")], {"_ct": "t"}).withColumn(
+        "c", (F.col("_ct") - F.col("t")).cast("bigint")
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.col("c") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie"),
+    )
+    n1, n2, r1, tie = F.col("n1"), F.col("n2"), F.col("r1"), F.col("tie")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - tie * 1.0 / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=(
+        "WITH base AS ("
+        "  SELECT CAST(user_id % 2 AS INT) AS treated, "
+        "    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' "
+        "      THEN 1 ELSE 0 END AS post, value "
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "    AND event_type = 'purchase' AND isfinite(value)), "
+        "cells AS (SELECT treated, CAST(post AS INT) AS post, "
+        "    CAST(count(*) AS BIGINT) AS n, avg(value) AS m "
+        "  FROM base GROUP BY 1, 2), "
+        "did AS (SELECT round(sum(m * (2 * treated - 1) "
+        "    * (2 * post - 1)), 6) AS d FROM cells) "
+        "SELECT c.treated, c.post, c.n, round(c.m, 6) AS mean_value, "
+        "  did.d AS did FROM cells c, did"
+    ),
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences treatment-effect estimate over a 2x2
+    (treated x pre/post) design — the panel-causal primitive that
+    completes the causal family (q_cuped variance reduction,
+    q_propensity_ipw confounder weighting): DiD =
+    (E[y|t,post] - E[y|t,pre]) - (E[y|c,post] - E[y|c,pre]),
+    i.e. the signed sum of the four cell means. Cohorts and the
+    period split are DECLARED identically on both engines: treated =
+    user_id mod 2 (a synthetic assignment — real pipelines swap in
+    the experiment flag), post = ts >= the fixed 2024-01-16 midpoint
+    of the data's one-month window.
+
+    Scale shape: the fact scan collapses straight into a 4-row keyed
+    aggregate (partial map-side combine does almost all the work);
+    the DiD fold is a 1-row broadcast back onto the 4 cells. Rows
+    with NULL user_id (no cohort identity), NULL ts (no period), or
+    non-finite value are excluded on BOTH engines."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & _finite(F.col("value"))
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            F.when(
+                F.col("ts") >= F.expr("TIMESTAMP_NTZ'2024-01-16 00:00:00'"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("post"),
+            "value",
+        )
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count("*").cast("bigint").alias("n"), F.avg("value").alias("m")
+    )
+    did = cells.agg(
+        F.round(
+            F.sum(
+                F.col("m")
+                * (2 * F.col("treated") - 1)
+                * (2 * F.col("post") - 1)
+            ),
+            6,
+        ).alias("did")
+    )
+    return cells.join(F.broadcast(did)).select(
+        "treated", "post", "n", F.round("m", 6).alias("mean_value"), "did"
+    )
+
+
+@query(
+    "q_hill_tail_index",
+    oracle=(
+        "WITH base AS (SELECT event_type, value, event_id FROM events "
+        "  WHERE event_type IS NOT NULL AND isfinite(value) "
+        "    AND value > 0), "
+        "rk AS (SELECT event_type, value, row_number() OVER ("
+        "    PARTITION BY event_type ORDER BY value DESC, event_id) "
+        "    AS rnk FROM base), "
+        "xm AS (SELECT event_type, value AS xmin FROM rk WHERE rnk = 101), "
+        "hill AS (SELECT r.event_type, avg(ln(r.value / x.xmin)) AS h "
+        "  FROM rk r JOIN xm x USING (event_type) WHERE r.rnk <= 100 "
+        "  GROUP BY r.event_type) "
+        "SELECT h.event_type, CAST(100 AS BIGINT) AS k, "
+        "  round(x.xmin, 6) AS xmin, round(h.h, 6) AS hill, "
+        "  round(1.0 / h.h, 6) AS alpha "
+        "FROM hill h JOIN xm x USING (event_type)"
+    ),
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the tail index per event type — how heavy is
+    the right tail of the value distribution? alpha = 1/hill where
+    hill = (1/k) sum_{i<=k} ln(x_(i) / x_(k+1)) over the k=100 largest
+    order statistics. Low alpha = Pareto-heavy tail: the skew
+    diagnostic that tells you whether a sum/mean is even stable and
+    whether the join key needs salting (pairs with
+    q_degree_distribution's power-law slope on the graph side).
+
+    Scale shape: the per-type top-(k+1) filter is a rank window that
+    Spark 3.5+/4 rewrites to WindowGroupLimit — each map task keeps
+    only its local top-101 per type BEFORE the shuffle, so the
+    exchange carries O(types * 101 * partitions) rows, never the fact
+    table. The xmin anchor row (rnk = k+1) broadcasts back onto the
+    <= 100-row per-type head; ties at the boundary are broken by
+    event_id on both engines. NULL event_type (no group identity),
+    non-finite, and non-positive values (ln) are excluded on BOTH
+    engines."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & _finite(F.col("value"))
+        & (F.col("value") > 0)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    rk = (
+        base.select(
+            "event_type", "value", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 101)
+        # one eager materialization: the pruned relation is <=
+        # 101·|types| rows but feeds THREE consumers (xmin anchor,
+        # hill head, final projection) — without it each consumer
+        # re-scans the fact table (3 full scans at 100 TB)
+        .localCheckpoint()
+    )
+    xm = rk.filter(F.col("rnk") == 101).select(
+        "event_type", F.col("value").alias("xmin")
+    )
+    hill = (
+        rk.filter(F.col("rnk") <= 100)
+        .join(F.broadcast(xm), "event_type")
+        .groupBy("event_type")
+        .agg(F.avg(F.log(F.col("value") / F.col("xmin"))).alias("h"))
+    )
+    return hill.join(F.broadcast(xm), "event_type").select(
+        "event_type",
+        F.lit(100).cast("bigint").alias("k"),
+        F.round("xmin", 6).alias("xmin"),
+        F.round("h", 6).alias("hill"),
+        F.round(1.0 / F.col("h"), 6).alias("alpha"),
+    )

@@ -69,6 +69,8 @@ FUZZ_QUERIES = [
     "q_moving_avg",
     "q_rolling_corr",
     "q_scd2_intervals",
+    # q_session_paths covers BOTH fuzz axes (NULL ts/user_id here and
+    # the sweep-2 NULL event_type axis) — listed once, not per sweep
     "q_session_paths",
     "q_session_window_agg",
     "q_stickiness",
@@ -98,13 +100,20 @@ FUZZ_QUERIES = [
     # round-6 sweep 2 (NULL event_type / source axes): untyped events
     # contribute no path step; unattributed docs are excluded from
     # source-keyed selection/budget/URL derivation on BOTH engines
-    "q_session_paths",
     "q_dsir_resample",
     "q_token_budget_mix",
     "q_url_canonical_dedup",
     # round-6 late additions (source/user_id-keyed from birth)
     "q_kl_source_divergence",
     "q_propensity_ipw",
+    # round-7 additions: every new operator declares its NULL/finite
+    # semantics at birth (excluded keys/measurements on BOTH engines)
+    "q_mann_whitney",
+    "q_diff_in_diff",
+    "q_hill_tail_index",
+    "q_mutual_info",
+    "q_ngram_entropy_rate",
+    "q_minhash_portable",
 ]
 
 
