@@ -136,6 +136,20 @@ PRIORITY_QUERIES = [
 ]
 
 
+# Queries added THIS round: within the never-checked tier they queue
+# BEHIND the existing backlog, so a new alphabetically-early name
+# can't bump a query that has waited since an earlier round (round-6
+# verdict item 3: the r6 backlog — q_vocab_growth included — must
+# drain in the r7 window; the r7 debuts carry LOCAL_PARITY + fuzz +
+# the oracle-type guard as evidence until their turn in r8).
+DEBUT_QUERIES = frozenset({
+    "q_minhash_portable", "q_mann_whitney", "q_diff_in_diff",
+    "q_hill_tail_index", "q_mutual_info", "q_ngram_entropy_rate",
+    "q_wilson_ci", "q_cramers_v", "q_burstiness", "q_keyness_loglr",
+    "q_interpolate_linear",
+})
+
+
 def _rotation_order() -> list[str]:
     hist = load_check_history()
     prio_rank = {n: i for i, n in enumerate(PRIORITY_QUERIES)}
@@ -149,11 +163,13 @@ def _rotation_order() -> list[str]:
             tier = 1  # never driver-checked — rotate in
         else:
             tier = 2 + len(ent["green"])  # verified; least-verified first
-        # within a tier: §2.B contract queries first (the declared
+        # within a tier: the standing backlog before this round's
+        # debuts, then §2.B contract queries first (the declared
         # surface re-verifies soonest once green slots open up), then
         # flagship LLM-data queries, then the alphabetical tail
         return (
             tier,
+            1 if name in DEBUT_QUERIES else 0,
             contract_rank.get(name, len(CONTRACT_QUERIES)),
             prio_rank.get(name, len(PRIORITY_QUERIES)),
             name,

@@ -5040,3 +5040,103 @@ def q_ngram_entropy_rate(spark, sf_dir):
             ).alias("cond_entropy")
         )
     )
+
+
+@query(
+    "q_keyness_loglr",
+    oracle=(
+        "WITH toks AS (SELECT source, "
+        "    unnest(string_split(lower(text), ' ')) AS term "
+        "  FROM documents WHERE source IS NOT NULL), "
+        "tk AS (SELECT source, term, CAST(count(*) AS BIGINT) AS a "
+        "  FROM toks WHERE term != '' GROUP BY 1, 2), "
+        "tm AS (SELECT term, CAST(sum(a) AS BIGINT) AS tt FROM tk "
+        "  GROUP BY term), "
+        "sm AS (SELECT source, CAST(sum(a) AS BIGINT) AS st FROM tk "
+        "  GROUP BY source), "
+        "nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM tk), "
+        "g AS (SELECT tk.source, tk.term, tk.a, "
+        "    tm.tt - tk.a AS b, sm.st - tk.a AS c, "
+        "    nn.n - sm.st - (tm.tt - tk.a) AS d, "
+        "    sm.st * 1.0 * tm.tt / nn.n AS ea, "
+        "    (nn.n - sm.st) * 1.0 * tm.tt / nn.n AS eb, "
+        "    sm.st * 1.0 * (nn.n - tm.tt) / nn.n AS ec, "
+        "    (nn.n - sm.st) * 1.0 * (nn.n - tm.tt) / nn.n AS ed "
+        "  FROM tk JOIN tm USING (term) JOIN sm USING (source), nn), "
+        "ll AS (SELECT source, term, a, round(2 * ("
+        "    CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0 END "
+        "    + CASE WHEN b > 0 THEN b * ln(b / eb) ELSE 0 END "
+        "    + CASE WHEN c > 0 THEN c * ln(c / ec) ELSE 0 END "
+        "    + CASE WHEN d > 0 THEN d * ln(d / ed) ELSE 0 END), 6) AS g2 "
+        "  FROM g) "
+        "SELECT source, term, a AS n_in_source, g2 FROM ll "
+        "ORDER BY g2 DESC, source, term LIMIT 20"
+    ),
+)
+def q_keyness_loglr(spark, sf_dir):
+    """Dunning log-likelihood keyness (G2) per (source, term): which
+    terms are most over/under-represented in a source versus the rest
+    of the corpus — the corpus-comparison primitive behind 'what makes
+    this crawl slice different', more robust at low counts than
+    chi-square and score-comparable across terms (complements
+    q_top_terms' raw TF-IDF ranking and q_kl_source_divergence's
+    whole-distribution number). G2 = 2*sum O*ln(O/E) over the 2x2
+    (term-vs-rest x source-vs-rest) table; zero cells contribute the
+    0*ln(0) limit of 0, declared identically on both engines.
+
+    Scale shape: one token explode feeding the (source, term) cell
+    aggregate (the only fact-scale shuffle); term margins join the
+    cell relation on term (a vocab-keyed shuffle of the CELL relation,
+    never the corpus), source margins and N are broadcast; the head
+    is TakeOrdered(20) on the ROUNDED score with (source, term)
+    tie-breakers. NULL-source docs are excluded on BOTH engines;
+    empty tokens carry no term identity and are dropped."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tk = toks.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    tk = tk.persist()
+    tm = tk.groupBy("term").agg(F.sum("a").cast("bigint").alias("tt"))
+    sm = tk.groupBy("source").agg(F.sum("a").cast("bigint").alias("st"))
+    nn = tk.agg(F.sum("a").cast("bigint").alias("n"))
+    g = (
+        tk.join(tm, "term")
+        .join(F.broadcast(sm), "source")
+        .join(F.broadcast(nn))
+    )
+    a = F.col("a") * 1.0
+    b = (F.col("tt") - F.col("a")) * 1.0
+    c = (F.col("st") - F.col("a")) * 1.0
+    d = (F.col("n") - F.col("st") - (F.col("tt") - F.col("a"))) * 1.0
+    ea = F.col("st") * 1.0 * F.col("tt") / F.col("n")
+    eb = (F.col("n") - F.col("st")) * 1.0 * F.col("tt") / F.col("n")
+    ec = F.col("st") * 1.0 * (F.col("n") - F.col("tt")) / F.col("n")
+    ed = (
+        (F.col("n") - F.col("st")) * 1.0 * (F.col("n") - F.col("tt"))
+        / F.col("n")
+    )
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2 * (term(a, ea) + term(b, eb) + term(c, ec) + term(d, ed)), 6
+    )
+    return (
+        g.select(
+            "source",
+            "term",
+            F.col("a").alias("n_in_source"),
+            g2.alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "source", "term")
+        .limit(20)
+    )

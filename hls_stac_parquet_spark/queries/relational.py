@@ -1871,3 +1871,122 @@ def q_variant_json(spark, sf_dir):
             " ELSE try_parse_json(props) IS NOT NULL END"
         ).alias("is_valid"),
     )
+
+
+@query(
+    "q_interpolate_linear",
+    oracle=(
+        "WITH obs AS (SELECT event_type, "
+        "    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) "
+        "      AS INT) AS h, avg(value) AS v "
+        "  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+        "    AND isfinite(value) "
+        "    AND ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "    AND ts < TIMESTAMP '2024-01-31 00:00:00' "
+        "  GROUP BY 1, 2), "
+        "types AS (SELECT DISTINCT event_type FROM obs), "
+        "grid AS (SELECT event_type, CAST(unnest(range(720)) AS INT) AS h "
+        "  FROM types), "
+        "j AS (SELECT g.event_type, g.h, o.v FROM grid g "
+        "  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h), "
+        "w AS (SELECT event_type, h, v, "
+        "    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type "
+        "      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "      AS pv, "
+        "    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) "
+        "      OVER (PARTITION BY event_type ORDER BY h "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, "
+        "    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type "
+        "      ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) "
+        "      AS nv, "
+        "    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) "
+        "      OVER (PARTITION BY event_type ORDER BY h "
+        "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh "
+        "  FROM j) "
+        "SELECT event_type, h, "
+        "  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed, "
+        "  round(CASE WHEN v IS NOT NULL THEN v "
+        "    WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+        "    ELSE pv + (nv - pv) * (h - ph) * 1.0 / (nh - ph) END, 6) "
+        "    AS filled "
+        "FROM w"
+    ),
+)
+def q_interpolate_linear(spark, sf_dir):
+    """Two-sided linear interpolation over a dense hourly grid per
+    event type — the time-series imputation step past LOCF
+    (q_gap_fill_locf carries the LAST observation forward; this draws
+    the line between the nearest observations on BOTH sides, with
+    nearest-value extrapolation at the edges). The declared grid is
+    the data's 720-hour January window anchored at 2024-01-01; a slot
+    with no finite-valued event is a gap.
+
+    Scale shape: the fact table collapses into one (type, hour) keyed
+    aggregate (the only fact-scale shuffle); the grid is |types| x 720
+    rows built from a range cross join, the gap join and the four
+    IGNORE-NULLS windows (prev/next value + anchor hour) all run over
+    that tiny dense relation, partitioned per type. NULL event_type /
+    NULL ts rows have no slot identity and non-finite values are not
+    measurements; both are excluded on BOTH engines."""
+    e = t(spark, sf_dir, "events")
+    anchor = "TIMESTAMP_NTZ'2024-01-01 00:00:00'"
+    obs = (
+        e.filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.abs(F.col("value")) < F.lit(float("inf")))
+            & (F.col("ts") >= F.expr(anchor))
+            & (F.col("ts") < F.expr("TIMESTAMP_NTZ'2024-01-31 00:00:00'"))
+        )
+        .groupBy(
+            "event_type",
+            F.expr(f"CAST(timestampdiff(HOUR, {anchor}, ts) AS INT)").alias(
+                "h"
+            ),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    obs = obs.persist()
+    types = obs.select("event_type").distinct()
+    grid = types.crossJoin(
+        e.sparkSession.range(720).select(F.col("id").cast("int").alias("h"))
+    )
+    j = grid.join(obs, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    w = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(h_obs, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(h_obs, ignorenulls=True).over(wf).alias("nh"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("h") - F.col("ph"))
+            * 1.0
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return w.select(
+        "event_type",
+        "h",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        F.round(filled, 6).alias("filled"),
+    )

@@ -2909,3 +2909,199 @@ def q_hill_tail_index(spark, sf_dir):
         F.round("h", 6).alias("hill"),
         F.round(1.0 / F.col("h"), 6).alias("alpha"),
     )
+
+
+@query(
+    "q_wilson_ci",
+    oracle=(
+        "WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) "
+        "      AS s "
+        "  FROM events WHERE event_type IS NOT NULL AND isfinite(value) "
+        "  GROUP BY event_type), "
+        "w AS (SELECT event_type, n, s, s * 1.0 / n AS p, "
+        "    1.96 * 1.96 AS z2 FROM g) "
+        "SELECT event_type, n, s AS successes, round(p, 6) AS p_hat, "
+        "  round((p + z2 / (2 * n) - 1.96 * sqrt(p * (1 - p) / n "
+        "    + z2 / (4.0 * n * n))) / (1 + z2 / n), 6) AS ci_lo, "
+        "  round((p + z2 / (2 * n) + 1.96 * sqrt(p * (1 - p) / n "
+        "    + z2 / (4.0 * n * n))) / (1 + z2 / n), 6) AS ci_hi "
+        "FROM w"
+    ),
+)
+def q_wilson_ci(spark, sf_dir):
+    """Wilson score 95% confidence interval for a per-group proportion
+    (share of events with value > 100 per event type) — the interval
+    every rate dashboard should use instead of the Wald +-1.96*se,
+    which collapses to zero width at p = 0 or 1 and undercovers small
+    n. Closed form, no iteration, no special functions.
+
+    Scale shape: the fact scan collapses into one |types|-row keyed
+    aggregate (count + conditional sum ride together, partial combine
+    map-side); the interval is pure per-row arithmetic over that tiny
+    relation. NULL event_type rows (no group identity) and non-finite
+    values are excluded on BOTH engines."""
+    g = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & _finite(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("value") > 100, 1).otherwise(0)
+            ).cast("bigint").alias("s"),
+        )
+    )
+    p = F.col("s") * 1.0 / F.col("n")
+    z = 1.96
+    z2 = z * z
+    n = F.col("n")
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    return g.select(
+        "event_type",
+        "n",
+        F.col("s").alias("successes"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + z2 / (2 * n) - half) / denom, 6).alias("ci_lo"),
+        F.round((p + z2 / (2 * n) + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_cramers_v",
+    oracle=(
+        "WITH base AS (SELECT event_type AS x, isodow(ts) AS y FROM events "
+        "  WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+        "cells AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS o "
+        "  FROM base GROUP BY 1, 2), "
+        "m AS (SELECT x, y, o, sum(o) OVER (PARTITION BY x) AS rx, "
+        "    sum(o) OVER (PARTITION BY y) AS cy FROM cells), "
+        "tot AS (SELECT sum(o) AS n, "
+        "    CAST(count(DISTINCT x) AS BIGINT) AS r, "
+        "    CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells), "
+        "chi AS (SELECT sum((m.o - m.rx * m.cy / t.n) "
+        "    * (m.o - m.rx * m.cy / t.n) / (m.rx * m.cy / t.n)) AS chi2 "
+        "  FROM m, tot t) "
+        "SELECT CAST(t.n AS BIGINT) AS n_events, t.r AS n_rows_cat, "
+        "  t.c AS n_cols_cat, round(chi.chi2, 6) AS chi2, "
+        "  round(sqrt(chi.chi2 / (t.n * (least(t.r, t.c) - 1))), 6) "
+        "    AS cramers_v "
+        "FROM chi, tot t"
+    ),
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramer's V association strength between event type and ISO
+    day-of-week — the bounded [0,1] effect size that answers 'does
+    event mix depend on weekday?' independent of sample size (chi2
+    alone grows with n; q_chi2_conversion gives significance, this
+    gives magnitude; q_mutual_info is its information-theoretic
+    sibling on the documents table).
+
+    Scale shape: one fact-scale keyed aggregate to the |types| x 7
+    cell table; margins are windows OVER that tiny relation; chi2 and
+    V fold to one row. Day-of-week is pinned to ISO numbering on both
+    engines (Spark weekday()+1 == DuckDB isodow, Monday=1) — engine
+    default dayofweek() disagrees (Spark 1=Sunday, DuckDB 0=Sunday).
+    NULL event_type / NULL ts rows carry no cell identity and are
+    excluded on BOTH engines."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            (F.expr("weekday(ts)") + 1).alias("y"),
+        )
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    cells = cells.persist()
+    from pyspark.sql import Window
+
+    m = cells.select(
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("o").over(Window.partitionBy("y")).alias("cy"),
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("x").cast("bigint").alias("r"),
+        F.countDistinct("y").cast("bigint").alias("c"),
+    )
+    e = F.col("rx") * F.col("cy") / F.col("n")
+    chi = (
+        m.join(F.broadcast(tot))
+        .agg(F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"))
+    )
+    return (
+        chi.join(F.broadcast(tot))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("r").alias("n_rows_cat"),
+            F.col("c").alias("n_cols_cat"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle=(
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "    CAST(count(*) AS BIGINT) AS c "
+        "  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+        "  GROUP BY 1, 2), "
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, "
+        "    avg(c) AS mu, stddev_samp(c) AS sd, var_samp(c) AS v "
+        "  FROM daily GROUP BY event_type) "
+        "SELECT event_type, n_days, round(mu, 6) AS mean_daily, "
+        "  round(v / mu, 6) AS fano, "
+        "  round((sd - mu) / (sd + mu), 6) AS burstiness "
+        "FROM s"
+    ),
+)
+def q_burstiness(spark, sf_dir):
+    """Traffic burstiness per event type from the daily-count series:
+    the Fano factor (variance/mean — 1 for a Poisson arrival process,
+    >1 overdispersed) and the Goh-Barabasi burstiness coefficient
+    (sd-mu)/(sd+mu) in [-1,1]. The capacity-planning / anomaly-baseline
+    diagnostic that says whether per-key daily volume is steady or
+    spiky — i.e. whether downstream windows need skew headroom.
+
+    Scale shape: fact scan -> (type, day) keyed aggregate (the only
+    fact-scale shuffle; partial combine absorbs almost everything) ->
+    |types|-row moment aggregate over the ~30-row-per-type daily
+    relation. Sample variance (n-1) on BOTH engines (var_samp /
+    F.var_samp). NULL event_type / NULL ts rows have no (type, day)
+    identity and are excluded on BOTH engines."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.avg("c").alias("mu"),
+        F.stddev_samp("c").alias("sd"),
+        F.var_samp("c").alias("v"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mean_daily"),
+        F.round(F.col("v") / F.col("mu"), 6).alias("fano"),
+        F.round(
+            (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
+        ).alias("burstiness"),
+    )

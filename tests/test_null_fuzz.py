@@ -114,6 +114,11 @@ FUZZ_QUERIES = [
     "q_mutual_info",
     "q_ngram_entropy_rate",
     "q_minhash_portable",
+    "q_wilson_ci",
+    "q_cramers_v",
+    "q_burstiness",
+    "q_keyness_loglr",
+    "q_interpolate_linear",
 ]
 
 
