@@ -146,7 +146,8 @@ DEBUT_QUERIES = frozenset({
     "q_minhash_portable", "q_mann_whitney", "q_diff_in_diff",
     "q_hill_tail_index", "q_mutual_info", "q_ngram_entropy_rate",
     "q_wilson_ci", "q_cramers_v", "q_burstiness", "q_keyness_loglr",
-    "q_interpolate_linear",
+    "q_interpolate_linear", "q_emd_1d", "q_abtest_power",
+    "q_crossentropy_matrix",
 })
 
 

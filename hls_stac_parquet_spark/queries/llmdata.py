@@ -5140,3 +5140,135 @@ def q_keyness_loglr(spark, sf_dir):
         .orderBy(F.desc("g2"), "source", "term")
         .limit(20)
     )
+
+
+@query(
+    "q_crossentropy_matrix",
+    oracle=(
+        "WITH base AS (SELECT source, string_split(lower(text), ' ') AS ts "
+        "  FROM documents WHERE source IS NOT NULL "
+        "    AND len(string_split(lower(text), ' ')) >= 2), "
+        "bg AS (SELECT source, unnest(ts[1:len(ts)-1]) AS a, "
+        "    unnest(ts[2:len(ts)]) AS b FROM base), "
+        "cab AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c "
+        "  FROM bg GROUP BY 1, 2, 3), "
+        "ca AS (SELECT source, a, CAST(sum(c) AS BIGINT) AS cprev "
+        "  FROM cab GROUP BY 1, 2), "
+        "tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams "
+        "  FROM cab GROUP BY source), "
+        "vv AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS v FROM cab), "
+        "srcs AS (SELECT source AS train_source FROM tt), "
+        "x AS (SELECT tc.source AS test_source, s.train_source, "
+        "    tc.a, tc.b, tc.c AS ct, "
+        "    coalesce(tr.c, 0) AS cs, coalesce(pa.cprev, 0) AS cps "
+        "  FROM cab tc CROSS JOIN srcs s "
+        "  LEFT JOIN cab tr ON tr.source = s.train_source "
+        "    AND tr.a = tc.a AND tr.b = tc.b "
+        "  LEFT JOIN ca pa ON pa.source = s.train_source "
+        "    AND pa.a = tc.a) "
+        "SELECT x.test_source, x.train_source, tt.n_bigrams, "
+        "  round(sum(-(x.ct * 1.0 / tt.n_bigrams) "
+        "    * ln((x.cs + 0.5) / (x.cps + 0.5 * vv.v))), 6) "
+        "    AS cross_entropy "
+        "FROM x JOIN tt ON tt.source = x.test_source, vv "
+        "GROUP BY x.test_source, x.train_source, tt.n_bigrams"
+    ),
+    bench=False,  # |sources|x fan-out of the cell relation by design —
+    # a 400-cell similarity matrix, not a per-row pipeline stage
+)
+def q_crossentropy_matrix(spark, sf_dir):
+    """Source-by-source bigram-LM cross-entropy matrix: train an
+    add-1/2-smoothed bigram model on each source, score every
+    source's bigram distribution against it — H(test, train) in nats.
+    The data-mixing similarity matrix: which corpus slices are
+    interchangeable, which are distribution islands (low diagonal =
+    self-predictable, near-symmetric off-diagonal = same register).
+    Generalizes q_ngram_entropy_rate (this matrix's diagonal is that
+    query's entropy plus the smoothing penalty) and complements
+    q_kl_source_divergence (unigram, vs-corpus) with a conditional
+    pairwise view. p(b|a) = (c_ab + 0.5)/(c_a + 0.5*V), V = the
+    corpus-wide next-token vocabulary; bigrams unseen in training
+    fall back to the declared smoothing floor, never log(0).
+
+    Scale shape: ONE bigram explode feeds the (source, a, b) cell
+    aggregate (the only fact-scale shuffle); the matrix is built by
+    fanning the CELL relation out |sources| ways (a cross join with
+    the |sources|-row dim — bounded, declared) and two left joins
+    back onto cells/prefixes keyed on (a, b)/(a); V and totals are
+    1-row/|sources|-row broadcasts. At 100 TB the cell relation is
+    vocab-bounded, never corpus-bounded. NULL-source docs are
+    excluded on BOTH engines."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("source", toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    bg = base.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    cab = bg.groupBy("source", "a", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cab = cab.persist()
+    ca = cab.groupBy("source", "a").agg(
+        F.sum("c").cast("bigint").alias("cprev")
+    )
+    tt = cab.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams")
+    )
+    vv = cab.agg(F.countDistinct("b").cast("bigint").alias("v"))
+    srcs = tt.select(F.col("source").alias("train_source"))
+    tc = cab.select(
+        F.col("source").alias("test_source"), "a", "b", F.col("c").alias("ct")
+    )
+    tr = cab.select(
+        F.col("source").alias("train_source"),
+        "a",
+        "b",
+        F.col("c").alias("cs"),
+    )
+    pa = ca.select(
+        F.col("source").alias("train_source"),
+        "a",
+        F.col("cprev").alias("cps"),
+    )
+    x = (
+        tc.crossJoin(F.broadcast(srcs))
+        .join(tr, ["train_source", "a", "b"], "left")
+        .join(pa, ["train_source", "a"], "left")
+        .select(
+            "test_source",
+            "train_source",
+            "ct",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("cps"), F.lit(0)).alias("cps"),
+        )
+    )
+    return (
+        x.join(
+            F.broadcast(tt.withColumnRenamed("source", "test_source")),
+            "test_source",
+        )
+        .join(F.broadcast(vv))
+        .groupBy("test_source", "train_source", "n_bigrams")
+        .agg(
+            F.round(
+                F.sum(
+                    -(F.col("ct") * 1.0 / F.col("n_bigrams"))
+                    * F.log(
+                        (F.col("cs") + 0.5)
+                        / (F.col("cps") + 0.5 * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("cross_entropy")
+        )
+    )

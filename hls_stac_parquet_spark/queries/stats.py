@@ -3105,3 +3105,140 @@ def q_burstiness(spark, sf_dir):
             (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
         ).alias("burstiness"),
     )
+
+
+@query(
+    "q_emd_1d",
+    oracle=(
+        "WITH s AS (SELECT value AS v, "
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g "
+        "  FROM events WHERE event_type IN ('purchase', 'click') "
+        "    AND isfinite(value)), "
+        "pv AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1, "
+        "    CAST(count(*) - sum(g) AS BIGINT) AS c2 FROM s GROUP BY v), "
+        "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+        "    CAST(sum(c2) AS BIGINT) AS n2 FROM pv), "
+        "cum AS (SELECT v, "
+        "    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS k1, "
+        "    CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS k2, "
+        "    lead(v) OVER (ORDER BY v) AS nxt FROM pv) "
+        "SELECT t.n1, t.n2, "
+        "  round(sum(abs(c.k1 * 1.0 / t.n1 - c.k2 * 1.0 / t.n2) "
+        "    * (c.nxt - c.v)), 6) AS emd "
+        "FROM cum c, tot t WHERE c.nxt IS NOT NULL GROUP BY t.n1, t.n2"
+    ),
+)
+def q_emd_1d(spark, sf_dir):
+    """1-D earth mover's distance (Wasserstein-1) between the
+    'purchase' and 'click' value distributions: W1 = integral of
+    |F1 - F2| dv over the pooled support — the distribution-shift
+    metric in the same family as q_ks_drift (sup gap) and q_psi_drift
+    (binned KL-ish), but metric-valued: it weighs HOW FAR mass moved,
+    not just that it did, which makes it the right drift alarm for
+    revenue-like columns.
+
+    Scale shape: one value-keyed aggregate (the only fact-scale
+    shuffle) collapses both samples into (v, c1, c2) cells; CDFs are
+    a distributed prefix-sum over that relation
+    (operators/ranking.py kernels — range shuffle + broadcast
+    offsets); the next-value gap comes from a rank+1 self-join of the
+    SAME ranked relation (no global-order single-partition window);
+    the integral folds to one row. CDF steps are exact rationals;
+    NULL event_type / non-finite values are excluded on BOTH
+    engines."""
+    from hls_stac_parquet_spark.operators.ranking import (
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & _finite(F.col("value"))
+        )
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("g")).cast("bigint").alias("c2"),
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    cum = with_global_cumsum(pv, [F.col("v")], {"k1": "c1", "k2": "c2"})
+    rk = with_global_rank(cum, [F.col("v")], "rn").localCheckpoint()
+    nxt = rk.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("nxt"))
+    stepped = rk.join(nxt, "rn")  # inner: the max-v row has no next
+    return (
+        stepped.join(F.broadcast(tot))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("k1") * 1.0 / F.col("n1")
+                        - F.col("k2") * 1.0 / F.col("n2")
+                    )
+                    * (F.col("nxt") - F.col("v"))
+                ),
+                6,
+            ).alias("emd"),
+        )
+    )
+
+
+@query(
+    "q_abtest_power",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "  round(avg(value), 6) AS mean_value, "
+        "  round(stddev_samp(value), 6) AS sd, "
+        "  round((1.96 + 0.841621) * stddev_samp(value) "
+        "    * sqrt(2.0 / (count(*) / 2.0)), 6) AS mde_abs, "
+        "  round((1.96 + 0.841621) * stddev_samp(value) "
+        "    * sqrt(2.0 / (count(*) / 2.0)) / avg(value), 6) AS mde_rel "
+        "FROM events WHERE event_type IS NOT NULL AND isfinite(value) "
+        "GROUP BY event_type"
+    ),
+)
+def q_abtest_power(spark, sf_dir):
+    """Minimum detectable effect (MDE) per event type for a 50/50
+    two-sample test at alpha=0.05 / power=0.80: MDE =
+    (z_{a/2} + z_beta) * sd * sqrt(2/m) with m = n/2 per arm — the
+    experiment-sizing primitive that answers 'is this metric even
+    testable at current traffic?' before anyone launches (pairs with
+    q_welch_ttest / q_mann_whitney which analyze after). The two
+    normal quantiles are DECLARED constants (1.96, 0.841621) on both
+    engines — no inverse-CDF special function needed.
+
+    Scale shape: one keyed aggregate (count/mean/sd ride together
+    with map-side partial combine); the MDE is per-row arithmetic
+    over the |types|-row result. NULL event_type rows and non-finite
+    values are excluded on BOTH engines."""
+    g = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & _finite(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sd"),
+        )
+    )
+    mde = (1.96 + 0.841621) * F.col("sd") * F.sqrt(
+        2.0 / (F.col("n") / 2.0)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("mu", 6).alias("mean_value"),
+        F.round("sd", 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mu"), 6).alias("mde_rel"),
+    )

@@ -20,11 +20,13 @@ accepted POSIX paths (round-3 verdict, "What's missing" #1).
   processes, so sinks route memory-store writes through the driver
   (manifest groups and month files are tiny by construction — the
   same driver-side shape the reference always uses).
-- ``s3://`` / ``gs://`` / ``abfs://`` → resolved via
-  :func:`register_store_scheme` hooks. No cloud SDK ships in this
-  environment, so none is registered by default; a deployment
-  registers a boto3/fsspec-backed factory in one line. The error
-  message says exactly that instead of a bare KeyError.
+- ``s3://`` / ``gs://`` / ``az://`` → resolved via
+  :func:`register_store_scheme` hooks. Native stdlib-HTTP stores ship
+  for all three (sources/s3store.py, gcsstore.py, azstore.py — one
+  ``register_*_scheme(...)`` call each wires credentials + endpoint);
+  none is registered by default because credentials are deployment
+  decisions. Unknown schemes get an error message naming the seam
+  instead of a bare KeyError.
 
 Stores carry only their root URL and are pickled into tasks; each
 task re-binds cheaply (LocalStore holds no handles). Paths passed to

@@ -119,6 +119,9 @@ FUZZ_QUERIES = [
     "q_burstiness",
     "q_keyness_loglr",
     "q_interpolate_linear",
+    "q_emd_1d",
+    "q_abtest_power",
+    "q_crossentropy_matrix",
 ]
 
 
