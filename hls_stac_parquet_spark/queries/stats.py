@@ -3242,3 +3242,253 @@ def q_abtest_power(spark, sf_dir):
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / F.col("mu"), 6).alias("mde_rel"),
     )
+
+
+@query(
+    "q_spearman_rho",
+    oracle=(
+        "WITH base AS (SELECT event_type, "
+        "    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS xv, "
+        "    value AS yv "
+        "  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+        "    AND isfinite(value)), "
+        "xr AS (SELECT event_type, xv, "
+        "    CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY xv "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "      AS BIGINT) + (t + 1) / 2.0 AS rx "
+        "  FROM (SELECT event_type, xv, CAST(count(*) AS BIGINT) AS t "
+        "    FROM base GROUP BY 1, 2)), "
+        "yr AS (SELECT event_type, yv, "
+        "    CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY yv "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "      AS BIGINT) + (t + 1) / 2.0 AS ry "
+        "  FROM (SELECT event_type, yv, CAST(count(*) AS BIGINT) AS t "
+        "    FROM base GROUP BY 1, 2)) "
+        "SELECT b.event_type, CAST(count(*) AS BIGINT) AS n, "
+        "  round(corr(xr.rx, yr.ry), 6) AS rho "
+        "FROM base b JOIN xr ON xr.event_type = b.event_type "
+        "  AND xr.xv = b.xv "
+        "JOIN yr ON yr.event_type = b.event_type AND yr.yv = b.yv "
+        "GROUP BY b.event_type"
+    ),
+)
+def q_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between event TIME and value per
+    event type — the monotone-trend detector ('is this metric
+    drifting over the month?') that is immune to the heavy tails and
+    outliers that wreck Pearson on revenue-like columns. rho =
+    Pearson correlation of the two average-rank transforms
+    (tie-corrected by construction).
+
+    NO per-row rank windows over the fact table: like
+    q_mann_whitney, ranks come from VALUE-LEVEL maps — per (type,
+    distinct value): avg rank = C + (t+1)/2 with C the exclusive
+    prefix count, computed by a window over the per-type DISTINCT-
+    value relation (orders of magnitude smaller than the fact table,
+    and partitioned by type — never a global single-partition
+    window). Rows then pick up (rx, ry) through two keyed joins and
+    corr() folds per type. Ranks are exact halves, so the rank maps
+    are bit-identical across engines; corr is one pass of sample
+    moments on both. NULL event_type / NULL ts rows and non-finite
+    values are excluded on BOTH engines."""
+    from pyspark.sql import Window
+
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & _finite(F.col("value"))
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("xv"),
+            F.col("value").alias("yv"),
+        )
+    )
+    base = base.persist()
+
+    def rank_map(col, out):
+        per = base.groupBy("event_type", col).agg(
+            F.count("*").cast("bigint").alias("t")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "event_type",
+            col,
+            (
+                F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+                + (F.col("t") + 1) / 2.0
+            ).alias(out),
+        )
+
+    xr = rank_map("xv", "rx")
+    yr = rank_map("yv", "ry")
+    return (
+        base.join(xr, ["event_type", "xv"])
+        .join(yr, ["event_type", "yv"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.corr("rx", "ry"), 6).alias("rho"),
+        )
+    )
+
+
+@query(
+    "q_theil_index",
+    oracle=(
+        "WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS x "
+        "  FROM documents WHERE source IS NOT NULL AND n_chars > 0), "
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng, "
+        "    sum(x) AS sx, sum(x * ln(x)) AS sxlx FROM d "
+        "  GROUP BY source), "
+        "tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sx) AS sx, "
+        "    sum(sxlx) AS sxlx FROM g), "
+        "parts AS (SELECT "
+        "    (tot.sxlx - ln(tot.sx / tot.n) * tot.sx) / tot.sx AS t_total, "
+        "    sum((g.sx / tot.sx) * ln((g.sx / g.ng) / (tot.sx / tot.n))) "
+        "      AS t_between, "
+        "    sum((g.sx / tot.sx) * ((g.sxlx - ln(g.sx / g.ng) * g.sx) "
+        "      / g.sx)) AS t_within, "
+        "    max(tot.n) AS n_docs "
+        "  FROM g, tot GROUP BY tot.sxlx, tot.sx, tot.n) "
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, "
+        "  round(t_total, 6) AS theil_total, "
+        "  round(t_between, 6) AS theil_between, "
+        "  round(t_within, 6) AS theil_within FROM parts"
+    ),
+)
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality index of document length, decomposed
+    between/within sources — the corpus-balance diagnostic with an
+    exact additive decomposition (T = T_between + T_within, which
+    Gini lacks): T_between says how much of the length inequality is
+    explained by which source a doc came from, T_within how much
+    lives inside sources. Everything derives from three sufficient
+    statistics per source (n, sum x, sum x ln x):
+    T = (Σ x ln x − ln(μ)·Σx) / Σx over the relevant population.
+
+    Scale shape: ONE fact-scale keyed aggregate (the three sums ride
+    together with map-side partial combine); totals are a rollup OF
+    the |sources|-row relation; the decomposition is per-row
+    arithmetic + a second tiny fold. NULL-source docs carry no group
+    identity and non-positive lengths have no ln; both excluded on
+    BOTH engines."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & (F.col("n_chars") > 0))
+        .select("source", F.col("n_chars").cast("double").alias("x"))
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    g = g.persist()
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxlx").alias("tsxlx"),
+    )
+    j = g.join(F.broadcast(tot))
+    mu = F.col("tsx") / F.col("n")
+    mu_g = F.col("sx") / F.col("ng")
+    t_total = (F.col("tsxlx") - F.log(mu) * F.col("tsx")) / F.col("tsx")
+    t_between = F.sum((F.col("sx") / F.col("tsx")) * F.log(mu_g / mu))
+    t_within = F.sum(
+        (F.col("sx") / F.col("tsx"))
+        * ((F.col("sxlx") - F.log(mu_g) * F.col("sx")) / F.col("sx"))
+    )
+    return j.groupBy("tsxlx", "tsx", "n").agg(
+        t_between.alias("_tb"), t_within.alias("_tw")
+    ).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(F.col("_tb"), 6).alias("theil_between"),
+        F.round(F.col("_tw"), 6).alias("theil_within"),
+    )
+
+
+@query(
+    "q_cohens_d",
+    oracle=(
+        "WITH s AS (SELECT "
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g, "
+        "    value AS v "
+        "  FROM events WHERE event_type IN ('purchase', 'click') "
+        "    AND isfinite(value)), "
+        "m AS (SELECT CAST(sum(g) AS BIGINT) AS n1, "
+        "    CAST(count(*) - sum(g) AS BIGINT) AS n2, "
+        "    avg(CASE WHEN g = 1 THEN v END) AS m1, "
+        "    avg(CASE WHEN g = 0 THEN v END) AS m2, "
+        "    var_samp(CASE WHEN g = 1 THEN v END) AS v1, "
+        "    var_samp(CASE WHEN g = 0 THEN v END) AS v2 "
+        "  FROM s) "
+        "SELECT n1, n2, round(m1 - m2, 6) AS mean_diff, "
+        "  round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) "
+        "    / (n1 + n2 - 2.0)), 6) AS cohens_d, "
+        "  round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) "
+        "    / (n1 + n2 - 2.0))) "
+        "    * (1 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g "
+        "FROM m"
+    ),
+)
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d standardized effect size (pooled-SD mean difference)
+    between 'purchase' and 'click' values, plus the small-sample
+    Hedges' g correction — the magnitude companion to q_welch_ttest's
+    significance and q_mann_whitney's rank test: a p-value says an
+    effect exists, d says whether anyone should care.
+
+    Scale shape: the whole computation is ONE conditional aggregate
+    over the filtered fact scan (both groups' count/mean/variance
+    ride in a single pass via CASE inputs — no second scan, no
+    shuffle beyond the 1-row fold). Sample variance on both engines.
+    NULL event_type / non-finite values are excluded on BOTH
+    engines."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & _finite(F.col("value"))
+        )
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("g"),
+            F.col("value").alias("v"),
+        )
+    )
+    v1c = F.when(F.col("g") == 1, F.col("v"))
+    v2c = F.when(F.col("g") == 0, F.col("v"))
+    m = s.agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("g")).cast("bigint").alias("n2"),
+        F.avg(v1c).alias("m1"),
+        F.avg(v2c).alias("m2"),
+        F.var_samp(v1c).alias("v1"),
+        F.var_samp(v2c).alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    pooled = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2"))
+        / (n1 + n2 - 2.0)
+    )
+    dd = (F.col("m1") - F.col("m2")) / pooled
+    return m.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(dd, 6).alias("cohens_d"),
+        F.round(dd * (1 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6).alias(
+            "hedges_g"
+        ),
+    )

@@ -122,6 +122,9 @@ FUZZ_QUERIES = [
     "q_emd_1d",
     "q_abtest_power",
     "q_crossentropy_matrix",
+    "q_spearman_rho",
+    "q_theil_index",
+    "q_cohens_d",
 ]
 
 
