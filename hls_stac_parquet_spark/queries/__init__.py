@@ -148,7 +148,7 @@ DEBUT_QUERIES = frozenset({
     "q_wilson_ci", "q_cramers_v", "q_burstiness", "q_keyness_loglr",
     "q_interpolate_linear", "q_emd_1d", "q_abtest_power",
     "q_crossentropy_matrix", "q_spearman_rho", "q_theil_index",
-    "q_cohens_d",
+    "q_cohens_d", "q_lift_curve", "q_cohen_kappa",
 })
 
 

@@ -3492,3 +3492,175 @@ def q_cohens_d(spark, sf_dir):
             "hedges_g"
         ),
     )
+
+
+@query(
+    "q_lift_curve",
+    oracle=(
+        "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, "
+        "    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "d AS (SELECT *, CAST(ntile(10) OVER ("
+        "    ORDER BY score DESC, user_id) AS INT) AS decile FROM u), "
+        "per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users, "
+        "    CAST(sum(y) AS BIGINT) AS conv FROM d GROUP BY decile), "
+        "tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n, "
+        "    CAST(sum(conv) AS BIGINT) AS c FROM per) "
+        "SELECT p.decile, p.n_users, p.conv, "
+        "  round(p.conv * 1.0 / p.n_users, 6) AS conv_rate, "
+        "  round((p.conv * 1.0 / p.n_users) / (t.c * 1.0 / t.n), 6) "
+        "    AS lift, "
+        "  round(CAST(sum(p.conv) OVER (ORDER BY p.decile "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "      AS BIGINT) * 1.0 / t.c, 6) AS cum_capture "
+        "FROM per p, tot t"
+    ),
+)
+def q_lift_curve(spark, sf_dir):
+    """Decile lift / cumulative-gains curve: rank users by a score
+    (activity count as the stand-in model score), cut into score
+    deciles, and report per-decile conversion rate, lift over the
+    base rate, and the cumulative share of all conversions captured
+    by the top-k deciles — the targeting-model evaluation readout
+    next to q_auc (threshold-free) and q_pr_curve (precision/recall).
+
+    Scale shape: the fact table collapses to ONE row per user (single
+    keyed aggregate); deciles ride the distributed ntile kernel
+    (operators/ranking.py::with_global_ntile — range shuffle +
+    broadcast offsets, its closed form IS SQL ntile so the oracle's
+    plain ntile(10) matches rank for rank, with user_id as the
+    deterministic tie-breaker); everything after runs on the 10-row
+    decile relation. NULL user_id rows have no unit identity and are
+    excluded on BOTH engines; a NULL event_type is simply not a
+    purchase."""
+    from pyspark.sql import Window
+
+    from hls_stac_parquet_spark.operators.ranking import with_global_ntile
+
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("score"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = with_global_ntile(
+        u, [F.desc("score"), F.col("user_id")], 10, "decile"
+    )
+    per = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("conv"),
+    )
+    tot = per.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.join(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "conv",
+        F.round(F.col("conv") * 1.0 / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+        F.round(
+            (F.col("conv") * 1.0 / F.col("n_users"))
+            / (F.col("c") * 1.0 / F.col("n")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("conv").over(w).cast("bigint") * 1.0 / F.col("c"), 6
+        ).alias("cum_capture"),
+    )
+
+
+@query(
+    "q_cohen_kappa",
+    oracle=(
+        "WITH r AS (SELECT "
+        "    CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS a, "
+        "    CASE WHEN len(string_split(lower(text), ' ')) > 80 "
+        "      THEN 1 ELSE 0 END AS b "
+        "  FROM documents WHERE text IS NOT NULL), "
+        "cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o "
+        "  FROM r GROUP BY a, b), "
+        "m AS (SELECT a, b, o, sum(o) OVER (PARTITION BY a) AS ra, "
+        "    sum(o) OVER (PARTITION BY b) AS cb FROM cells), "
+        "tot AS (SELECT sum(o) AS n FROM cells), "
+        "agg AS (SELECT "
+        "    sum(CASE WHEN m.a = m.b THEN m.o ELSE 0 END) / max(t.n) AS po, "
+        "    sum(CASE WHEN m.a = m.b THEN m.ra * m.cb ELSE 0 END) "
+        "      / (max(t.n) * max(t.n)) AS pe, "
+        "    CAST(max(t.n) AS BIGINT) AS n FROM m, tot t) "
+        "SELECT n AS n_docs, round(po, 6) AS p_observed, "
+        "  round(pe, 6) AS p_expected, "
+        "  round((po - pe) / (1 - pe), 6) AS kappa FROM agg"
+    ),
+)
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa chance-corrected agreement between two raters —
+    the inter-annotator / LLM-judge reliability primitive next to
+    q_ece_calibration and q_conformal_threshold: raw percent
+    agreement overstates reliability when label marginals are skewed;
+    kappa = (p_o - p_e)/(1 - p_e) corrects by the agreement two
+    independent raters with these marginals would reach by chance.
+    The two raters here are DECLARED derived labels (char-length >
+    400 vs token-count > 80 — correlated doc-quality heuristics
+    standing in for judge outputs); real pipelines swap in their
+    judge columns.
+
+    Scale shape: one fact-scale keyed aggregate to the 2x2 (or kxk —
+    nothing assumes binary) confusion cells; marginals are windows
+    OVER that tiny relation; kappa folds to one row. NULL-text docs
+    have no rating and are excluded on BOTH engines."""
+    from pyspark.sql import Window
+
+    r = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.when(F.col("n_chars") > 400, 1).otherwise(0).alias("a"),
+            F.when(
+                F.size(F.split(F.lower(F.col("text")), " ")) > 80, 1
+            )
+            .otherwise(0)
+            .alias("b"),
+        )
+    )
+    cells = r.groupBy("a", "b").agg(F.count("*").cast("double").alias("o"))
+    cells = cells.persist()
+    m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    agg = m.join(F.broadcast(tot)).agg(
+        (
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("o")).otherwise(0.0))
+            / F.max("n")
+        ).alias("po"),
+        (
+            F.sum(
+                F.when(
+                    F.col("a") == F.col("b"), F.col("ra") * F.col("cb")
+                ).otherwise(0.0)
+            )
+            / (F.max("n") * F.max("n"))
+        ).alias("pe"),
+        F.max("n").cast("bigint").alias("n_docs"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round("po", 6).alias("p_observed"),
+        F.round("pe", 6).alias("p_expected"),
+        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias(
+            "kappa"
+        ),
+    )

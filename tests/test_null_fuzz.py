@@ -125,6 +125,8 @@ FUZZ_QUERIES = [
     "q_spearman_rho",
     "q_theil_index",
     "q_cohens_d",
+    "q_lift_curve",
+    "q_cohen_kappa",
 ]
 
 
