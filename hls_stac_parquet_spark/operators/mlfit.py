@@ -46,21 +46,38 @@ def logreg_fit(
         raise ValueError("logreg_fit: empty input")
     w = [0.0] * (d + 1)
 
-    for _ in range(iters):
-        # margin = w·x + b as a literal-coefficient expression —
-        # codegen'd, recompiled per iteration (cheap: d is small)
-        margin = F.lit(w[d])
-        for j, c in enumerate(feats):
-            margin = margin + F.lit(w[j]) * F.col(c)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        resid = p - F.col(label_col).cast("double")
-        agg = df.agg(
-            *[F.sum(resid * F.col(c)).alias(f"g{j}") for j, c in enumerate(feats)],
-            F.sum(resid).alias("gb"),
-        ).collect()[0]
-        grad = [agg[f"g{j}"] / n_row + reg * w[j] for j in range(d)]
-        grad.append(agg["gb"] / n_row)
-        w = [wi - lr * gi for wi, gi in zip(w, grad)]
+    # AQE off for the loop (restored after): each round is a 1-row
+    # global aggregate, and AQE materializes its partial-agg stage as
+    # a SEPARATE job before re-planning the 1-partition exchange it
+    # could never improve — doubling the job count of a loop whose
+    # cost is pure scheduler latency (profiled r8: 44 trivial jobs,
+    # ~90 ms each around a ~5 ms aggregate; AQE off: 3.9 s → 3.4 s,
+    # bit-identical weights). Runtime re-planning has nothing to
+    # offer a fixed-shape scalar aggregate at any scale.
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            # margin = w·x + b as a literal-coefficient expression —
+            # codegen'd, recompiled per iteration (cheap: d is small)
+            margin = F.lit(w[d])
+            for j, c in enumerate(feats):
+                margin = margin + F.lit(w[j]) * F.col(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            resid = p - F.col(label_col).cast("double")
+            agg = df.agg(
+                *[
+                    F.sum(resid * F.col(c)).alias(f"g{j}")
+                    for j, c in enumerate(feats)
+                ],
+                F.sum(resid).alias("gb"),
+            ).collect()[0]
+            grad = [agg[f"g{j}"] / n_row + reg * w[j] for j in range(d)]
+            grad.append(agg["gb"] / n_row)
+            w = [wi - lr * gi for wi, gi in zip(w, grad)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return w
 
 

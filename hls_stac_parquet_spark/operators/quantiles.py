@@ -35,22 +35,113 @@ def grouped_quantiles(
     probs: Sequence[float],
     aliases: Sequence[str],
     count_col: str | None = None,
+    ranged: bool | str = "auto",
 ) -> DataFrame:
     """One row per group with columns ``aliases`` holding the exact
     interpolated ``probs`` quantiles of ``value_col``. ``count_col``
     additionally emits the group row count (free — the count already
     rides in the ranking pass), so callers never re-aggregate the
-    input just to pair a count with a quantile."""
+    input just to pair a count with a quantile.
+
+    ``ranged`` picks the partitioning tier for the ranking pass:
+
+    - ``False`` (default): hash-partition by group, one window per
+      group. Right when groups are NUMEROUS (per-group sorts are
+      small and spread across cores) or when the input plan is
+      expensive to compute twice (range partitioning samples its
+      input, replaying the upstream plan).
+    - ``True``: range-partition by (group, value) and rank with the
+      broadcast-prefix-offset recipe (same invariants as
+      :func:`global_quantiles`). Right when groups are FEW and the
+      relation is LARGE: the hash tier funnels the whole fact table
+      through ≤ |groups| tasks — 3 return flags means 3 cores sort
+      everything while the rest idle, and at 100 TB it is the
+      canonical skew cliff. Identical output: equal (group, value)
+      keys never straddle a range boundary, per-group ranks are
+      local rank + same-group rows in earlier partitions, and the
+      multiset at any rank is tie-order-invariant.
+    - ``"auto"`` (default): pick by the optimizer's size estimate.
+      Measured at sf0.1 (r8): the ranged tier's fixed overheads
+      (range-boundary sampling pass + a second per-consumer sort +
+      the offset-dim jobs) cost ~1 s, while the funnel it removes is
+      only ~1 s of task time — hash wins below a few hundred MB and
+      loses badly above it (the funnel grows linearly, the overhead
+      doesn't). The threshold is the break-even with slack, env-
+      overridable (SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES) so a
+      cluster profile can move it without code changes.
+    """
     if len(probs) != len(aliases):
         raise ValueError("probs and aliases must align")
     gcols = list(group_cols)
-    w = Window.partitionBy(*gcols).orderBy(value_col)
-    n = Window.partitionBy(*gcols)
-    d = (
-        df.select(*gcols, value_col)
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_cnt", F.count("*").over(n))
-    )
+    if ranged == "auto":
+        import os
+
+        threshold = int(
+            os.environ.get(
+                "SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES", str(256 * 1024 * 1024)
+            )
+        )
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        ranged = est > threshold
+    if ranged:
+        # Explicit partition count: without it AQE coalesces the
+        # small range shuffle back to ~advisory-size partitions (one
+        # or two at bench scale), recreating exactly the funnel this
+        # tier exists to avoid. Ranks come from sortWithinPartitions
+        # + monotonically_increasing_id (position within partition),
+        # NOT a Window.partitionBy(_pid) — that window would demand
+        # hashpartitioning(_pid) and cost a second fact-scale
+        # Exchange. _mid is position-determined: ties may permute
+        # across re-executions, but min(_mid) per (pid, group) and
+        # the value multiset at every rank are permutation-invariant,
+        # so the interpolated result is identical (same argument as
+        # the window tier's tie note).
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        part = (
+            df.select(*gcols, value_col)
+            .repartitionByRange(n_part, *gcols, F.col(value_col))
+            .sortWithinPartitions(*gcols, value_col)
+            .select(
+                *gcols,
+                value_col,
+                F.spark_partition_id().alias("_pid"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
+        )
+        cells = part.groupBy("_pid", *gcols).agg(
+            F.count("*").alias("_n"), F.min("_mid").alias("_base")
+        )
+        w_off = (
+            Window.partitionBy(*gcols)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = (
+            Window.partitionBy(*gcols)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        offsets = cells.select(
+            "_pid",
+            *gcols,
+            "_base",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_n").over(w_all).alias("_cnt"),
+        )
+        d = (
+            part.join(F.broadcast(offsets), ["_pid", *gcols])
+            .withColumn("_rn", F.col("_mid") - F.col("_base") + F.col("_off"))
+        )
+    else:
+        w = Window.partitionBy(*gcols).orderBy(value_col)
+        n = Window.partitionBy(*gcols)
+        d = (
+            df.select(*gcols, value_col)
+            .withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_cnt", F.count("*").over(n))
+        )
     aggs = []
     for p, alias in zip(probs, aliases):
         pos = (F.col("_cnt") - 1) * float(p)

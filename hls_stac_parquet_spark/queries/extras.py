@@ -1030,8 +1030,16 @@ def q_source_overlap(spark, sf_dir):
             F.array_join(F.slice(ts, i, 8), " ")
         ),
     )
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    # spread the per-window md5 fingerprinting across cores BEFORE the
+    # explode: a compact single-file scan is ONE partition, which
+    # serialized this whole pass on one task (guide §2.5 input skew;
+    # measured r8: 2.9 s eager build → sub-second). No-op at scale.
     fp = (
-        t(spark, sf_dir, "documents")
+        parallelize_for_udf(
+            t(spark, sf_dir, "documents").select("source", "text")
+        )
         .filter(F.size(ts) >= 8)
         .select("source", F.explode(wins).alias("f"))
         .distinct()

@@ -4805,10 +4805,15 @@ def q_minhash_portable(spark, sf_dir):
     test scale. NULL text rows have no shingles and drop on BOTH
     engines (size/len >= 3)."""
     from hls_stac_parquet_spark.operators.lsh import bucket_pairs
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
 
     toks = F.split(F.lower(F.col("text")), " ")
+    # spread the shingle explode + 16 md5-slice mins across cores: the
+    # compact single-file scan is ONE partition, which ran the whole
+    # signature stage on one task (profiled 1.5 s single-task at
+    # sf0.1; guide §2.5 input skew). No-op on any multi-file scan.
     base = (
-        t(spark, sf_dir, "documents")
+        parallelize_for_udf(t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", toks.alias("ts"))
         .filter(F.size("ts") >= 3)
     )

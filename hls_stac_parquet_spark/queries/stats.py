@@ -2137,33 +2137,43 @@ def q_item_item_cf(spark, sf_dir):
         .localCheckpoint()
     )
     pc = od.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    pr = (
+    # r8: join supports onto the CANONICAL pairs and union the
+    # projected result, instead of union-doubling the pair relation
+    # before the joins — sim(a,b) == sim(b,a), so the former plan ran
+    # both support joins (the profiled 14 s-task-time stage) over 2×
+    # the rows to compute each value twice (guide §2.3: shuffle/join
+    # fewer bytes). The checkpoint moves from the raw pair counts to
+    # the scored canonical pairs (same row count, one reuse point);
+    # the direction flip is a projection-only re-read.
+    ca = pc.select(F.col("l_partkey").alias("id_a"), F.col("n").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("id_b"), F.col("n").alias("nb"))
+    simc = (
         self_join_pairs(od, ["l_orderkey"], "l_partkey")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("nab"))
-        .localCheckpoint()
-    )
-    sym = pr.select(
-        F.col("id_a").alias("item"), F.col("id_b").alias("neighbor"), "nab"
-    ).unionAll(
-        pr.select(
-            F.col("id_b").alias("item"), F.col("id_a").alias("neighbor"), "nab"
-        )
-    )
-    ca = pc.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
-    cb = pc.select(
-        F.col("l_partkey").alias("neighbor"), F.col("n").alias("nb")
-    )
-    sims = (
-        sym.join(ca, "item")
-        .join(cb, "neighbor")
+        .join(ca, "id_a")
+        .join(cb, "id_b")
         .select(
-            "item",
-            "neighbor",
+            "id_a",
+            "id_b",
             "nab",
             F.round(
                 F.col("nab") / F.sqrt(F.col("na") * F.col("nb")), 6
             ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sims = simc.select(
+        F.col("id_a").alias("item"),
+        F.col("id_b").alias("neighbor"),
+        "nab",
+        "sim",
+    ).unionAll(
+        simc.select(
+            F.col("id_b").alias("item"),
+            F.col("id_a").alias("neighbor"),
+            "nab",
+            "sim",
         )
     )
     w = Window.partitionBy("item").orderBy(F.desc("sim"), "neighbor")
@@ -2417,8 +2427,12 @@ def q_theil_sen(spark, sf_dir):
     )
     # median AND pair count from ONE kernel pass (count_col) — a
     # separate count aggregate would replay the blocked pair join
+    # ranged=False pinned: the input is the blocked pair join — the
+    # ranged tier's boundary sampling would replay it — and user_id
+    # is high-cardinality, exactly the hash tier's good case
     med = grouped_quantiles(
-        slopes, ["user_id"], "slope", [0.5], ["_m"], count_col="n_pairs"
+        slopes, ["user_id"], "slope", [0.5], ["_m"], count_col="n_pairs",
+        ranged=False,
     )
     return med.select(
         "user_id", "n_pairs", F.round("_m", 6).alias("slope_per_hour")

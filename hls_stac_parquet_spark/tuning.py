@@ -68,16 +68,21 @@ def recommended_conf(
 
 def parallelize_for_udf(df, min_factor: int = 1):
     """Ensure a DataFrame has at least ``defaultParallelism ×
-    min_factor`` partitions before an expensive per-row Arrow-UDF
-    stage.
+    min_factor`` partitions before an expensive per-row stage — an
+    Arrow-UDF pass *or* a heavy JVM expression chain (shingle
+    explodes, per-window md5, codec work).
 
     Scan partitioning follows FILE layout (one small parquet file =
-    ONE partition), so a CPU-heavy pandas-UDF pass over a compact
-    table runs on one core no matter how many sit idle — the sketch
-    pipelines hit exactly this. A round-robin repartition of narrow
-    rows costs one cheap shuffle and unlocks full parallelism; when
-    the input already has enough partitions this is a no-op (no
-    shuffle added).
+    ONE partition — and a single row group cannot be split, so a
+    ``files.minPartitionNum`` floor yields empty splits, not
+    parallelism), so a CPU-heavy pass over a compact table runs on
+    one core no matter how many sit idle — the sketch pipelines and
+    the shingle/fingerprint family hit exactly this (measured r8:
+    q_source_overlap's fingerprint pass 2.0 s → 0.53 s at sf0.1 once
+    spread). A round-robin repartition of narrow rows costs one cheap
+    shuffle and unlocks full parallelism; when the input already has
+    enough partitions (any real multi-file table, every cluster-scale
+    scan) this is a no-op (no shuffle added).
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     if df.rdd.getNumPartitions() >= target:

@@ -687,11 +687,31 @@ def test_psi_drift_boundaries_broadcast(spark):
 def test_item_item_cf_no_cartesian_and_pushed_prune(spark):
     """Pair generation must stay order-key-blocked (equi self-join) —
     the |items|² matrix must never appear — and the lineitem scan must
-    prune to the two join columns."""
+    prune to the two join columns. Since r8 the scored canonical
+    pairs are the checkpoint (the final plan only scans the
+    materialized RDD), so the blocked-join/prune invariants are
+    asserted on the same pre-checkpoint fragment the query builds."""
     plan = _plan(spark, "q_item_item_cf")
     assert "CartesianProduct" not in plan
-    assert "l_orderkey" in plan and "l_partkey" in plan
-    assert "l_extendedprice" not in plan  # column pruning reached the scan
+    assert "ExistingRDD" in plan  # scored pairs feed from the checkpoint
+
+    from pyspark.sql import functions as F
+
+    from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+    from hls_stac_parquet_spark.queries.registry import t
+
+    od = (
+        t(spark, SF0001, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    frag = self_join_pairs(od, ["l_orderkey"], "l_partkey").groupBy(
+        "id_a", "id_b"
+    ).agg(F.count("*").alias("nab"))
+    fplan = frag._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fplan
+    assert "l_orderkey" in fplan and "l_partkey" in fplan
+    assert "l_extendedprice" not in fplan  # pruning reached the scan
 
 
 def test_er_sorted_neighborhood_window_is_partitioned(spark):

@@ -310,6 +310,43 @@ def test_global_quantiles_match_single_window_kernel(spark):
             assert abs(got[n] - want[n]) <= 1e-12, (trial, n, got[n], want[n])
 
 
+def test_grouped_quantiles_ranged_matches_window_tier(spark):
+    """grouped_quantiles(ranged=True) — the range-partition +
+    broadcast-prefix-offset tier added for low-cardinality groups —
+    equals the hash-partition window tier row for row on dup-heavy
+    random groups, including count_col and a group with one row."""
+    import random
+
+    from hls_stac_parquet_spark.operators.quantiles import grouped_quantiles
+
+    rng = random.Random(13)
+    for trial in range(3):
+        rows = [
+            (rng.choice(["A", "B", "C"]), float(rng.randint(0, 9)))
+            for _ in range(rng.randint(8, 300))
+        ] + [("solo", 42.0)]
+        df = spark.createDataFrame(rows, ["g", "v"]).repartition(7)
+        probs = [0.25, 0.5, 0.9]
+        names = ["a", "b", "c"]
+        got = {
+            r["g"]: r
+            for r in grouped_quantiles(
+                df, ["g"], "v", probs, names, count_col="n", ranged=True
+            ).collect()
+        }
+        want = {
+            r["g"]: r
+            for r in grouped_quantiles(
+                df, ["g"], "v", probs, names, count_col="n"
+            ).collect()
+        }
+        assert set(got) == set(want), trial
+        for g in want:
+            assert got[g]["n"] == want[g]["n"], (trial, g)
+            for n in names:
+                assert abs(got[g][n] - want[g][n]) <= 1e-12, (trial, g, n)
+
+
 def test_global_quantiles_empty_input(spark):
     from pyspark.sql.types import DoubleType, StructField, StructType
 
