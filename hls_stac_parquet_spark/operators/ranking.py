@@ -31,16 +31,22 @@ from pyspark.sql.window import Window
 _PID = "_gr_pid"
 
 
-def _range_partitioned(df: DataFrame, order_by: Sequence[Column]):
+def _range_partitioned(
+    df: DataFrame, order_by: Sequence[Column], checkpoint: bool = True
+):
     # localCheckpoint first: repartitionByRange SAMPLES its input to
     # pick boundaries, so the upstream plan would otherwise run twice
     # (once for the sample job, once for the shuffle write) — ruinous
     # when the input is itself an aggregate/explode chain. One eager
     # materialization makes both passes re-read, not re-compute.
-    part = (
-        df.localCheckpoint()
-        .repartitionByRange(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
+    # checkpoint=False skips that eager job when the caller KNOWS the
+    # input is a cheap scan-side projection (re-scanning parquet twice
+    # costs less than a materialization barrier — measured r8 on the
+    # job-latency-bound rank queries).
+    if checkpoint:
+        df = df.localCheckpoint()
+    part = df.repartitionByRange(*order_by).withColumn(
+        _PID, F.spark_partition_id()
     )
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     return part, w_off
@@ -51,6 +57,7 @@ def with_global_rank(
     order_by: Sequence[Column],
     out_col: str,
     total_col: str | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_by)`` as a distributed
     plan: one range shuffle + a per-partition window + a broadcast
@@ -64,7 +71,7 @@ def with_global_rank(
     ``total_col`` additionally attaches the global row count to every
     row (it rides in the same broadcast offset dim — no extra pass).
     """
-    part, w_off = _range_partitioned(df, order_by)
+    part, w_off = _range_partitioned(df, order_by, checkpoint)
     counts = part.groupBy(_PID).agg(F.count("*").alias("_n"))
     w_all = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -84,14 +91,20 @@ def with_global_rank(
 
 
 def with_global_ntile(
-    df: DataFrame, order_by: Sequence[Column], k: int, out_col: str
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    out_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY order_by)`` as a distributed plan —
     the closed form from the global rank r and total n (SQL ntile:
     the first ``n mod k`` buckets hold ``ceil(n/k)`` rows, the rest
     ``floor(n/k)``), so quantile bucketing never funnels the relation
     through one task."""
-    r = with_global_rank(df, order_by, "_gr_rn", total_col="_gr_n")
+    r = with_global_rank(
+        df, order_by, "_gr_rn", total_col="_gr_n", checkpoint=checkpoint
+    )
     q = F.floor(F.col("_gr_n") / k)
     rem = F.col("_gr_n") % k
     big = rem * (q + 1)
@@ -110,6 +123,7 @@ def with_global_cummax(
     maxes: Mapping[str, str],
     *,
     inclusive: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Running maxima ``MAX(v) OVER (ORDER BY order_by ROWS UNBOUNDED
     PRECEDING .. {CURRENT ROW | 1 PRECEDING})`` for every
@@ -120,7 +134,7 @@ def with_global_cummax(
     Same contract as :func:`with_global_cumsum`: order keys must form
     a total order when the frame makes ties order-dependent.
     """
-    part, w_off = _range_partitioned(df, order_by)
+    part, w_off = _range_partitioned(df, order_by, checkpoint)
     pmax = part.groupBy(_PID).agg(
         *[F.max(v).alias(f"_m_{o}") for o, v in maxes.items()]
     )
@@ -150,6 +164,7 @@ def with_global_cumsum(
     df: DataFrame,
     order_by: Sequence[Column],
     sums: Mapping[str, str],
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Running totals ``SUM(v) OVER (ORDER BY order_by ROWS UNBOUNDED
     PRECEDING..CURRENT ROW)`` for every ``out_col -> value_col`` in
@@ -162,7 +177,7 @@ def with_global_cumsum(
     same as the plain window. For RANGE-frame (tie-inclusive)
     semantics, aggregate per key first and cumsum the aggregate.
     """
-    part, w_off = _range_partitioned(df, order_by)
+    part, w_off = _range_partitioned(df, order_by, checkpoint)
     psums = part.groupBy(_PID).agg(
         *[F.sum(v).alias(f"_s_{o}") for o, v in sums.items()]
     )

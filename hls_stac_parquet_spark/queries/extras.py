@@ -459,7 +459,15 @@ def q_profile_columns(spark, sf_dir):
     exact distinct counts shuffle one value set per column; swap in
     approx_count_distinct at the 100 TB tier when ±2% suffices."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = t(spark, sf_dir, "lineitem")
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    # multiple exact count_distincts compile to an Expand (one row per
+    # distinct column per input row — 5× amplification) feeding the
+    # partial aggregate; over the compact single-file scan that whole
+    # pass ran on ≤3 tasks (profiled 3.5 s task time on 5 tasks at
+    # sf0.1). Spread the narrow projection first (guide §2.5); no-op
+    # on any multi-file scan.
+    li = parallelize_for_udf(t(spark, sf_dir, "lineitem").select(*cols))
     aggs = []
     for c in cols:
         aggs += [

@@ -657,7 +657,12 @@ def q_sort_global(spark, sf_dir):
         "event_id",
         morton_key(F.col("user_id") % 256, F.col("event_id") % 256).alias("z_key"),
     )
-    ranked = with_global_rank(e, [F.col("z_key"), F.col("event_id")], "z_rank")
+    # checkpoint=False: the input is a scan projection (morton key is
+    # a cheap bit-interleave expression) — re-scanning for the range
+    # sample beats the materialization barrier (r8)
+    ranked = with_global_rank(
+        e, [F.col("z_key"), F.col("event_id")], "z_rank", checkpoint=False
+    )
     return ranked.withColumn("z_rank", F.col("z_rank").cast("int"))
 
 

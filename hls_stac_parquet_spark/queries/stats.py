@@ -482,8 +482,15 @@ def q_geo_knn(spark, sf_dir):
     hav = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians("clat")) * F.cos(
         F.radians("slat")
     ) * F.sin(dlon) * F.sin(dlon)
-    from hls_stac_parquet_spark.tuning import guarded_broadcast
+    from hls_stac_parquet_spark.tuning import guarded_broadcast, parallelize_for_udf
 
+    # spread the fact side before the broadcast fan-out: the compact
+    # single-file scan is ONE partition, so |cust|×|supp| haversines
+    # and the per-customer top-3 ran on one task (profiled 1.9 s
+    # single-task stage at sf0.1; guide §2.5 input skew). The window's
+    # WindowGroupLimit keeps the post-join exchange tiny either way.
+    # No-op on any multi-file scan.
+    cust = parallelize_for_udf(cust)
     dists = cust.join(
         guarded_broadcast(
             supp,
@@ -1075,7 +1082,11 @@ def q_auc(spark, sf_dir):
     )
     from hls_stac_parquet_spark.operators.ranking import with_global_rank
 
-    ranked = with_global_rank(scored, [F.col("score")], "rn")
+    # checkpoint=False: the input is a scan-side filter+projection —
+    # re-scanning parquet for the range-boundary sample costs less
+    # than the eager materialization barrier (r8; the query is
+    # job-latency-bound, <0.5 s task time across 13 jobs profiled)
+    ranked = with_global_rank(scored, [F.col("score")], "rn", checkpoint=False)
     per_score = ranked.groupBy("score").agg(
         F.avg("rn").alias("avg_rank"),
         F.sum("label").alias("pos_s"),
