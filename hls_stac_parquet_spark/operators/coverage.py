@@ -91,4 +91,6 @@ def greedy_max_cover(
         # picked docs leave the candidate relation (and their postings
         # stop being scanned) — the relation only shrinks
         p = p.filter(F.col("_d") != doc).localCheckpoint()
-    return spark.createDataFrame(picks, _COVER_SCHEMA)
+    from hls_stac_parquet_spark.tuning import driver_rows_to_df
+
+    return driver_rows_to_df(spark, picks, _COVER_SCHEMA)

@@ -395,6 +395,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     edge. Equi-joins on node ids only; no materialized wedge relation
     (the Σ_v in(v)·out(v) blow-up of the naive two-join plan).
     """
+    # eager localCheckpoint, not persist: e is read by 2 downstream
+    # subtrees; checkpointing materializes once AND truncates
+    # lineage, so no consumer ever recomputes the basket self-join
+    # and the cache manager's plan-matching is out of the picture
+    # (measured: persist here was bimodal, 9-88 s at sf0.1;
+    # checkpoint holds ~4 s steady)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_a"),
@@ -402,25 +408,23 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        # eager localCheckpoint, not persist: e/deg/oriented are each
-        # read by 2+ downstream stages; checkpointing materializes
-        # once AND truncates lineage, so no consumer ever recomputes
-        # the basket self-join and the cache manager's plan-matching
-        # is out of the picture (measured: persist here was bimodal,
-        # 9-88 s at sf0.1; checkpoint holds ~4 s steady)
         .localCheckpoint()
     )
-    # one aggregate over both endpoints → undirected degree per node
+    # one aggregate over both endpoints → undirected degree per node.
+    # NOT checkpointed (r8): da/db are byte-identical aggregation
+    # subtrees over the materialized e, so ReusedExchange collapses
+    # them inside the adj build — one barrier fewer than a checkpoint.
     deg = (
         e.select(F.explode(F.array("_a", "_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
     )
     da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
     # rank(u) < rank(v) iff deg(u) < deg(v), ties by id; _a < _b always,
-    # so _a is the lower-ranked endpoint iff _da <= _db.
+    # so _a is the lower-ranked endpoint iff _da <= _db. oriented is
+    # consumed exactly once (the adj build), so it is NOT checkpointed
+    # (r8 — the former barrier bought no reuse).
     oriented = (
         e.join(da, "_a")
         .join(db, "_b")
@@ -432,19 +436,33 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .otherwise(F.col("_a"))
             .alias("_v"),
         )
+    )
+    adj = (
+        oriented.groupBy("_u")
+        .agg(F.collect_set("_v").alias("ns"))
         .localCheckpoint()
     )
-    adj = oriented.groupBy("_u").agg(F.collect_set("_v").alias("ns"))
+    # oriented is REGENERATED from the checkpointed adjacency by a
+    # local explode (r8, guide §2.4): (u, explode(ns)) is exactly the
+    # oriented edge list, so the former third checkpoint barrier for
+    # oriented-the-relation disappears and no consumer recomputes the
+    # orientation joins. The N⁺ lookups stay two narrow equi-joins —
+    # a variant that carried na through the explode itself (arrays
+    # duplicated per edge, hash-scattered by _v) was A/B-tested and
+    # REJECTED: the exchange wrote 156 MB vs 8.5 MB for this shape
+    # (sorted-by-_u rows repeat the same array, so it compresses).
+    exploded = adj.select(F.col("_u"), F.explode("ns").alias("_v"))
     na = adj.select(F.col("_u").alias("_ju"), F.col("ns").alias("na"))
     nb = adj.select(F.col("_u").alias("_jv"), F.col("ns").alias("nb"))
     per_edge = (
-        oriented.join(na, F.col("_u") == F.col("_ju"))
+        exploded.join(na, F.col("_u") == F.col("_ju"))
         .join(nb, F.col("_v") == F.col("_jv"))
         .select(F.size(F.array_intersect("na", "nb")).alias("n_closing"))
     )
-    # |E| = Σdeg/2 off the degree dim — no extra pass over the edges
-    n_edges = deg.agg(
-        F.coalesce(F.sum("deg") / 2, F.lit(0)).cast("bigint").alias("n_edges")
+    # |E| = Σ|N⁺(u)| off the checkpointed adjacency — no extra pass
+    # over the edges and no degree-dim materialization
+    n_edges = adj.agg(
+        F.coalesce(F.sum(F.size("ns")), F.lit(0)).cast("bigint").alias("n_edges")
     )
     return (
         per_edge.agg(
@@ -499,8 +517,40 @@ def propagate_labels(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_lbl")
     ).withColumn("_seed", F.lit(True)).localCheckpoint()
 
+    # AQE off for the driver-sequenced rounds (r8, the mlfit lesson —
+    # guide §1.2 config/scheduler overhead): every eager checkpoint
+    # job otherwise splits into per-exchange AQE sub-jobs, and runtime
+    # re-planning has nothing to offer these fixed-shape small joins;
+    # restored in finally so only the loop is affected.
+    spark = edges.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labels = _lpa_rounds(sym, seed_labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    out = labels.select(
+        F.col("_n").alias(node_col),
+        F.col("_lbl").alias(label_col),
+        F.col("_seed").alias("is_seed"),
+    )
+    return out
+
+
+def _lpa_rounds(sym, seed_labels, max_iter):
+    """The synchronous LPA vote rounds (split out so the AQE scope in
+    :func:`propagate_labels` wraps exactly the loop).
+
+    Lineage is cut every 4th round instead of every round (r8):
+    each round references the previous labels 3× (vote join, seed
+    carryover, left-anti), so the lazy plan grows ~3^k between cuts —
+    fine for 4 rounds (≲100 extra nodes, and identical exchanges are
+    deduped by ReuseExchange at runtime), runaway for unbounded k.
+    Per-round eager checkpoints were measured as pure barrier cost at
+    the query's max_iter=3 (every round = 1-2 driver-sequenced jobs
+    of ~100 ms scheduling around ms-scale work)."""
     labels = seed_labels
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # contributions: each labeled node votes its label onto its
         # neighbors (one join keyed on the label side's node)
         votes = (
@@ -525,15 +575,11 @@ def propagate_labels(
                 # (e.g. isolated seeds) must not lose their label
                 labels.join(winner.select("_n"), "_n", "left_anti")
             )
-            .localCheckpoint()
         )
+        if (i + 1) % 4 == 0 and (i + 1) < max_iter:
+            new_labels = new_labels.localCheckpoint()
         labels = new_labels
-    out = labels.select(
-        F.col("_n").alias(node_col),
-        F.col("_lbl").alias(label_col),
-        F.col("_seed").alias("is_seed"),
-    )
-    return out
+    return labels
 
 
 def core_numbers(
@@ -622,10 +668,12 @@ def core_numbers(
         spark = edges.sparkSession
         from pyspark.sql.types import LongType, StructField, StructType
 
+        from hls_stac_parquet_spark.tuning import driver_rows_to_df
+
         schema = StructType(
             [StructField("node", LongType()), StructField("core", LongType())]
         )
-        return spark.createDataFrame(list(core.items()), schema)
+        return driver_rows_to_df(spark, core.items(), schema)
 
     sym = e.select(F.col("_u").alias("_n"), F.col("_v").alias("_nb")).union(
         e.select(F.col("_v").alias("_n"), F.col("_u").alias("_nb"))
@@ -747,10 +795,12 @@ def connected_components_auto(
     spark = edges.sparkSession
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from hls_stac_parquet_spark.tuning import driver_rows_to_df
+
     schema = StructType(
         [StructField("node", LongType()), StructField("component", LongType())]
     )
-    return spark.createDataFrame(out, schema)
+    return driver_rows_to_df(spark, out, schema)
 
 
 def sssp_bounded(

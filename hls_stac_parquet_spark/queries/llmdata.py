@@ -1719,9 +1719,16 @@ def q_bpe_train(spark, sf_dir):
 
     words = word_frequencies(t(spark, sf_dir, "documents"))
     merges = bpe_train(words, num_merges=10)
-    return spark.createDataFrame(
+    from pyspark.sql.types import _parse_datatype_string
+
+    from hls_stac_parquet_spark.tuning import driver_rows_to_df
+
+    return driver_rows_to_df(
+        spark,
         [(r, l, x, l + x, c) for r, l, x, c in merges],
-        "rank int, left string, right string, merged string, pair_freq bigint",
+        _parse_datatype_string(
+            "rank int, left string, right string, merged string, pair_freq bigint"
+        ),
     )
 
 

@@ -365,7 +365,11 @@ def q_market_basket(spark, sf_dir):
     output bounded at scale.
     """
     # localCheckpoint: od feeds support dim + scalar total + pair join
-    # — three consumers, one materialization instead of three distincts
+    # — three consumers, one materialization instead of three
+    # distincts. (r8: re-materializing the checkpoint at full 32-way
+    # width was A/B-tested and REJECTED — the 5-partition layout AQE
+    # picks reads back with ~10x less task time than 32 spread
+    # partitions on this host; see OPTIMIZATION_r08.md.)
     od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

@@ -95,9 +95,11 @@ def main() -> int:
                     if st["status"] == "SKIPPED":
                         continue
                     ms = st.get("executorRunTime", 0)
+                    gc = st.get("jvmGcTime", 0)
                     print(
                         f"    stage {sid:5d} {st['status']:9s} "
-                        f"taskTime={ms/1000:7.2f}s tasks={st['numCompleteTasks']:4d} "
+                        f"taskTime={ms/1000:7.2f}s gc={gc/1000:6.2f}s "
+                        f"tasks={st['numCompleteTasks']:4d} "
                         f"in={st.get('inputBytes',0)/1e6:8.1f}MB "
                         f"sr={st.get('shuffleReadBytes',0)/1e6:8.1f}MB "
                         f"sw={st.get('shuffleWriteBytes',0)/1e6:8.1f}MB  "
