@@ -68,7 +68,16 @@ def get_spark(
         # 32g + G1 with a 200 ms pause target keeps collections
         # incremental; on a real cluster these are per-role settings.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
-        "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
+        # -Xss8m: the streaming error path (ForeachBatchUserFuncException
+        # wrapping a py4j callback failure) intermittently dies with
+        # java.lang.StackOverflowError in the stream execution thread on
+        # the default ~1m stack, leaving the query ACTIVE forever — the
+        # r7/r8 kill-and-resume suite hang (reproduced in isolation,
+        # r9). A larger thread stack lets the failure propagate so
+        # awaitTermination() raises instead of hanging.
+        "spark.driver.extraJavaOptions": (
+            "-XX:+UseG1GC -XX:MaxGCPauseMillis=200 -Xss8m"
+        ),
         "spark.ui.enabled": "false",
     }
     if extra_conf:

@@ -25,6 +25,69 @@ from hls_stac_parquet_spark.streaming.incremental import (
 COLL = "HLSL30_2.0"
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_queries(spark):
+    """Stop any streaming query a test leaves running.
+
+    Every awaitTermination in this file is bounded; under full-suite
+    CPU contention a bound can expire while the query is still active,
+    and a leaked AvailableNow query keeps firing batches against the
+    shared session — the round-7/8 full-suite hang
+    (test_sessionize_kill_and_resume_state_recovery flake, VERDICT r8
+    item 2). Stopping leftovers after each test bounds the blast
+    radius of a slow run to that one test."""
+    yield
+    for q in spark.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
+
+
+def _await_or_stop(q, timeout):
+    """awaitTermination with a loud, non-hanging timeout path: if the
+    bound expires while the query is still active, stop it (so it
+    cannot wedge later tests) and fail the test explicitly."""
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+        q.awaitTermination(30)
+        raise AssertionError(
+            f"streaming query did not terminate within {timeout}s"
+        )
+
+
+def _await_done(q, done, timeout=240):
+    """Wait until ``done()`` (or self-termination / query error), then
+    stop the query.
+
+    Needed because an AvailableNow query over a stateful operator with
+    PROCESSING-TIME timers never self-terminates:
+    ``shouldRunAnotherBatch`` is unconditionally true under
+    ProcessingTimeTimeout / timeMode="ProcessingTime", so the query
+    spins empty micro-batches forever once the source is exhausted.
+    The old ``q.awaitTermination(120)`` pattern burned the full bound
+    and then LEAKED the spinning query into the shared session — the
+    r7/r8 full-suite hang. A query error propagates (awaitTermination
+    raises)."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while _time.time() < deadline and not done():
+        if q.awaitTermination(1):
+            break
+        _time.sleep(0.1)
+    ok = done()
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
+    if not ok:
+        raise AssertionError(
+            f"streaming query did not reach expected state in {timeout}s"
+        )
+
+
 def _write_manifest(dest, day, urls):
     d = dt.date.fromisoformat(day)
     path = os.path.join(
@@ -36,6 +99,8 @@ def _write_manifest(dest, day, urls):
 
 
 def _drain(stream_df, ckpt, out_name, mode="append"):
+    import time as _time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(out_name)
@@ -44,7 +109,22 @@ def _drain(stream_df, ckpt, out_name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # Stateless AvailableNow queries self-terminate (first branch).
+    # Stateful operators with processing-time timers do NOT (see
+    # _await_done) — for those, an executed batch with zero input rows
+    # means every data batch has committed; stop there instead of
+    # burning the bound and leaking a spinning query.
+    deadline = _time.time() + 240
+    while _time.time() < deadline and q.isActive:
+        if q.awaitTermination(1):
+            return q
+        p = q.lastProgress
+        if p and p.get("numInputRows", 0) == 0 and p.get("batchId", 0) > 0:
+            break
+        _time.sleep(0.1)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(60)
     return q
 
 
@@ -728,7 +808,7 @@ def test_upsert_sink_kill_and_resume_exactly_once(spark, tmp_path):
         q = foreach_batch_upsert(
             stream, dest, ckpt, ["k"], "seq", on_batch_complete=barrier
         )
-        q.awaitTermination(120)
+        _await_or_stop(q, 240)
 
     with pytest.raises(StreamingQueryException, match="injected crash"):
         run()  # batch 0 commits; batch 1 swaps the snapshot, then dies
@@ -782,7 +862,7 @@ def test_sessionize_kill_and_resume_state_recovery(spark, tmp_path):
         if crash_armed["on"] and batch_id == 1:
             raise RuntimeError("injected crash after swap, before commit")
 
-    def run():
+    def run(resume=False):
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -793,12 +873,18 @@ def test_sessionize_kill_and_resume_state_recovery(spark, tmp_path):
             ["user_id", "session_start"], "n_events",
             on_batch_complete=barrier,
         )
-        q.awaitTermination(120)
+        if resume:
+            # the open third session holds a processing-time timer, so
+            # the resumed query never self-terminates (_await_done);
+            # wait for batch 2's commit barrier, then stop.
+            _await_done(q, lambda: 2 in seen)
+        else:
+            _await_or_stop(q, 240)
 
     with pytest.raises(StreamingQueryException, match="injected crash"):
         run()  # batch 0: opens session 1; batch 1: closes it, dies
     crash_armed["on"] = False
-    run()  # replay batch 1 from restored state, then batch 2
+    run(resume=True)  # replay batch 1 from restored state, then batch 2
 
     assert seen[0] == 0 and seen[1] == 1 and 1 in seen[2:], seen
     assert 0 not in seen[2:], "committed batch must NOT reprocess"
@@ -868,7 +954,7 @@ def test_running_profile_kill_and_resume_state_recovery(spark, tmp_path):
         if crash_armed["on"] and batch_id == 1:
             raise RuntimeError("injected crash after swap, before commit")
 
-    def run():
+    def run(resume=False):
         stream = (
             spark.readStream.schema(
                 "user_id long, ts timestamp, value double"
@@ -880,13 +966,19 @@ def test_running_profile_kill_and_resume_state_recovery(spark, tmp_path):
             stream_running_profile(stream), dest, ckpt,
             ["user_id"], "n_events", on_batch_complete=barrier,
         )
-        q.awaitTermination(120)
+        if resume:
+            # timeMode="ProcessingTime" (the TTL machinery) keeps the
+            # resumed AvailableNow query alive forever (_await_done);
+            # wait for batch 2's commit barrier, then stop.
+            _await_done(q, lambda: 2 in seen)
+        else:
+            _await_or_stop(q, 240)
 
     try:
         with pytest.raises(StreamingQueryException, match="injected crash"):
             run()  # batch 0 commits; batch 1 updates state, dies
         crash_armed["on"] = False
-        run()  # replay batch 1 from restored RocksDB state, then 2
+        run(resume=True)  # replay batch 1 from restored state, then 2
 
         assert seen[0] == 0 and seen[1] == 1 and 1 in seen[2:], seen
         assert 0 not in seen[2:], "committed batch must NOT reprocess"
