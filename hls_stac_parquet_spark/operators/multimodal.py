@@ -43,6 +43,31 @@ def _par(df):
 
     return parallelize_for_udf(df)
 
+
+def one_pass(media, batch_fns, schema):
+    """Compose per-batch ``pdf → pdf`` transforms into ONE
+    ``mapInPandas`` pass (guide §4: you control how often columns
+    cross the JVM↔Python boundary).
+
+    A chain of N multimodal operators otherwise runs as N consecutive
+    Python evaluation nodes: the binary-heavy intermediate rows are
+    Arrow-serialized out of the JVM and back N times (measured r9:
+    the 4-stage WAV pipeline spent more time moving payloads than
+    decoding them). The per-row logic of every operator here is a
+    pure function of the batch, so a chain fuses into a single Python
+    pass with row-for-row IDENTICAL results — the same batch
+    functions run in the same order on the same rows; only the
+    inter-stage (de)serialization disappears. Parity with the
+    unfused composition is pinned in tests/test_multimodal.py."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fn in batch_fns:
+                pdf = fn(pdf)
+            yield pdf
+
+    return _par(media).mapInPandas(gen, schema)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -309,31 +334,46 @@ def encode_images_png(
     the filter type rotates per image id so a corpus exercises every
     PNG filter path. Emits (id, content=png bytes). One mapInPandas,
     no shuffle."""
-    from hls_stac_parquet_spark.operators.codecs import encode_png
-
-    n_src = src_height * src_width * channels
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = _as_bytes(payload)
-                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
-                if len(buf) < n_src:
-                    buf = np.pad(buf, (0, n_src - len(buf)))
-                px = buf.reshape(src_height, src_width, channels)
-                out.append(encode_png(px, filter_type=int(mid) % 5))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col].to_numpy(), "content": out}
-            )
-
     schema = StructType(
         [
             StructField("media_id", LongType()),
             StructField("content", BinaryType()),
         ]
     )
-    return _par(media).mapInPandas(gen, schema)
+    return one_pass(
+        media,
+        [encode_images_png_batch(src_width, src_height, channels, id_col, bytes_col)],
+        schema,
+    )
+
+
+def encode_images_png_batch(
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`encode_images_png` for
+    :func:`one_pass` fusion."""
+    from hls_stac_parquet_spark.operators.codecs import encode_png
+
+    n_src = src_height * src_width * channels
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            payload = _as_bytes(payload)
+            buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+            if len(buf) < n_src:
+                buf = np.pad(buf, (0, n_src - len(buf)))
+            px = buf.reshape(src_height, src_width, channels)
+            out.append(encode_png(px, filter_type=int(mid) % 5))
+        return pd.DataFrame(
+            {"media_id": pdf[id_col].to_numpy(), "content": out}
+        )
+
+    return fn
 
 
 def encode_images_jpeg(
@@ -354,6 +394,28 @@ def encode_images_jpeg(
     exercises the quantization sweep, both subsampling layouts, the
     RSTn resync path, and all four progressive scan kinds. Emits
     (id, content=jpeg bytes). One mapInPandas, no shuffle."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return one_pass(
+        media,
+        [encode_images_jpeg_batch(src_width, src_height, channels, id_col, bytes_col)],
+        schema,
+    )
+
+
+def encode_images_jpeg_batch(
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`encode_images_jpeg` for
+    :func:`one_pass` fusion."""
     from hls_stac_parquet_spark.operators.codecs import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -362,44 +424,37 @@ def encode_images_jpeg(
     n_src = src_height * src_width * channels
     qualities = (35, 60, 85)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = _as_bytes(payload)
-                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
-                if len(buf) < n_src:
-                    buf = np.pad(buf, (0, n_src - len(buf)))
-                px = buf.reshape(src_height, src_width, channels)
-                if channels == 1:
-                    px = px[..., 0]
-                mid = int(mid)
-                if mid % 5 == 0:
-                    out.append(
-                        encode_jpeg_progressive(px, quality=qualities[mid % 3])
-                    )
-                    continue
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            payload = _as_bytes(payload)
+            buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+            if len(buf) < n_src:
+                buf = np.pad(buf, (0, n_src - len(buf)))
+            px = buf.reshape(src_height, src_width, channels)
+            if channels == 1:
+                px = px[..., 0]
+            mid = int(mid)
+            if mid % 5 == 0:
                 out.append(
-                    encode_jpeg(
-                        px,
-                        quality=qualities[mid % 3],
-                        subsampling=(
-                            "4:2:0" if channels == 3 and mid % 2 else "4:4:4"
-                        ),
-                        restart_interval=2 if mid % 3 == 0 else 0,
-                    )
+                    encode_jpeg_progressive(px, quality=qualities[mid % 3])
                 )
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col].to_numpy(), "content": out}
+                continue
+            out.append(
+                encode_jpeg(
+                    px,
+                    quality=qualities[mid % 3],
+                    subsampling=(
+                        "4:2:0" if channels == 3 and mid % 2 else "4:4:4"
+                    ),
+                    restart_interval=2 if mid % 3 == 0 else 0,
+                )
             )
+        return pd.DataFrame(
+            {"media_id": pdf[id_col].to_numpy(), "content": out}
+        )
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    return _par(media).mapInPandas(gen, schema)
+    return fn
 
 
 _PNG_STATS_SCHEMA = StructType(
@@ -429,42 +484,52 @@ def decode_image_stats(
     a (-1, -1, -1, NaN) row — a malformed blob must never kill a
     100 TB decode stage. One mapInPandas, no shuffle, 1:1 rows."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hs, ws, cs, means, sizes = [], [], [], [], []
-            for payload in pdf[bytes_col]:
-                payload = _as_bytes(payload)
-                sizes.append(len(payload))
-                try:
-                    px = _decode_image_real(payload)
-                    hs.append(px.shape[0])
-                    ws.append(px.shape[1])
-                    cs.append(px.shape[2])
-                    means.append(np.float32(px.mean()))
-                except (NotImplementedError, ValueError, struct.error,
-                        IndexError, KeyError):
-                    # IndexError: a truncated JPEG/PNG runs the parser
-                    # off the end of the buffer; KeyError: defense in
-                    # depth for any table/field lookup the codecs'
-                    # own ValueError validation misses — same sentinel
-                    # as any other malformed payload
-                    # (tests/test_codecs.py)
-                    hs.append(-1)
-                    ws.append(-1)
-                    cs.append(-1)
-                    means.append(np.float32("nan"))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].to_numpy(),
-                    "n_bytes": np.asarray(sizes, dtype=np.int32),
-                    "height": np.asarray(hs, dtype=np.int32),
-                    "width": np.asarray(ws, dtype=np.int32),
-                    "channels": np.asarray(cs, dtype=np.int32),
-                    "mean_px": np.asarray(means, dtype=np.float32),
-                }
-            )
+    return one_pass(
+        media, [decode_image_stats_batch(id_col, bytes_col)], _PNG_STATS_SCHEMA
+    )
 
-    return _par(media).mapInPandas(gen, _PNG_STATS_SCHEMA)
+
+def decode_image_stats_batch(
+    id_col: str = "media_id", bytes_col: str = "content"
+):
+    """Per-batch transform of :func:`decode_image_stats` for
+    :func:`one_pass` fusion."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs, ws, cs, means, sizes = [], [], [], [], []
+        for payload in pdf[bytes_col]:
+            payload = _as_bytes(payload)
+            sizes.append(len(payload))
+            try:
+                px = _decode_image_real(payload)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                cs.append(px.shape[2])
+                means.append(np.float32(px.mean()))
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, KeyError):
+                # IndexError: a truncated JPEG/PNG runs the parser
+                # off the end of the buffer; KeyError: defense in
+                # depth for any table/field lookup the codecs'
+                # own ValueError validation misses — same sentinel
+                # as any other malformed payload
+                # (tests/test_codecs.py)
+                hs.append(-1)
+                ws.append(-1)
+                cs.append(-1)
+                means.append(np.float32("nan"))
+        return pd.DataFrame(
+            {
+                "media_id": pdf[id_col].to_numpy(),
+                "n_bytes": np.asarray(sizes, dtype=np.int32),
+                "height": np.asarray(hs, dtype=np.int32),
+                "width": np.asarray(ws, dtype=np.int32),
+                "channels": np.asarray(cs, dtype=np.int32),
+                "mean_px": np.asarray(means, dtype=np.float32),
+            }
+        )
+
+    return fn
 
 
 def encode_audio_wav(
@@ -477,27 +542,36 @@ def encode_audio_wav(
     (the raw-PCM convention of pcm_stats/resample_pcm; odd trailing
     byte dropped), wrapped as a 16-bit PCM RIFF/WAVE file
     (operators/codecs.py). One mapInPandas, no shuffle."""
-    from hls_stac_parquet_spark.operators.codecs import encode_wav
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for payload in pdf[bytes_col]:
-                payload = _as_bytes(payload)
-                n = len(payload) - (len(payload) % 2)
-                samples = np.frombuffer(payload[:n], dtype="<i2")
-                out.append(encode_wav(sample_rate, samples))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col].to_numpy(), "content": out}
-            )
-
     schema = StructType(
         [
             StructField("media_id", LongType()),
             StructField("content", BinaryType()),
         ]
     )
-    return _par(media).mapInPandas(gen, schema)
+    return one_pass(
+        media, [encode_audio_wav_batch(sample_rate, id_col, bytes_col)], schema
+    )
+
+
+def encode_audio_wav_batch(
+    sample_rate: int, id_col: str = "media_id", bytes_col: str = "content"
+):
+    """Per-batch transform of :func:`encode_audio_wav` for
+    :func:`one_pass` fusion."""
+    from hls_stac_parquet_spark.operators.codecs import encode_wav
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for payload in pdf[bytes_col]:
+            payload = _as_bytes(payload)
+            n = len(payload) - (len(payload) % 2)
+            samples = np.frombuffer(payload[:n], dtype="<i2")
+            out.append(encode_wav(sample_rate, samples))
+        return pd.DataFrame(
+            {"media_id": pdf[id_col].to_numpy(), "content": out}
+        )
+
+    return fn
 
 
 def decode_audio_wav(
@@ -510,28 +584,6 @@ def decode_audio_wav(
     bytes), the layout the downstream PCM DSP operators consume.
     Malformed payloads survive as (sample_rate = -1, empty content)
     rows. One mapInPandas, no shuffle, 1:1 rows."""
-    from hls_stac_parquet_spark.operators.codecs import decode_wav
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            srs, out = [], []
-            for payload in pdf[bytes_col]:
-                payload = _as_bytes(payload)
-                try:
-                    sr, samples = decode_wav(payload)
-                    srs.append(sr)
-                    out.append(samples[:, 0].astype("<i2").tobytes())
-                except (ValueError, struct.error, IndexError, KeyError):
-                    srs.append(-1)
-                    out.append(b"")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].to_numpy(),
-                    "sample_rate": np.asarray(srs, dtype=np.int32),
-                    "content": out,
-                }
-            )
-
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -539,7 +591,38 @@ def decode_audio_wav(
             StructField("content", BinaryType()),
         ]
     )
-    return _par(media).mapInPandas(gen, schema)
+    return one_pass(
+        media, [decode_audio_wav_batch(id_col, bytes_col)], schema
+    )
+
+
+def decode_audio_wav_batch(
+    id_col: str = "media_id", bytes_col: str = "content"
+):
+    """Per-batch transform of :func:`decode_audio_wav` for
+    :func:`one_pass` fusion."""
+    from hls_stac_parquet_spark.operators.codecs import decode_wav
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        srs, out = [], []
+        for payload in pdf[bytes_col]:
+            payload = _as_bytes(payload)
+            try:
+                sr, samples = decode_wav(payload)
+                srs.append(sr)
+                out.append(samples[:, 0].astype("<i2").tobytes())
+            except (ValueError, struct.error, IndexError, KeyError):
+                srs.append(-1)
+                out.append(b"")
+        return pd.DataFrame(
+            {
+                "media_id": pdf[id_col].to_numpy(),
+                "sample_rate": np.asarray(srs, dtype=np.int32),
+                "content": out,
+            }
+        )
+
+    return fn
 
 
 _PCM_STATS_SCHEMA = StructType(
@@ -581,34 +664,42 @@ def pcm_stats(
     triage (silence / clipping / noise detection) before any model
     sees a waveform.  Arrow-batched numpy, zero shuffle."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ns, rms, peak, zcr = [], [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                x = _pcm_to_float(_as_bytes(payload))
-                ids.append(mid)
-                ns.append(len(x))
-                if len(x) == 0:
-                    rms.append(0.0); peak.append(0.0); zcr.append(0.0)
-                    continue
-                rms.append(float(np.sqrt(np.mean(x**2))))
-                peak.append(float(np.abs(x).max()))
-                zcr.append(
-                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                    if len(x) > 1
-                    else 0.0
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": np.asarray(ids, dtype=np.int64),
-                    "n_samples": np.asarray(ns, dtype=np.int32),
-                    "rms": np.asarray(rms, dtype=np.float32),
-                    "peak": np.asarray(peak, dtype=np.float32),
-                    "zero_crossing_rate": np.asarray(zcr, dtype=np.float32),
-                }
-            )
+    return one_pass(
+        media, [pcm_stats_batch(id_col, bytes_col)], _PCM_STATS_SCHEMA
+    )
 
-    return _par(media).mapInPandas(gen, _PCM_STATS_SCHEMA)
+
+def pcm_stats_batch(id_col: str = "media_id", bytes_col: str = "content"):
+    """Per-batch transform of :func:`pcm_stats` for :func:`one_pass`
+    fusion."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, rms, peak, zcr = [], [], [], [], []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            x = _pcm_to_float(_as_bytes(payload))
+            ids.append(mid)
+            ns.append(len(x))
+            if len(x) == 0:
+                rms.append(0.0); peak.append(0.0); zcr.append(0.0)
+                continue
+            rms.append(float(np.sqrt(np.mean(x**2))))
+            peak.append(float(np.abs(x).max()))
+            zcr.append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if len(x) > 1
+                else 0.0
+            )
+        return pd.DataFrame(
+            {
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "n_samples": np.asarray(ns, dtype=np.int32),
+                "rms": np.asarray(rms, dtype=np.float32),
+                "peak": np.asarray(peak, dtype=np.float32),
+                "zero_crossing_rate": np.asarray(zcr, dtype=np.float32),
+            }
+        )
+
+    return fn
 
 
 def resample_pcm(
@@ -623,36 +714,50 @@ def resample_pcm(
     pipeline runs.  Real resampling math (numpy interp over the
     resample grid), Arrow-batched, zero shuffle; output is again raw
     int16 bytes so stages compose."""
+    return one_pass(
+        media,
+        [resample_pcm_batch(src_rate, dst_rate, id_col, bytes_col)],
+        _PCM_RESAMPLE_SCHEMA,
+    )
+
+
+def resample_pcm_batch(
+    src_rate: int,
+    dst_rate: int,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`resample_pcm` for
+    :func:`one_pass` fusion."""
     if src_rate <= 0 or dst_rate <= 0:
         raise ValueError("sample rates must be positive")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ns, outs = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                x = _pcm_to_float(_as_bytes(payload))
-                n_out = int(round(len(x) * dst_rate / src_rate))
-                if len(x) < 2 or n_out == 0:
-                    y = np.zeros(0)
-                else:
-                    t_out = np.arange(n_out) * (src_rate / dst_rate)
-                    y = np.interp(t_out, np.arange(len(x)), x)
-                ids.append(mid)
-                ns.append(len(y))
-                outs.append(
-                    np.clip(y * 32768.0, -32768, 32767)
-                    .astype("<i2")
-                    .tobytes()
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": np.asarray(ids, dtype=np.int64),
-                    "n_samples": np.asarray(ns, dtype=np.int32),
-                    "content": outs,
-                }
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, outs = [], [], []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            x = _pcm_to_float(_as_bytes(payload))
+            n_out = int(round(len(x) * dst_rate / src_rate))
+            if len(x) < 2 or n_out == 0:
+                y = np.zeros(0)
+            else:
+                t_out = np.arange(n_out) * (src_rate / dst_rate)
+                y = np.interp(t_out, np.arange(len(x)), x)
+            ids.append(mid)
+            ns.append(len(y))
+            outs.append(
+                np.clip(y * 32768.0, -32768, 32767)
+                .astype("<i2")
+                .tobytes()
             )
+        return pd.DataFrame(
+            {
+                "media_id": np.asarray(ids, dtype=np.int64),
+                "n_samples": np.asarray(ns, dtype=np.int32),
+                "content": outs,
+            }
+        )
 
-    return _par(media).mapInPandas(gen, _PCM_RESAMPLE_SCHEMA)
+    return fn
 
 
 _PATCH_SCHEMA = StructType(
@@ -849,35 +954,50 @@ def dhash_images(
     rows; exact bit equality with an independent numpy/int replay is
     pinned in tests/test_multimodal.py.
     """
+    return one_pass(
+        media,
+        [dhash_images_batch(src_width, src_height, channels, id_col, bytes_col)],
+        _DHASH_SCHEMA,
+    )
+
+
+def dhash_images_batch(
+    src_width: int,
+    src_height: int,
+    channels: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`dhash_images` for
+    :func:`one_pass` fusion."""
     n_src = src_height * src_width * channels
     row_map = (np.arange(8, dtype=np.int64) * src_height) // 8
     col_map = (np.arange(9, dtype=np.int64) * src_width) // 9
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hashes = []
-            for payload in pdf[bytes_col]:
-                payload = _as_bytes(payload)
-                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
-                if len(buf) < n_src:
-                    buf = np.pad(buf, (0, n_src - len(buf)))
-                img = (
-                    buf.reshape(src_height, src_width, channels)
-                    .astype(np.float64)
-                    .mean(axis=2)
-                )
-                small = img[np.ix_(row_map, col_map)]
-                bits = (small[:, 1:] > small[:, :-1]).flatten()
-                val = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].to_numpy(),
-                    "dhash": np.array(hashes, dtype=np.int64),
-                }
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = []
+        for payload in pdf[bytes_col]:
+            payload = _as_bytes(payload)
+            buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+            if len(buf) < n_src:
+                buf = np.pad(buf, (0, n_src - len(buf)))
+            img = (
+                buf.reshape(src_height, src_width, channels)
+                .astype(np.float64)
+                .mean(axis=2)
             )
+            small = img[np.ix_(row_map, col_map)]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.DataFrame(
+            {
+                "media_id": pdf[id_col].to_numpy(),
+                "dhash": np.array(hashes, dtype=np.int64),
+            }
+        )
 
-    return _par(media).mapInPandas(gen, _DHASH_SCHEMA)
+    return fn
 
 
 def hamming_near_dup_pairs(
@@ -984,6 +1104,21 @@ def audio_fingerprint(
     dropped). Amplitude invariance + numpy replay are pinned in
     tests/test_multimodal.py.
     """
+    return one_pass(
+        media,
+        [audio_fingerprint_batch(frame_len, hop, id_col, bytes_col)],
+        _AUDIO_FP_SCHEMA,
+    )
+
+
+def audio_fingerprint_batch(
+    frame_len: int = 256,
+    hop: int = 128,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`audio_fingerprint` for
+    :func:`one_pass` fusion."""
     if hop <= 0 or frame_len <= 0:
         raise ValueError("frame_len and hop must be positive")
     window = np.hanning(frame_len)
@@ -1010,19 +1145,18 @@ def audio_fingerprint(
         val = int.from_bytes(np.packbits(bits).tobytes(), "big")
         return val - (1 << 64) if val >= (1 << 63) else val
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fps = [
-                _fp(_pcm_to_float(_as_bytes(p))) for p in pdf[bytes_col]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].to_numpy(),
-                    "fingerprint": np.array(fps, dtype=np.int64),
-                }
-            )
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        fps = [
+            _fp(_pcm_to_float(_as_bytes(p))) for p in pdf[bytes_col]
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": pdf[id_col].to_numpy(),
+                "fingerprint": np.array(fps, dtype=np.int64),
+            }
+        )
 
-    return _par(media).mapInPandas(gen, _AUDIO_FP_SCHEMA)
+    return fn
 
 
 _GIF_FRAMES_SCHEMA = StructType(
@@ -1051,43 +1185,52 @@ def decode_gif_frames(
     decoded pixels, not byte slices. Undecodable payloads yield one
     (-1, -1, -1, NaN, empty) sentinel row. One mapInPandas, no
     shuffle."""
+    return one_pass(
+        media, [decode_gif_frames_batch(id_col, bytes_col)], _GIF_FRAMES_SCHEMA
+    )
+
+
+def decode_gif_frames_batch(
+    id_col: str = "media_id", bytes_col: str = "content"
+):
+    """Per-batch transform of :func:`decode_gif_frames` for
+    :func:`one_pass` fusion."""
     from hls_stac_parquet_spark.operators.codecs import decode_gif
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, hs, ws, means, bufs = [], [], [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = _as_bytes(payload)
-                try:
-                    frames = decode_gif(payload)
-                except (ValueError, struct.error, IndexError, KeyError):
-                    ids.append(mid)
-                    idxs.append(-1)
-                    hs.append(-1)
-                    ws.append(-1)
-                    means.append(np.float32("nan"))
-                    bufs.append(b"")
-                    continue
-                for i, fr in enumerate(frames):
-                    gray = fr[..., 0]  # gray-palette GIFs: R==G==B
-                    ids.append(mid)
-                    idxs.append(i)
-                    hs.append(fr.shape[0])
-                    ws.append(fr.shape[1])
-                    means.append(np.float32(fr.mean()))
-                    bufs.append(gray.tobytes())
-            yield pd.DataFrame(
-                {
-                    "media_id": np.array(ids, dtype=np.int64),
-                    "frame_idx": np.array(idxs, dtype=np.int32),
-                    "height": np.array(hs, dtype=np.int32),
-                    "width": np.array(ws, dtype=np.int32),
-                    "mean_px": np.array(means, dtype=np.float32),
-                    "content": bufs,
-                }
-            )
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, hs, ws, means, bufs = [], [], [], [], [], []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            payload = _as_bytes(payload)
+            try:
+                frames = decode_gif(payload)
+            except (ValueError, struct.error, IndexError, KeyError):
+                ids.append(mid)
+                idxs.append(-1)
+                hs.append(-1)
+                ws.append(-1)
+                means.append(np.float32("nan"))
+                bufs.append(b"")
+                continue
+            for i, fr in enumerate(frames):
+                gray = fr[..., 0]  # gray-palette GIFs: R==G==B
+                ids.append(mid)
+                idxs.append(i)
+                hs.append(fr.shape[0])
+                ws.append(fr.shape[1])
+                means.append(np.float32(fr.mean()))
+                bufs.append(gray.tobytes())
+        return pd.DataFrame(
+            {
+                "media_id": np.array(ids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "width": np.array(ws, dtype=np.int32),
+                "mean_px": np.array(means, dtype=np.float32),
+                "content": bufs,
+            }
+        )
 
-    return _par(media).mapInPandas(gen, _GIF_FRAMES_SCHEMA)
+    return fn
 
 
 def encode_gifs(
@@ -1103,29 +1246,44 @@ def encode_gifs(
     (zero-padded), LZW-compressed into one GIF89a; interlace rotates
     per id so a corpus exercises both row orders. Lossless: the
     decoded frames are bit-identical to the input slices."""
-    from hls_stac_parquet_spark.operators.codecs import encode_gif
-
-    n_px = src_height * src_width
-    n_src = n_px * n_frames
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                payload = _as_bytes(payload)
-                buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
-                if len(buf) < n_src:
-                    buf = np.pad(buf, (0, n_src - len(buf)))
-                frames = buf.reshape(n_frames, src_height, src_width)
-                out.append(encode_gif(frames, interlace=bool(int(mid) % 2)))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col].to_numpy(), "content": out}
-            )
-
     schema = StructType(
         [
             StructField("media_id", LongType()),
             StructField("content", BinaryType()),
         ]
     )
-    return _par(media).mapInPandas(gen, schema)
+    return one_pass(
+        media,
+        [encode_gifs_batch(src_width, src_height, n_frames, id_col, bytes_col)],
+        schema,
+    )
+
+
+def encode_gifs_batch(
+    src_width: int,
+    src_height: int,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+):
+    """Per-batch transform of :func:`encode_gifs` for
+    :func:`one_pass` fusion."""
+    from hls_stac_parquet_spark.operators.codecs import encode_gif
+
+    n_px = src_height * src_width
+    n_src = n_px * n_frames
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+            payload = _as_bytes(payload)
+            buf = np.frombuffer(payload[:n_src], dtype=np.uint8)
+            if len(buf) < n_src:
+                buf = np.pad(buf, (0, n_src - len(buf)))
+            frames = buf.reshape(n_frames, src_height, src_width)
+            out.append(encode_gif(frames, interlace=bool(int(mid) % 2)))
+        return pd.DataFrame(
+            {"media_id": pdf[id_col].to_numpy(), "content": out}
+        )
+
+    return fn

@@ -1511,16 +1511,27 @@ def q_png_decode_stats(spark, sf_dir):
     sum is exact integer arithmetic (mean_px is k/256, exact in
     float32), so no rounding boundary exists."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        decode_image_stats,
-        encode_images_png,
+        _PNG_STATS_SCHEMA,
+        decode_image_stats_batch,
+        encode_images_png_batch,
+        one_pass,
     )
 
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    pngs = encode_images_png(media, src_width=16, src_height=16)
-    return decode_image_stats(pngs).select(
+    # r9 (guide §4): encode+decode fused into ONE mapInPandas (the
+    # PNG bytes no longer round-trip the Python boundary in between)
+    stats = one_pass(
+        media,
+        [
+            encode_images_png_batch(src_width=16, src_height=16),
+            decode_image_stats_batch(),
+        ],
+        _PNG_STATS_SCHEMA,
+    )
+    return stats.select(
         "media_id",
         "height",
         "width",
@@ -1594,8 +1605,10 @@ def q_image_dhash_dedup(spark, sf_dir):
     hash replay + brute-force completeness additionally pinned in
     tests/test_multimodal.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        dhash_images,
+        _DHASH_SCHEMA,
+        dhash_images_batch,
         hamming_near_dup_pairs,
+        one_pass,
     )
 
     # pseudo-decoder standing in for the image codec seam: each doc
@@ -1614,30 +1627,31 @@ def q_image_dhash_dedup(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    def pseudo_decode(batches):
-        for pdf in batches:
-            out = []
-            for text_val in pdf["text"]:
-                terms = (text_val or "").lower().split()
-                img = np.zeros(72, dtype=np.int64)
-                for i in range(len(terms) - 1):
-                    g = terms[i] + " " + terms[i + 1]
-                    b = hashlib.md5(g.encode()).digest()
-                    img[int.from_bytes(b[:4], "big") % 72] += 1
-                out.append(
-                    np.minimum(img * 32, 255).astype(np.uint8).tobytes()
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+    def pseudo_decode(pdf):
+        out = []
+        for text_val in pdf["text"]:
+            terms = (text_val or "").lower().split()
+            img = np.zeros(72, dtype=np.int64)
+            for i in range(len(terms) - 1):
+                g = terms[i] + " " + terms[i + 1]
+                b = hashlib.md5(g.encode()).digest()
+                img[int.from_bytes(b[:4], "big") % 72] += 1
+            out.append(
+                np.minimum(img * 32, 255).astype(np.uint8).tobytes()
             )
+        return pd.DataFrame(
+            {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+        )
 
-    from hls_stac_parquet_spark.tuning import parallelize_for_udf
-
-    media = parallelize_for_udf(
-        t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(pseudo_decode, "media_id long, content binary")
+    # r9 (guide §4): pseudo-decode + dHash fused into ONE mapInPandas
+    # (the 72-byte bitmaps no longer round-trip the Python boundary)
+    hashes = one_pass(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        [pseudo_decode, dhash_images_batch(src_width=9, src_height=8)],
+        _DHASH_SCHEMA,
+    )
     pairs = hamming_near_dup_pairs(
-        dhash_images(media, src_width=9, src_height=8),
+        hashes,
         max_hamming=3,
         max_bucket=2000,
     )
@@ -1795,41 +1809,45 @@ def q_audio_fingerprint_dedup(spark, sf_dir):
     import pandas as pd
 
     from hls_stac_parquet_spark.operators.multimodal import (
-        audio_fingerprint,
+        _AUDIO_FP_SCHEMA,
+        audio_fingerprint_batch,
         hamming_near_dup_pairs,
+        one_pass,
     )
 
     n_terms, seg = 16, 256
 
-    def pseudo_render(batches):
+    def pseudo_render(pdf):
         t_ax = np.arange(seg) / 16000.0
-        for pdf in batches:
-            out = []
-            for text_val in pdf["text"]:
-                terms = (text_val or "").lower().split()[:n_terms]
-                wav = np.zeros(n_terms * seg)
-                for i, term in enumerate(terms):
-                    h = int.from_bytes(
-                        hashlib.md5(term.encode()).digest()[:4], "big"
-                    )
-                    freq = 100 + (h % 6900)
-                    wav[i * seg : (i + 1) * seg] = 0.3 * np.sin(
-                        2 * np.pi * freq * t_ax
-                    )
-                out.append(
-                    (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+        out = []
+        for text_val in pdf["text"]:
+            terms = (text_val or "").lower().split()[:n_terms]
+            wav = np.zeros(n_terms * seg)
+            for i, term in enumerate(terms):
+                h = int.from_bytes(
+                    hashlib.md5(term.encode()).digest()[:4], "big"
                 )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+                freq = 100 + (h % 6900)
+                wav[i * seg : (i + 1) * seg] = 0.3 * np.sin(
+                    2 * np.pi * freq * t_ax
+                )
+            out.append(
+                (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
             )
+        return pd.DataFrame(
+            {"media_id": pdf["doc_id"].to_numpy(), "content": out}
+        )
 
-    from hls_stac_parquet_spark.tuning import parallelize_for_udf
-
-    media = parallelize_for_udf(
-        t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(pseudo_render, "media_id long, content binary")
+    # r9 (guide §4): render+fingerprint fused into ONE mapInPandas —
+    # the synthesized PCM clips (8 KB/row) no longer round-trip the
+    # Python boundary between the two stages
+    fps = one_pass(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        [pseudo_render, audio_fingerprint_batch()],
+        _AUDIO_FP_SCHEMA,
+    )
     pairs = hamming_near_dup_pairs(
-        audio_fingerprint(media),
+        fps,
         max_hamming=3,
         hash_col="fingerprint",
         max_bucket=2000,
@@ -1906,16 +1924,27 @@ def q_pcm_audio_pipeline(spark, sf_dir):
     (sine RMS = A/√2, ZCR = 2f/rate) additionally pinned in
     tests/test_multimodal.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        pcm_stats,
-        resample_pcm,
+        _PCM_STATS_SCHEMA,
+        one_pass,
+        pcm_stats_batch,
+        resample_pcm_batch,
     )
 
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    resampled = resample_pcm(media, src_rate=16000, dst_rate=8000)
-    return pcm_stats(resampled).select(
+    # r9 (guide §4): resample+stats fused into ONE mapInPandas (one
+    # Python boundary crossing instead of two; identical row math)
+    stats = one_pass(
+        media,
+        [
+            resample_pcm_batch(src_rate=16000, dst_rate=8000),
+            pcm_stats_batch(),
+        ],
+        _PCM_STATS_SCHEMA,
+    )
+    return stats.select(
         "media_id",
         "n_samples",
         F.round(F.col("rms").cast("double"), 6).alias("rms"),
@@ -1940,21 +1969,33 @@ def q_wav_decode_pipeline(spark, sf_dir):
     ZCR from hex(encode(text)) — float32 outputs replicated by
     casting through REAL before the round."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        decode_audio_wav,
-        encode_audio_wav,
-        pcm_stats,
-        resample_pcm,
+        _PCM_STATS_SCHEMA,
+        decode_audio_wav_batch,
+        encode_audio_wav_batch,
+        one_pass,
+        pcm_stats_batch,
+        resample_pcm_batch,
     )
 
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    decoded = decode_audio_wav(encode_audio_wav(media, sample_rate=16000))
-    resampled = resample_pcm(
-        decoded.select("media_id", "content"), src_rate=16000, dst_rate=8000
+    # r9 (guide §4): encode→decode→resample→stats fused into ONE
+    # mapInPandas — the 4-stage chain Arrow-serialized the binary
+    # payloads across the Python boundary 4×; the per-row math is
+    # unchanged (same batch functions, same order).
+    stats = one_pass(
+        media,
+        [
+            encode_audio_wav_batch(sample_rate=16000),
+            decode_audio_wav_batch(),
+            resample_pcm_batch(src_rate=16000, dst_rate=8000),
+            pcm_stats_batch(),
+        ],
+        _PCM_STATS_SCHEMA,
     )
-    return pcm_stats(resampled).select(
+    return stats.select(
         "media_id",
         "n_samples",
         F.round(F.col("rms").cast("double"), 6).alias("rms"),
@@ -4325,16 +4366,26 @@ def q_jpeg_decode_stats(spark, sf_dir):
     expression; the entropy layer's coefficient-exactness and the
     IDCT's ±1 replay bound are pinned in tests/test_codecs.py."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        decode_image_stats,
-        encode_images_jpeg,
+        _PNG_STATS_SCHEMA,
+        decode_image_stats_batch,
+        encode_images_jpeg_batch,
+        one_pass,
     )
 
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    jpegs = encode_images_jpeg(media, src_width=16, src_height=16)
-    stats = decode_image_stats(jpegs).select(
+    # r9 (guide §4): encode+decode fused into ONE mapInPandas (the
+    # JPEG bytes no longer round-trip the Python boundary in between)
+    stats = one_pass(
+        media,
+        [
+            encode_images_jpeg_batch(src_width=16, src_height=16),
+            decode_image_stats_batch(),
+        ],
+        _PNG_STATS_SCHEMA,
+    ).select(
         "media_id",
         "n_bytes",
         "height",
@@ -4411,16 +4462,27 @@ def q_gif_frame_pipeline(spark, sf_dir):
     Replaces the byte-slicing fake codec of q_video_frame_sample with
     real decoded pixels."""
     from hls_stac_parquet_spark.operators.multimodal import (
-        decode_gif_frames,
-        encode_gifs,
+        _GIF_FRAMES_SCHEMA,
+        decode_gif_frames_batch,
+        encode_gifs_batch,
+        one_pass,
     )
 
     media = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    gifs = encode_gifs(media, src_width=8, src_height=8, n_frames=4)
-    return decode_gif_frames(gifs).select(
+    # r9 (guide §4): encode+decode fused into ONE mapInPandas (the
+    # GIF containers no longer round-trip the Python boundary)
+    frames = one_pass(
+        media,
+        [
+            encode_gifs_batch(src_width=8, src_height=8, n_frames=4),
+            decode_gif_frames_batch(),
+        ],
+        _GIF_FRAMES_SCHEMA,
+    )
+    return frames.select(
         "media_id",
         "frame_idx",
         "height",

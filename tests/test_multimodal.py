@@ -511,3 +511,52 @@ def test_jpeg_decode_stats_mean_flag(spark):
 
     rows = REGISTRY["q_jpeg_decode_stats"].fn(spark, SF0001).collect()
     assert rows and all(r.mean_close_ok for r in rows)
+
+
+def test_one_pass_fusion_matches_chained_operators(spark):
+    """r9 §4 fusion: one_pass([f, g, ...]) must be row-for-row
+    identical to the chained per-operator mapInPandas composition —
+    pinned on the 4-stage WAV pipeline (encode→decode→resample→stats)
+    over real corpus bytes, the deepest fused chain."""
+    from pyspark.sql import functions as F
+
+    from hls_stac_parquet_spark.operators.multimodal import (
+        _PCM_STATS_SCHEMA,
+        decode_audio_wav,
+        decode_audio_wav_batch,
+        encode_audio_wav,
+        encode_audio_wav_batch,
+        one_pass,
+        pcm_stats,
+        pcm_stats_batch,
+        resample_pcm,
+        resample_pcm_batch,
+    )
+    from hls_stac_parquet_spark.queries.registry import t
+    from tests.conftest import SF0001
+
+    media = t(spark, SF0001, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    fused = one_pass(
+        media,
+        [
+            encode_audio_wav_batch(sample_rate=16000),
+            decode_audio_wav_batch(),
+            resample_pcm_batch(src_rate=16000, dst_rate=8000),
+            pcm_stats_batch(),
+        ],
+        _PCM_STATS_SCHEMA,
+    )
+    chained = pcm_stats(
+        resample_pcm(
+            decode_audio_wav(encode_audio_wav(media, sample_rate=16000))
+            .select("media_id", "content"),
+            src_rate=16000,
+            dst_rate=8000,
+        )
+    )
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, chained.collect()))
+    assert got == want and len(got) > 0
