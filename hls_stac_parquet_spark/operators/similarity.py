@@ -216,6 +216,78 @@ def _train_spherical_kmeans(
     return centers / cnorm[:, None]
 
 
+def _ivf_assign_probe(
+    df: DataFrame, id_col: str, vec_col: str, bc_centers, n_probe: int
+):
+    """(corpus, probes) cogroup inputs from ONE Arrow pass.
+
+    The former shape ran TWO pandas_udf passes over the corpus —
+    ``assign`` (argmax of sims) and ``probe`` (arg-top-n_probe of the
+    SAME sims matrix) — so every vector crossed the Python boundary
+    twice and the centroid GEMM ran twice (measured r9: the two
+    passes were ~90% of q_ann_ivf's task time; the cogrouped search
+    was 0.7 s of 18 s). One mapInPandas computes sims once, emits
+    (id, vec, cluster, probes), and a localCheckpoint materializes it
+    for both cogroup branches. Per-row results are identical: cluster
+    and probes derive from the same sims by the same argmax/argsort
+    expressions the two UDFs used. The probe branch uses fresh column
+    names (self-cogroup attribute dedup can prune shared-lineage
+    columns from the right pandas frame)."""
+    from pyspark.sql.types import ArrayType
+
+    def _unit_rows(pdf_col) -> "np.ndarray":
+        if len(pdf_col) == 0:
+            return np.zeros((0, bc_centers.value.shape[1]))
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    enriched_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(vec_col, df.schema[vec_col].dataType),
+            StructField("cluster", IntegerType()),
+            StructField("probes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = _unit_rows(pdf[vec_col]) @ bc_centers.value.T
+            if len(pdf) == 0:
+                clusters = np.zeros(0, dtype=np.int32)
+                tops: list = []
+            else:
+                clusters = np.argmax(sims, axis=1).astype(np.int32)
+                tops = list(
+                    np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster": clusters,
+                    "probes": tops,
+                }
+            )
+
+    from hls_stac_parquet_spark.tuning import parallelize_for_udf
+
+    enriched = (
+        parallelize_for_udf(df.select(id_col, vec_col))
+        .mapInPandas(enrich, enriched_schema)
+        .localCheckpoint()
+    )
+    corpus = enriched.select(id_col, vec_col, "cluster")
+    probes = enriched.select(
+        F.col(id_col).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.explode("probes").alias("cluster"),
+    )
+    return corpus, probes
+
+
 def ivf_cosine_pairs_above(
     df: DataFrame,
     threshold: float = 0.95,
@@ -251,8 +323,6 @@ def ivf_cosine_pairs_above(
         return spark.createDataFrame([], _PAIRS_SCHEMA)
     bc_centers = spark.sparkContext.broadcast(centers)
 
-    from pyspark.sql.types import ArrayType
-
     def _unit_rows(pdf_col) -> "np.ndarray":
         if len(pdf_col) == 0:
             return np.zeros((0, bc_centers.value.shape[1]))
@@ -261,29 +331,11 @@ def ivf_cosine_pairs_above(
         norms[norms == 0] = 1.0
         return mat / norms[:, None]
 
-    @F.pandas_udf(IntegerType())
-    def assign(col: pd.Series) -> pd.Series:
-        sims = _unit_rows(col) @ bc_centers.value.T
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe(col: pd.Series) -> pd.Series:
-        sims = _unit_rows(col) @ bc_centers.value.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
-
-    from hls_stac_parquet_spark.tuning import parallelize_for_udf
-
-    df = parallelize_for_udf(df)
-    corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
-    # the probe side ALIASES its columns: both cogroup branches derive
-    # from the same df, and Spark's self-cogroup attribute dedup can
-    # prune shared-lineage columns out of the right-side pandas frame
-    # (observed on parquet scans) — fresh names force fresh attributes
-    probes = df.select(
-        F.col(id_col).alias("p_id"),
-        F.col(vec_col).alias("p_vec"),
-        F.explode(probe(vec_col)).alias("cluster"),
+    # one Arrow pass computes the centroid sims once and feeds both
+    # cogroup branches off a checkpoint (r9, guide §4 — see
+    # _ivf_assign_probe)
+    corpus, probes = _ivf_assign_probe(
+        df, id_col, vec_col, bc_centers, n_probe
     )
 
     def search(key, corpus_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -369,8 +421,6 @@ def ivf_cosine_topk(
         ]))
     bc_centers = spark.sparkContext.broadcast(centers)
 
-    from pyspark.sql.types import ArrayType
-
     def _unit_rows(pdf_col) -> "np.ndarray":
         if len(pdf_col) == 0:
             return np.zeros((0, bc_centers.value.shape[1]))
@@ -379,28 +429,11 @@ def ivf_cosine_topk(
         norms[norms == 0] = 1.0
         return mat / norms[:, None]
 
-    @F.pandas_udf(IntegerType())
-    def assign(col: pd.Series) -> pd.Series:
-        sims = _unit_rows(col) @ bc_centers.value.T
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe(col: pd.Series) -> pd.Series:
-        sims = _unit_rows(col) @ bc_centers.value.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
-
-    from hls_stac_parquet_spark.tuning import parallelize_for_udf
-
-    df = parallelize_for_udf(df)
-    corpus = df.select(id_col, vec_col, assign(vec_col).alias("cluster"))
-    # aliased probe columns: see ivf_cosine_pairs_above — self-cogroup
-    # attribute dedup can prune shared-lineage columns from the right
-    # pandas frame on parquet scans
-    probes = df.select(
-        F.col(id_col).alias("p_id"),
-        F.col(vec_col).alias("p_vec"),
-        F.explode(probe(vec_col)).alias("cluster"),
+    # one Arrow pass computes the centroid sims once and feeds both
+    # cogroup branches off a checkpoint (r9, guide §4 — see
+    # _ivf_assign_probe)
+    corpus, probes = _ivf_assign_probe(
+        df, id_col, vec_col, bc_centers, n_probe
     )
 
     def search(key, corpus_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
