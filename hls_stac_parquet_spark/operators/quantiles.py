@@ -156,6 +156,129 @@ def grouped_quantiles(
     return d.groupBy(*gcols).agg(*aggs)
 
 
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    ranged: bool | str = "auto",
+) -> DataFrame:
+    """One row per group: the LOWER WEIGHTED MEDIAN of ``value_col``
+    under ``weight_col`` — the smallest v whose cumulative weight (in
+    (value, weight) order) reaches half the group's total weight.
+    Output column: ``weighted_median`` (un-rounded; callers round).
+
+    ``ranged`` mirrors :func:`grouped_quantiles`:
+
+    - ``False``: the classic two-window form — cumulative weight and
+      total weight over ``Window.partitionBy(group)``. Right when
+      groups are numerous; with FEW groups it funnels the fact table
+      through ≤ |groups| tasks (the 100 TB skew cliff).
+    - ``True``: range-partition by (group, value, weight) and find
+      each group's CROSSING partition from a per-(partition, group)
+      weight-sum dim: the crossing partition is the unique pid where
+      the running group weight passes half the total (≤ is used on
+      the lower bound so an exact boundary hit keeps both candidate
+      partitions — extra later partitions can only contribute larger
+      values and never change the min). Only rows of crossing
+      (pid, group) cells are re-read (broadcast semi join); their
+      in-partition cumulative weight plus the broadcast prefix offset
+      reproduces the window's cumulative weight exactly. The
+      partitioned relation is localCheckpoint-ed so the sampling-based
+      range assignment is IDENTICAL for the cell pass and the re-read
+      (repartitionByRange samples; two plans would draw different
+      boundaries).
+    - ``"auto"``: by the optimizer's size estimate, same threshold
+      and env override (SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES) as
+      grouped_quantiles.
+
+    Tie safety: rows with equal (value, weight) share a range
+    partition (range boundaries compare full keys) and permuting a
+    tie run never changes which values qualify — the run's LAST row
+    carries its permutation-invariant maximal cumulative weight, so
+    "v qualifies" is permutation-invariant (the grouped_quantiles
+    argument, applied to weights). Equivalence with the window form
+    is pinned by tests/test_properties.py.
+    """
+    gcols = list(group_cols)
+    if ranged == "auto":
+        import os
+
+        threshold = int(
+            os.environ.get(
+                "SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES", str(256 * 1024 * 1024)
+            )
+        )
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        ranged = est > threshold
+    if not ranged:
+        wc = (
+            Window.partitionBy(*gcols)
+            .orderBy(value_col, weight_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt_all = Window.partitionBy(*gcols)
+        ranked = df.select(*gcols, value_col, weight_col).withColumn(
+            "_cw", F.sum(weight_col).over(wc)
+        ).withColumn("_tw", F.sum(weight_col).over(wt_all))
+        return (
+            ranked.filter(F.col("_cw") * 2 >= F.col("_tw"))
+            .groupBy(*gcols)
+            .agg(F.min(value_col).alias("weighted_median"))
+        )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.select(*gcols, value_col, weight_col)
+        .repartitionByRange(
+            n_part, *[F.col(c) for c in gcols], F.col(value_col),
+            F.col(weight_col),
+        )
+        .select(
+            *gcols, value_col, weight_col,
+            F.spark_partition_id().alias("_pid"),
+        )
+        .localCheckpoint()
+    )
+    cells = part.groupBy("_pid", *gcols).agg(F.sum(weight_col).alias("_w"))
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*gcols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = cells.select(
+        "_pid",
+        *gcols,
+        "_w",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_w").over(w_all).alias("_tw"),
+    )
+    crossing = offs.filter(
+        (F.col("_off") * 2 <= F.col("_tw"))
+        & ((F.col("_off") + F.col("_w")) * 2 >= F.col("_tw"))
+    ).select("_pid", *gcols, "_off", "_tw")
+    w_loc = (
+        Window.partitionBy("_pid", *gcols)
+        .orderBy(value_col, weight_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = (
+        part.join(F.broadcast(crossing), ["_pid", *gcols])
+        .withColumn("_cw", F.col("_off") + F.sum(weight_col).over(w_loc))
+    )
+    return (
+        hit.filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy(*gcols)
+        .agg(F.min(value_col).alias("weighted_median"))
+    )
+
+
 def global_quantiles(
     df: DataFrame,
     value_col: str,

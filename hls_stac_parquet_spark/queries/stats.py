@@ -1008,24 +1008,24 @@ def q_weighted_median(spark, sf_dir):
     and the boundary is weight arithmetic, not position arithmetic —
     no interpolation ambiguity.
     """
+    from hls_stac_parquet_spark.operators.quantiles import (
+        grouped_weighted_median,
+    )
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").alias("wt"),
     )
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("v", "wt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt_all = Window.partitionBy("l_returnflag")
-    ranked = li.withColumn("cw", F.sum("wt").over(wc)).withColumn(
-        "tw", F.sum("wt").over(wt_all)
-    )
-    return (
-        ranked.filter(F.col("cw") >= F.col("tw") / 2)
-        .groupBy("l_returnflag")
-        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+    # r9 (guide §2, skew): 3 return flags meant the cumulative-weight
+    # window funneled the whole fact table through 3 tasks; the kernel
+    # auto-dispatches to a range-partitioned crossing-cell tier above
+    # the size threshold (hash tier below it — plan unchanged at
+    # bench scale, identical results either way).
+    med = grouped_weighted_median(li, ["l_returnflag"], "v", "wt")
+    return med.select(
+        "l_returnflag",
+        F.round("weighted_median", 2).alias("weighted_median"),
     )
 
 

@@ -355,3 +355,57 @@ def test_global_quantiles_empty_input(spark):
     df = spark.createDataFrame([], StructType([StructField("v", DoubleType())]))
     row = global_quantiles(df, "v", [0.5], ["m"]).collect()
     assert len(row) == 1 and row[0]["m"] is None
+
+
+def test_grouped_weighted_median_ranged_matches_window_tier(spark):
+    """grouped_weighted_median(ranged=True) — the crossing-cell
+    range tier added r9 for low-cardinality groups — equals the
+    hash-window tier row for row on dup-heavy random (value, weight)
+    data, including tie runs, integer weights, a single-row group,
+    and an all-zero-weight group (every row qualifies → group min).
+    Also pins the window tier against a plain-Python replay."""
+    import random
+
+    from hls_stac_parquet_spark.operators.quantiles import (
+        grouped_weighted_median,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        rows = [
+            (
+                rng.choice(["A", "B", "C"]),
+                float(rng.randint(0, 9)),
+                float(rng.randint(0, 5)),
+            )
+            for _ in range(rng.randint(8, 300))
+        ] + [("solo", 42.0, 3.0), ("zerow", 7.0, 0.0), ("zerow", 5.0, 0.0)]
+        df = spark.createDataFrame(rows, ["g", "v", "w"]).repartition(7)
+        got = {
+            r["g"]: r["weighted_median"]
+            for r in grouped_weighted_median(
+                df, ["g"], "v", "w", ranged=True
+            ).collect()
+        }
+        want = {
+            r["g"]: r["weighted_median"]
+            for r in grouped_weighted_median(
+                df, ["g"], "v", "w", ranged=False
+            ).collect()
+        }
+        assert got == want, (trial, got, want)
+        # independent replay: lower weighted median per group
+        by_g: dict = {}
+        for g, v, w in rows:
+            by_g.setdefault(g, []).append((v, w))
+        for g, vw in by_g.items():
+            vw.sort()
+            tot = sum(w for _, w in vw)
+            cw = 0.0
+            expect = None
+            for v, w in vw:
+                cw += w
+                if cw * 2 >= tot:
+                    expect = v
+                    break
+            assert got[g] == expect, (trial, g, got[g], expect)
