@@ -401,14 +401,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # and the cache manager's plan-matching is out of the picture
     # (measured: persist here was bimodal, 9-88 s at sf0.1;
     # checkpoint holds ~4 s steady)
-    e = (
+    from hls_stac_parquet_spark.tuning import compact_checkpoint
+
+    e = compact_checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_a"),
             F.greatest(F.col(src), F.col(dst)).alias("_b"),
         )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint()
     )
     # one aggregate over both endpoints → undirected degree per node.
     # NOT checkpointed (r8): da/db are byte-identical aggregation
@@ -437,10 +438,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("_v"),
         )
     )
-    adj = (
-        oriented.groupBy("_u")
+    # pinned partition counts (r9, guide §2.5): these exchanges carry
+    # few BYTES (≤12 MB) but heavy per-row COMPUTE (collect_set build;
+    # array_intersect per edge downstream), so AQE's byte-based
+    # coalescing funneled them onto 1 and 8 tasks respectively while
+    # 32 cores idled. An explicit repartition by the join/group key is
+    # the same exchange the operator needs (no extra shuffle) with a
+    # REPARTITION_BY_NUM pin AQE won't coalesce.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    adj = compact_checkpoint(
+        oriented.repartition(n_part, "_u")
+        .groupBy("_u")
         .agg(F.collect_set("_v").alias("ns"))
-        .localCheckpoint()
     )
     # oriented is REGENERATED from the checkpointed adjacency by a
     # local explode (r8, guide §2.4): (u, explode(ns)) is exactly the
@@ -451,11 +460,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # duplicated per edge, hash-scattered by _v) was A/B-tested and
     # REJECTED: the exchange wrote 156 MB vs 8.5 MB for this shape
     # (sorted-by-_u rows repeat the same array, so it compresses).
-    exploded = adj.select(F.col("_u"), F.explode("ns").alias("_v"))
+    exploded = adj.select(F.col("_u"), F.explode("ns").alias("_v")).repartition(
+        n_part, "_u"
+    )
     na = adj.select(F.col("_u").alias("_ju"), F.col("ns").alias("na"))
     nb = adj.select(F.col("_u").alias("_jv"), F.col("ns").alias("nb"))
     per_edge = (
         exploded.join(na, F.col("_u") == F.col("_ju"))
+        .repartition(n_part, "_v")
         .join(nb, F.col("_v") == F.col("_jv"))
         .select(F.size(F.array_intersect("na", "nb")).alias("n_closing"))
     )

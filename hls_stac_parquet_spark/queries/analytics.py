@@ -779,9 +779,14 @@ def q_adamic_adar(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    e = self_join_pairs(od, ["l_orderkey"], "l_partkey").select(
-        F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
-    ).distinct().localCheckpoint()
+    from hls_stac_parquet_spark.tuning import compact_checkpoint
+
+    # r9: serialized block storage (§5 — see tuning.compact_checkpoint)
+    e = compact_checkpoint(
+        self_join_pairs(od, ["l_orderkey"], "l_partkey").select(
+            F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
+        ).distinct()
+    )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
@@ -795,31 +800,37 @@ def q_adamic_adar(spark, sf_dir):
     # has one row per (center, neighbor)); sorted neighbors make
     # pa < pb by construction. Measured sf0.1 (post-checkpoint part):
     # 2.85 s → 1.9 s, identical top-20.
+    # pinned partition count (r9, guide §2.5): the adjacency rows are
+    # few BYTES, so AQE coalesced this exchange to ~1 partition — and
+    # the downstream in-row wedge expansion (≤2016 structs/row) plus
+    # its partial aggregate then ran on ONE task (observed 35 s GC
+    # spikes, the documented in-suite variance). REPARTITION_BY_NUM on
+    # the group key is the same exchange the aggregate needs, minus
+    # the coalesce.
+    n_part = spark.sparkContext.defaultParallelism
     adj = (
-        sym.groupBy(F.col("s").alias("z"))
+        sym.repartition(n_part, "s")
+        .groupBy(F.col("s").alias("z"))
         .agg(F.sort_array(F.collect_list("d")).alias("ns"))
         .filter(F.size("ns") <= 64)
     )
-    ids = F.col("ns")
-    n = F.size(ids)
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(ids, i.cast("int")).alias("pa"),
-                    F.element_at(ids, j.cast("int")).alias("pb"),
-                ),
-            ),
-        )
+    # r9: ordered pairs by DOUBLE EXPLODE + pa<pb filter instead of the
+    # nested transform/struct/flatten build — HOF lambdas evaluate
+    # INTERPRETED (outside codegen) and the per-pair struct allocation
+    # was this query's GC hot spot (observed 12-24 s task time with
+    # 3 s GC on the wedge stage; the two-explode Generate chain is
+    # fully codegen'd). Same pair set: ns is sorted and duplicate-free,
+    # so {(pa,pb) : pa<pb} equals the ordered index expansion —
+    # verified row-identical (252k rows) before the swap.
+    a2 = adj.select(
+        (1.0 / F.log(F.size("ns"))).alias("w"),
+        "ns",
+        F.explode("ns").alias("pa"),
     )
     wedges = (
-        adj.select(
-            (1.0 / F.log(F.size("ns"))).alias("w"),
-            F.explode(pair_structs).alias("p"),
-        )
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        a2.select("w", "pa", F.explode("ns").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.round(F.sum("w"), 6).alias("aa"))
     )
     cand = wedges.join(e, ["pa", "pb"], "left_anti")

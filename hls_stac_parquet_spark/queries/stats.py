@@ -2140,16 +2140,17 @@ def q_item_item_cf(spark, sf_dir):
     cut is float-stable across engines.
     """
     from hls_stac_parquet_spark.operators.lsh import self_join_pairs
+    from hls_stac_parquet_spark.tuning import compact_checkpoint
 
     # localCheckpoint at both branch points: od feeds the support dim
     # AND the pair join (the distinct would otherwise run twice), and
     # pr is unioned in both directions (the whole blocked self-join
     # would otherwise replay). Measured at sf0.1: 2.1 -> 0.9 s warm.
-    od = (
+    # r9: serialized block storage (§5 — see tuning.compact_checkpoint)
+    od = compact_checkpoint(
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
     )
     pc = od.groupBy("l_partkey").agg(F.count("*").alias("n"))
     # r8: join supports onto the CANONICAL pairs and union the
@@ -2176,8 +2177,8 @@ def q_item_item_cf(spark, sf_dir):
                 F.col("nab") / F.sqrt(F.col("na") * F.col("nb")), 6
             ).alias("sim"),
         )
-        .localCheckpoint()
     )
+    simc = compact_checkpoint(simc)
     sims = simc.select(
         F.col("id_a").alias("item"),
         F.col("id_b").alias("neighbor"),
