@@ -46,6 +46,47 @@ def logreg_fit(
         raise ValueError("logreg_fit: empty input")
     w = [0.0] * (d + 1)
 
+    # Size-tiered (r9, guide §1.2): the distributed loop's cost is
+    # 2·iters driver-sequenced jobs of pure scheduler latency (~150 ms
+    # each around a ~5 ms aggregate at bench scale). Below the row cap
+    # the feature matrix is collected ONCE (one Arrow job, ≤ ~32 MB at
+    # the cap) and the identical GD runs vectorized in numpy — same
+    # init, step, iteration count, and same null semantics (a row with
+    # any NULL feature/label contributes to no gradient term: the
+    # literal-coefficient margin nulls resid whenever any x_j is null,
+    # and F.sum skips null terms — so dropna == the per-term
+    # exclusions; n stays the FULL row count either way). Weights
+    # agree with the distributed path to float-summation-order ulps
+    # (outputs round to ≥4 dp; pinned by tests + oracle parity).
+    # Above the cap — any corpus that matters at 100 TB — the
+    # aggregate loop below is unchanged.
+    import os
+
+    max_driver_rows = int(
+        os.environ.get("SPARK_GRAFT_LOGREG_DRIVER_MAX_ROWS", "1000000")
+    )
+    if n_row <= max_driver_rows:
+        import numpy as np
+
+        pdf = (
+            df.select(
+                *[F.col(c).cast("double") for c in feats],
+                F.col(label_col).cast("double").alias("_y"),
+            )
+            .na.drop()
+            .toPandas()
+        )
+        X = pdf[feats].to_numpy(dtype=np.float64)
+        y = pdf["_y"].to_numpy(dtype=np.float64)
+        Xb = np.hstack([X, np.ones((len(X), 1))])
+        wv = np.zeros(d + 1)
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(Xb @ wv)))
+            grad = Xb.T @ (p - y) / n_row
+            grad[:d] += reg * wv[:d]
+            wv = wv - lr * grad
+        return [float(x) for x in wv]
+
     # AQE off for the loop (restored after): each round is a 1-row
     # global aggregate, and AQE materializes its partial-agg stage as
     # a SEPARATE job before re-planning the 1-partition exchange it

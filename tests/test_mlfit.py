@@ -170,3 +170,24 @@ def test_isotonic_fit_is_monotone_and_idempotent_on_sorted(spark):
     )
     got = {r.x: r.y_fit for r in isotonic_fit(mono, "x", "wy", "w").collect()}
     assert got == {0: 0.0, 1: 0.2, 2: 0.5, 3: 0.9}
+
+
+def test_logreg_driver_tier_matches_distributed_tier(
+    spark, training_data, monkeypatch
+):
+    """r9 size tier: the collect-once numpy fit (engaged below the
+    row cap) and the distributed aggregate loop (forced here via the
+    cap override) produce the same weights up to float-summation
+    order."""
+    from hls_stac_parquet_spark.operators.mlfit import logreg_fit
+
+    X, y = training_data
+    rows = [(float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)]
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y double"
+    )
+    fast = logreg_fit(df, ["x1", "x2", "x3"], "y", iters=15, lr=0.5)
+    monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_MAX_ROWS", "0")
+    dist = logreg_fit(df, ["x1", "x2", "x3"], "y", iters=15, lr=0.5)
+    np.testing.assert_allclose(fast, dist, rtol=1e-9, atol=1e-9)
