@@ -192,7 +192,10 @@ def minhash_candidate_pairs(
 
     sig = _minhash_sig_bands(df, text_col, id_col, num_hashes, shingle_k, bands)
     # branch point: banded view + two verification joins reuse it
-    sig = sig.persist()
+    from pyspark.storagelevel import StorageLevel
+
+    # r9: serialized blocks (§5 — see tuning.compact_checkpoint)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # band hashes were folded in the same Arrow pass as the signature;
     # only (id, band, hash) shuffles — signatures stay out of the pairing
@@ -308,7 +311,10 @@ def simhash_candidate_pairs(
     from hls_stac_parquet_spark.operators.lsh import bucket_pairs
 
     # sketch feeds the pairing AND both Hamming lookups — compute once
-    sh = simhash(df, text_col, id_col).persist()
+    from pyspark.storagelevel import StorageLevel
+
+    # r9: serialized blocks (§5 — see tuning.compact_checkpoint)
+    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     band_width = 63 // bands + 1
     banded = sh.select(
         id_col,

@@ -1044,14 +1044,17 @@ def q_source_overlap(spark, sf_dir):
     # explode: a compact single-file scan is ONE partition, which
     # serialized this whole pass on one task (guide §2.5 input skew;
     # measured r8: 2.9 s eager build → sub-second). No-op at scale.
-    fp = (
+    from hls_stac_parquet_spark.tuning import compact_checkpoint
+
+    # r9: serialized blocks (§5 — see tuning.compact_checkpoint);
+    # reused by the pair join (twice) + sizes
+    fp = compact_checkpoint(
         parallelize_for_udf(
             t(spark, sf_dir, "documents").select("source", "text")
         )
         .filter(F.size(ts) >= 8)
         .select("source", F.explode(wins).alias("f"))
         .distinct()
-        .localCheckpoint()  # reused by the pair join (twice) + sizes
     )
     a = fp.select(F.col("source").alias("source_a"), "f")
     b = fp.select(F.col("source").alias("source_b"), "f")

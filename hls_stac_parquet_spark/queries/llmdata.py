@@ -3437,7 +3437,12 @@ def q_lang_id_trigram(spark, sf_dir):
                 )
             )
         ).alias("g"),
-    ).localCheckpoint()
+    )
+    # r9: serialized block storage (91 MB deserialized re-read twice
+    # -> compact blocks; §5, see tuning.compact_checkpoint)
+    from hls_stac_parquet_spark.tuning import compact_checkpoint
+
+    grams = compact_checkpoint(grams)
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
     profile = (
