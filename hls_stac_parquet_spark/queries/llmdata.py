@@ -4925,7 +4925,10 @@ def q_minhash_portable(spark, sf_dir):
             for i in range(_MHP_N)
         ]
     )
-    sig = sig.persist()
+    from pyspark.storagelevel import StorageLevel
+
+    # r9: serialized blocks (§5 — see tuning.compact_checkpoint)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"h{i}") for i in range(_MHP_N)])).alias(

@@ -370,14 +370,16 @@ def q_market_basket(spark, sf_dir):
     # width was A/B-tested and REJECTED — the 5-partition layout AQE
     # picks reads back with ~10x less task time than 32 spread
     # partitions on this host; see OPTIMIZATION_r08.md.)
-    from hls_stac_parquet_spark.tuning import compact_checkpoint
-
-    # r9: serialized block storage (62 MB deserialized -> ~10 MB; §5,
-    # see tuning.compact_checkpoint)
-    od = compact_checkpoint(
+    # r9: serialized checkpoint storage was A/B-tested here and
+    # REJECTED — interleaved min-of-4 showed the default deserialized
+    # level ~0.1-0.2 s faster per query (the read-back is this query's
+    # hot loop; the ser/deser tax outweighs the footprint win, echoing
+    # the r8 layout note above).
+    od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     part_orders = od.groupBy("l_partkey").agg(
         F.count("*").cast("double").alias("n_orders_part")
@@ -1647,14 +1649,16 @@ def q_itemsets_3(spark, sf_dir):
     top-20, no global sort."""
     # localCheckpoint: the triple self-join reads od three times —
     # one materialized distinct instead of three
-    from hls_stac_parquet_spark.tuning import compact_checkpoint
-
-    # r9: serialized block storage (62 MB deserialized -> ~10 MB; §5,
-    # see tuning.compact_checkpoint)
-    od = compact_checkpoint(
+    # r9: serialized checkpoint storage was A/B-tested here and
+    # REJECTED — interleaved min-of-4 showed the default deserialized
+    # level ~0.1-0.2 s faster per query (the read-back is this query's
+    # hot loop; the ser/deser tax outweighs the footprint win, echoing
+    # the r8 layout note above).
+    od = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a = od.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
