@@ -188,9 +188,14 @@ def grouped_weighted_median(
       range assignment is IDENTICAL for the cell pass and the re-read
       (repartitionByRange samples; two plans would draw different
       boundaries).
-    - ``"auto"``: by the optimizer's size estimate, same threshold
-      and env override (SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES) as
-      grouped_quantiles.
+    - ``"auto"``: by the optimizer's size estimate, same env override
+      (SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES) as grouped_quantiles
+      but a LOWER default break-even (32 MiB vs 256 MiB): the hash
+      tier here funnels the fact through TWO per-group windows, and
+      the measured crossover is earlier — at a 46 MB estimate
+      (100×-replicated sf0.01) the range tier already wins 3.3 s vs
+      4.3 s, while at sf0.1's ~4.6 MB the hash tier wins 0.96 s vs
+      1.51 s (r9 measurements).
 
     Tie safety: rows with equal (value, weight) share a range
     partition (range boundaries compare full keys) and permuting a
@@ -206,7 +211,7 @@ def grouped_weighted_median(
 
         threshold = int(
             os.environ.get(
-                "SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES", str(256 * 1024 * 1024)
+                "SPARK_GRAFT_RANGED_QUANTILES_MIN_BYTES", str(32 * 1024 * 1024)
             )
         )
         est = int(
