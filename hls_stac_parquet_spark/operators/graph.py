@@ -534,13 +534,24 @@ def propagate_labels(
     # job otherwise splits into per-exchange AQE sub-jobs, and runtime
     # re-planning has nothing to offer these fixed-shape small joins;
     # restored in finally so only the loop is affected.
+    # r9 (ADVICE): the toggle only matters when a lineage cut actually
+    # EXECUTES inside the window — the cadence fires at round 4k with
+    # k*4 < max_iter, so for max_iter <= 4 the rounds build lazily and
+    # the flip was a session-global no-op. CONTRACT: spark.conf is
+    # session-global — like the mlfit toggle this is safe under the
+    # engine's sequential query execution but NOT thread-safe if
+    # queries ever run concurrently on one session; a concurrent
+    # deployment should drop the toggle (it is an optimization only).
     spark = edges.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    if max_iter > 4:
+        aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            labels = _lpa_rounds(sym, seed_labels, max_iter)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    else:
         labels = _lpa_rounds(sym, seed_labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     out = labels.select(
         F.col("_n").alias(node_col),
         F.col("_lbl").alias(label_col),

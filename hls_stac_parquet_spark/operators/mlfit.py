@@ -95,6 +95,10 @@ def logreg_fit(
     # ~90 ms each around a ~5 ms aggregate; AQE off: 3.9 s → 3.4 s,
     # bit-identical weights). Runtime re-planning has nothing to
     # offer a fixed-shape scalar aggregate at any scale.
+    # CONTRACT (r9, VERDICT note): spark.conf is session-global — safe
+    # under the engine's sequential query execution, NOT thread-safe if
+    # queries ever run concurrently on one session (a concurrent
+    # deployment should drop the toggle; it is an optimization only).
     spark = df.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

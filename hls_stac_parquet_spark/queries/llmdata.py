@@ -1733,14 +1733,14 @@ def q_bpe_train(spark, sf_dir):
 
     words = word_frequencies(t(spark, sf_dir, "documents"))
     merges = bpe_train(words, num_merges=10)
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import StructType
 
     from hls_stac_parquet_spark.tuning import driver_rows_to_df
 
     return driver_rows_to_df(
         spark,
         [(r, l, x, l + x, c) for r, l, x, c in merges],
-        _parse_datatype_string(
+        StructType.fromDDL(
             "rank int, left string, right string, merged string, pair_freq bigint"
         ),
     )

@@ -19,6 +19,9 @@ for i in $(seq 0 $((N - 1))); do
   for j in "${!FILES[@]}"; do
     if (( j % N == i )); then GROUP+=("${FILES[$j]}"); fi
   done
+  # an empty group would make pytest collect the WHOLE suite
+  # (including test_streaming.py concurrently) — skip it
+  (( ${#GROUP[@]} )) || continue
   SPARK_GRAFT_CPUS=$CORES python -m pytest "${GROUP[@]}" -q \
     > "$OUT/g$i.log" 2>&1 &
   PIDS[$i]=$!
